@@ -1,0 +1,157 @@
+"""Wavefront path-trace integrator (one sample per ray).
+
+TPU redesign of the reference's PathTrace megakernel
+(ref: codelets/TraceCodelets.cpp:170-264): instead of a divergent per-ray
+bounce loop, all rays advance together through a ``lax.while_loop`` over
+bounces with masked lanes. Per bounce: self-intersection offset, BVH
+closest hit, emissive accumulation, masked-select material sampling
+(diffuse / specular / dielectric), Russian roulette after the configured
+depth. Escaped rays record their direction and throughput so an
+environment light (NIF) can be applied afterwards in one batched MXU pass
+(the wavefront analogue of the reference's PreProcess/PostProcessEscapedRays
+vertices, TraceCodelets.cpp:321-382).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bxdf import (
+    dielectric,
+    evaluate_roulette,
+    offset_ray_origin,
+    reflect,
+    sample_diffuse,
+)
+from ..ops.traversal import bvh_intersect, hit_normal
+from ..scene.build import SceneArrays
+
+MAT_DIFFUSE = 0
+MAT_SPECULAR = 1
+MAT_REFRACTIVE = 2
+
+
+class SampleResult(NamedTuple):
+    rgb: jnp.ndarray            # [R,3] radiance for this sample (env light NOT applied)
+    esc_dir: jnp.ndarray        # [R,3] direction at escape (zeros if none)
+    esc_throughput: jnp.ndarray # [R,3] throughput at escape
+    escaped: jnp.ndarray        # [R] bool
+    error: jnp.ndarray          # [R] bool (unknown material type)
+
+
+def path_trace_sample(
+    scene: SceneArrays,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    key: jax.Array,
+    max_path_length: int,
+    roulette_start_depth: int,
+) -> SampleResult:
+    R = origins.shape[0]
+    f32 = jnp.float32
+    zero3 = jnp.zeros((R, 3), f32)
+    init_normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), (R, 3))
+
+    state = dict(
+        i=jnp.int32(0),
+        o=origins,
+        d=dirs,
+        n=init_normal,
+        throughput=jnp.ones((R, 3), f32),
+        color=zero3,
+        active=jnp.ones(R, bool),
+        esc_dir=zero3,
+        esc_tp=zero3,
+        escaped=jnp.zeros(R, bool),
+        error=jnp.zeros(R, bool),
+    )
+
+    t_min = jnp.zeros(R, f32)
+    t_max = jnp.full(R, f32(jnp.inf))
+
+    def cond(s):
+        return (s["i"] < max_path_length) & jnp.any(s["active"])
+
+    def body(s):
+        i = s["i"]
+        active = s["active"]
+        # Offset ray start away from the previous surface:
+        o = offset_ray_origin(s["o"], s["d"], s["n"])
+        d = s["d"]
+
+        hit = bvh_intersect(scene, o, d, t_min, t_max)
+        found = hit.found
+
+        newly_escaped = active & ~found
+        esc_dir = jnp.where(newly_escaped[..., None], d, s["esc_dir"])
+        esc_tp = jnp.where(newly_escaped[..., None], s["throughput"], s["esc_tp"])
+        escaped = s["escaped"] | newly_escaped
+
+        live = active & found
+        n = hit_normal(scene, o, d, hit)
+        n = jnp.where(live[..., None], n, s["n"])
+        o = jnp.where(live[..., None], o + d * hit.t[..., None], o)
+
+        g_safe = jnp.clip(hit.geom_id, 0, scene.mat_id.shape[0] - 1)
+        mid = scene.mat_id[g_safe]
+        albedo = scene.mat_albedo[mid]
+        emission = scene.mat_emission[mid]
+        emissive = scene.mat_emissive[mid] != 0
+        ior = scene.mat_ior[mid]
+        mtype = scene.mat_type[mid]
+
+        color = s["color"] + jnp.where(
+            (live & emissive)[..., None], s["throughput"] * emission, 0.0
+        )
+
+        u = jax.random.uniform(jax.random.fold_in(key, i), (4, R), dtype=f32)
+        d_diffuse = sample_diffuse(n, u[0], u[1])
+        d_specular = reflect(d, n)
+        d_dielec, refracted = dielectric(d, n, ior, u[2])
+
+        is_diff = mtype == MAT_DIFFUSE
+        is_spec = mtype == MAT_SPECULAR
+        is_refr = mtype == MAT_REFRACTIVE
+        new_d = jnp.where(
+            is_diff[..., None],
+            d_diffuse,
+            jnp.where(is_spec[..., None], d_specular, d_dielec),
+        )
+        scale_tp = is_diff | is_spec | (is_refr & refracted)
+        tp = s["throughput"] * jnp.where(scale_tp[..., None], albedo, 1.0)
+        error = s["error"] | (live & ~(is_diff | is_spec | is_refr))
+
+        d = jnp.where(live[..., None], new_d, d)
+        tp = jnp.where(live[..., None], tp, s["throughput"])
+
+        # Russian roulette (enabled strictly after roulette_start_depth):
+        stop, tp_r = evaluate_roulette(u[3], tp)
+        use_roulette = i > roulette_start_depth
+        tp = jnp.where((use_roulette & live)[..., None], tp_r, tp)
+        live = live & jnp.where(use_roulette, ~stop, True)
+
+        return dict(
+            i=i + 1,
+            o=o,
+            d=d,
+            n=n,
+            throughput=tp,
+            color=color,
+            active=live,
+            esc_dir=esc_dir,
+            esc_tp=esc_tp,
+            escaped=escaped,
+            error=error,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return SampleResult(
+        rgb=out["color"],
+        esc_dir=out["esc_dir"],
+        esc_throughput=out["esc_tp"],
+        escaped=out["escaped"],
+        error=out["error"],
+    )

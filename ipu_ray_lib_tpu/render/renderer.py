@@ -1,0 +1,187 @@
+"""Render orchestration: chunked, jit-compiled, progressive.
+
+The host-runtime layer — role of ref src/IpuScene.cpp execute path +
+GraphManager (include/ipu_utils.hpp): batches the ray stream into
+fixed-size chunks (static shapes for XLA), runs the jitted integrator per
+chunk, and reassembles AOVs. Chunking provides the same "unbounded image
+size" property as the reference's DRAM ray streaming (README.md:20-23):
+only one chunk of ray state is live on device; chunk results stream back
+to the host as they finish (the RayCallback analogue).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..bvh.builder import INVALID_GEOM_ID
+from ..ops.camera import generate_camera_rays, pixel_grid
+from ..scene.build import SceneArrays, SceneParams
+from .path import path_trace_sample
+from .shadow import DEFAULT_AMBIENT, DEFAULT_LIGHT_POS, shadow_trace
+
+DEFAULT_CHUNK = 1 << 16
+
+
+class RenderOutput(NamedTuple):
+    """Per-pixel AOVs, [H, W, ...] numpy arrays (window-sized)."""
+
+    rgb: np.ndarray
+    t: np.ndarray
+    geom_id: np.ndarray
+    prim_id: np.ndarray
+    normal: np.ndarray
+    hit_p: np.ndarray
+
+    @property
+    def hit_count(self) -> int:
+        return int(np.sum(self.geom_id >= 0))
+
+
+@functools.partial(jax.jit, static_argnames=("fov", "width", "height"))
+def _shadow_chunk(scene: SceneArrays, rows, cols, *, fov, width, height):
+    origins, dirs = generate_camera_rays(
+        rows, cols, width, height, fov, 0.0, None
+    )
+    res = shadow_trace(scene, origins, dirs)
+    return res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fov", "width", "height", "aa_scale", "spp",
+        "max_path_length", "roulette_start_depth", "has_env", "env_fn",
+    ),
+)
+def _path_chunk(
+    scene: SceneArrays,
+    rows,
+    cols,
+    key,
+    env_params,
+    *,
+    fov,
+    width,
+    height,
+    aa_scale,
+    spp,
+    max_path_length,
+    roulette_start_depth,
+    has_env,
+    env_fn=None,
+):
+    R = rows.shape[0]
+
+    def one_sample(s, acc):
+        skey = jax.random.fold_in(key, s)
+        origins, dirs = generate_camera_rays(
+            rows, cols, width, height, fov, aa_scale, jax.random.fold_in(skey, 0xC0FFEE)
+        )
+        result = path_trace_sample(
+            scene, origins, dirs, skey, max_path_length, roulette_start_depth
+        )
+        rgb = result.rgb
+        if has_env:
+            env_rgb = env_fn(env_params, result.esc_dir)
+            rgb = rgb + jnp.where(
+                result.escaped[..., None], result.esc_throughput * env_rgb, 0.0
+            )
+        return acc + rgb
+
+    acc = jax.lax.fori_loop(
+        0, spp, one_sample, jnp.zeros((R, 3), jnp.float32)
+    )
+    return acc * (1.0 / spp)
+
+
+def render(
+    scene: SceneArrays,
+    params: SceneParams,
+    mode: str = "shadow-trace",
+    chunk_size: int = DEFAULT_CHUNK,
+    env_fn: Optional[Callable] = None,
+    env_params=None,
+    progress_callback: Optional[Callable[[int, np.ndarray], None]] = None,
+) -> RenderOutput:
+    """Render the scene's crop window. ``mode`` is 'shadow-trace' or
+    'path-trace'. ``env_fn(env_params, dirs) -> rgb`` is an optional
+    environment light (the NIF hook) applied to escaped rays.
+
+    ``progress_callback(chunk_index, rgb_chunk)`` fires as each chunk
+    completes — the analogue of the reference's RayCallback streaming
+    partial results (src/RayCallback.cpp).
+    """
+    w, h = params.window_w, params.window_h
+    rows_np, cols_np = np.asarray(pixel_grid(w, h, params.window_c, params.window_r))
+    total = w * h
+    n_chunks = -(-total // chunk_size)
+    padded = n_chunks * chunk_size
+    pad = padded - total
+    rows_np = np.pad(rows_np, (0, pad))
+    cols_np = np.pad(cols_np, (0, pad))
+
+    rgb = np.zeros((padded, 3), np.float32)
+    t = np.full(padded, np.inf, np.float32)
+    geom = np.full(padded, -1, np.int32)
+    prim = np.full(padded, -1, np.int32)
+    normal = np.zeros((padded, 3), np.float32)
+    hit_p = np.zeros((padded, 3), np.float32)
+
+    base_key = jax.random.PRNGKey(params.rng_seed)
+
+    for ci in range(n_chunks):
+        sl = slice(ci * chunk_size, (ci + 1) * chunk_size)
+        rows = jnp.asarray(rows_np[sl])
+        cols = jnp.asarray(cols_np[sl])
+        if mode == "shadow-trace":
+            res = _shadow_chunk(
+                scene, rows, cols,
+                fov=params.fov_radians,
+                width=params.image_width,
+                height=params.image_height,
+            )
+            rgb[sl] = np.asarray(res.rgb)
+            t[sl] = np.asarray(res.t)
+            g = np.asarray(res.geom_id)
+            geom[sl] = np.where(g == INVALID_GEOM_ID, -1, g)
+            prim[sl] = np.asarray(res.prim_id)
+            normal[sl] = np.asarray(res.normal)
+            hit_p[sl] = np.asarray(res.hit_p)
+        elif mode == "path-trace":
+            ckey = jax.random.fold_in(base_key, ci)
+            acc = _path_chunk(
+                scene, rows, cols, ckey, env_params,
+                fov=params.fov_radians,
+                width=params.image_width,
+                height=params.image_height,
+                aa_scale=params.anti_alias_scale,
+                spp=params.samples_per_pixel,
+                max_path_length=params.max_path_length,
+                roulette_start_depth=params.roulette_start_depth,
+                has_env=env_fn is not None,
+                env_fn=env_fn,
+            )
+            rgb[sl] = np.asarray(acc)
+        else:
+            raise ValueError(f"Unknown render mode '{mode}'")
+        if progress_callback is not None:
+            progress_callback(ci, rgb[sl])
+
+    def im(a, ch=None):
+        a = a[:total]
+        return a.reshape((h, w) + ((ch,) if ch else ()))
+
+    return RenderOutput(
+        rgb=im(rgb, 3),
+        t=im(t),
+        geom_id=im(geom),
+        prim_id=im(prim),
+        normal=im(normal, 3),
+        hit_p=im(hit_p, 3),
+    )

@@ -1,0 +1,36 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This mirrors the reference's hardware-free testing strategy (the Poplar
+IPUModel simulator + compileOnly, ref include/ipu_utils.hpp:98-106): all
+tests run on the CPU backend, with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
+
+    return make_cornell_box_scene(mesh_file=None, box_only=False)
+
+
+@pytest.fixture(scope="session")
+def cornell_built(cornell_scene):
+    from ipu_ray_lib_tpu.scene.build import build_scene
+
+    return build_scene(cornell_scene, image_width=128, image_height=128)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1442)
