@@ -23,18 +23,25 @@ except Exception:  # pragma: no cover
 def write_image(path: str, rgb: np.ndarray) -> None:
     """Write an RGB float image. `.exr` keeps float32; else tonemap to 8-bit."""
     rgb = np.asarray(rgb, dtype=np.float32)
+    if path.endswith(".exr"):
+        # cv2 builds here lack an EXR writer; use the built-in codec.
+        from .exr import write_exr
+
+        write_exr(path, rgb)
+        return
     if _HAVE_CV2:
         bgr = rgb[..., ::-1]
-        if path.endswith(".exr"):
-            cv2.imwrite(path, bgr)
-        else:
-            cv2.imwrite(path, np.clip(bgr * 255.0, 0, 255).astype(np.uint8))
+        cv2.imwrite(path, np.clip(bgr * 255.0, 0, 255).astype(np.uint8))
         return
     # Fallback: raw .npy next to the requested path.
     np.save(path + ".npy", rgb)
 
 
 def read_image(path: str) -> np.ndarray:
+    if path.endswith(".exr"):
+        from .exr import read_exr
+
+        return read_exr(path)
     if not _HAVE_CV2:
         raise RuntimeError("cv2 unavailable: cannot read images")
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED | cv2.IMREAD_ANYDEPTH)

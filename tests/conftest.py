@@ -8,10 +8,22 @@ sharding paths are exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
+# Persistent compilation cache: the analogue of the reference's saveExe/
+# loadExe executable caching (ref ipu_utils.hpp:51-76) — makes repeated
+# test runs skip XLA compilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ipu_ray_lib_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+# The environment pins JAX_PLATFORMS=axon via sitecustomize; config.update
+# is the reliable way to select the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,82 @@
+"""Multi-device data parallelism tests on the virtual 8-device CPU mesh.
+
+Covers the reference's replication semantics (SURVEY.md §2 parallelism
+item 1): sharded rays, replicated scene, per-shard RNG, and agreement
+with the single-device path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ipu_ray_lib_tpu.ops.camera import pixel_grid
+from ipu_ray_lib_tpu.parallel.mesh import (
+    make_ray_mesh,
+    render_path_sharded,
+    render_shadow_sharded,
+    shard_rays,
+)
+from ipu_ray_lib_tpu.render.renderer import render
+from ipu_ray_lib_tpu.utils.xoshiro import Xoroshiro128, derive_replica_seeds
+
+
+def test_mesh_has_8_devices():
+    mesh = make_ray_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shadow_sharded_matches_single(cornell_built):
+    arrays, params, _ = cornell_built
+    mesh = make_ray_mesh()
+    size = 32
+    rows, cols = pixel_grid(size, size, 0, 0)
+    n = shard_rays(rows.shape[0], mesh)
+    assert n == rows.shape[0]  # 1024 divides 8
+
+    res = render_shadow_sharded(arrays, params, rows, cols, mesh)
+
+    import dataclasses
+
+    p32 = dataclasses.replace(params, window_w=size, window_h=size,
+                              window_c=0, window_r=0)
+    single = render(arrays, p32, mode="shadow-trace", chunk_size=size * size)
+    np.testing.assert_allclose(
+        np.asarray(res.rgb).reshape(size, size, 3), single.rgb, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_path_sharded_runs_and_is_consistent(cornell_built):
+    arrays, params, _ = cornell_built
+    mesh = make_ray_mesh()
+    rows, cols = pixel_grid(16, 16, 0, 0)
+    key = jax.random.PRNGKey(0)
+    rgb = np.asarray(
+        render_path_sharded(arrays, params, rows, cols, key, mesh, spp=4)
+    )
+    assert rgb.shape == (256, 3)
+    assert np.all(np.isfinite(rgb))
+    assert rgb.max() > 0
+
+    # Different shards must use different RNG streams: per-shard means of a
+    # diffuse region shouldn't be identical.
+    shards = rgb.reshape(8, 32, 3)
+    means = shards.mean(axis=(1, 2))
+    assert len(np.unique(np.round(means, 7))) > 1
+
+
+def test_replica_seed_derivation():
+    seeds = derive_replica_seeds(1442, 4)
+    assert len(set(seeds.tolist())) == 4
+
+    # Jump-separated streams should differ immediately:
+    g0 = Xoroshiro128(1442)
+    g1 = Xoroshiro128(1442)
+    g1.jump()
+    assert g0.next_u64() != g1.next_u64()
+
+
+def test_xoshiro_uniform_range():
+    g = Xoroshiro128(7)
+    u = g.uniform_0_1(1000)
+    assert np.all((u >= 0) & (u < 1))
+    assert 0.4 < u.mean() < 0.6

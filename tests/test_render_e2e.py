@@ -1,0 +1,96 @@
+"""End-to-end render tests: the minimum slice of SURVEY.md §7 phase 3.
+
+Shadow-trace AOV parity against the brute-force oracle (the Embree role)
+and a path-trace smoke/energy test — the same verification shape as the
+reference's LITERATE_TEST.ipynb + in-app MSE checks (trace.cpp:528-540).
+"""
+
+import numpy as np
+import pytest
+
+from ipu_ray_lib_tpu.cpu.reference import oracle_shadow_trace
+from ipu_ray_lib_tpu.ops.camera import generate_camera_rays, pixel_grid
+from ipu_ray_lib_tpu.render.renderer import render
+from ipu_ray_lib_tpu.scene.build import build_scene
+from ipu_ray_lib_tpu.scene.types import CropWindow
+from ipu_ray_lib_tpu.utils.image import mse
+
+SIZE = 48
+
+
+@pytest.fixture(scope="module")
+def built48(cornell_scene):
+    return build_scene(cornell_scene, image_width=SIZE, image_height=SIZE)
+
+
+@pytest.fixture(scope="module")
+def shadow_out(built48):
+    arrays, params, _ = built48
+    return render(arrays, params, mode="shadow-trace", chunk_size=SIZE * SIZE)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(cornell_scene, built48):
+    _, params, _ = built48
+    rows, cols = pixel_grid(SIZE, SIZE, 0, 0)
+    o, d = generate_camera_rays(
+        rows, cols, params.image_width, params.image_height, params.fov_radians, 0.0, None
+    )
+    res = oracle_shadow_trace(cornell_scene, np.asarray(o), np.asarray(d))
+    return {k: (v.reshape(SIZE, SIZE, -1) if v.ndim == 2 else v.reshape(SIZE, SIZE)) for k, v in res.items()}
+
+
+def test_shadow_hit_masks_match(shadow_out, oracle_out):
+    ours = shadow_out.geom_id >= 0
+    ref = oracle_out["geom"] >= 0
+    assert (ours == ref).mean() > 0.995
+
+
+def test_shadow_rgb_close(shadow_out, oracle_out):
+    # Small MSE, like the reference's IPU-vs-Embree check. Shadow boundary
+    # pixels may differ (different epsilon conventions), so compare MSE
+    # rather than exact:
+    assert mse(shadow_out.rgb, oracle_out["rgb"]) < 2e-3
+
+
+def test_shadow_normals_close(shadow_out, oracle_out):
+    both = (shadow_out.geom_id >= 0) & (oracle_out["geom"] >= 0)
+    dots = np.abs(np.sum(shadow_out.normal * oracle_out["normal"], axis=-1))[both]
+    assert np.quantile(dots, 0.02) > 0.999
+
+
+def test_shadow_hitpoints_close(shadow_out, oracle_out):
+    both = (shadow_out.geom_id >= 0) & (oracle_out["geom"] >= 0)
+    err = np.linalg.norm(shadow_out.hit_p - oracle_out["hit_p"], axis=-1)[both]
+    assert np.quantile(err, 0.99) < 0.5  # scene units are ~hundreds
+
+
+def test_shadow_crop_window_matches_full(built48, shadow_out):
+    arrays, params, _ = built48
+    import dataclasses
+
+    win = CropWindow(16, 12, 8, 20)
+    params_crop = dataclasses.replace(
+        params, window_w=win.w, window_h=win.h, window_c=win.c, window_r=win.r
+    )
+    out = render(arrays, params_crop, mode="shadow-trace", chunk_size=win.w * win.h)
+    full_region = shadow_out.rgb[win.r : win.r + win.h, win.c : win.c + win.w]
+    np.testing.assert_allclose(out.rgb, full_region, rtol=1e-5, atol=1e-6)
+
+
+def test_path_trace_smoke(cornell_scene):
+    import dataclasses
+
+    arrays, params, _ = build_scene(
+        cornell_scene, image_width=24, image_height=24, samples_per_pixel=8
+    )
+    out = render(arrays, params, mode="path-trace", chunk_size=24 * 24)
+    img = out.rgb
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.05  # light visible somewhere
+    assert img.min() >= 0.0
+    # Monte-carlo consistency: two seeds give similar mean brightness.
+    params2 = dataclasses.replace(params, rng_seed=7)
+    out2 = render(arrays, params2, mode="path-trace", chunk_size=24 * 24)
+    m1, m2 = img.mean(), out2.rgb.mean()
+    assert abs(m1 - m2) / max(m1, m2) < 0.25
