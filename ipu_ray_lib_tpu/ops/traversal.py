@@ -197,6 +197,55 @@ def bvh_occluded(
     return occ
 
 
+def dense_intersect(
+    scene: SceneArrays,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    t_min: jnp.ndarray,
+    t_max: jnp.ndarray,
+) -> Hit:
+    """Closest-hit via the MXU dense intersector (ops/dense.py): triangles
+    as chunked matmuls, spheres/discs broadcast-dense, running min."""
+    from .dense import dense_closest_tri, dense_discs, dense_spheres
+
+    best_t, tri = dense_closest_tri(scene.dense, origin, direction, t_min, t_max)
+    tri_safe = jnp.clip(tri, 0, scene.dense.tri_geom.shape[0] - 1)
+    geom = jnp.where(tri >= 0, scene.dense.tri_geom[tri_safe], INVALID_GEOM_ID)
+    prim = jnp.where(tri >= 0, scene.dense.tri_prim[tri_safe], INVALID_PRIM_ID)
+
+    sb, st, si = dense_spheres(scene.spheres, origin, direction, t_min, best_t)
+    geom = jnp.where(sb, scene.sphere_geom[si], geom)
+    prim = jnp.where(sb, 0, prim)
+    best_t = jnp.where(sb, st, best_t)
+
+    db, dtt, di = dense_discs(scene.discs, origin, direction, t_min, best_t)
+    geom = jnp.where(db, scene.disc_geom[di], geom)
+    prim = jnp.where(db, 0, prim)
+    best_t = jnp.where(db, dtt, best_t)
+
+    found = geom != INVALID_GEOM_ID
+    return Hit(
+        t=jnp.where(found, best_t, t_max),
+        geom_id=geom.astype(jnp.int32),
+        prim_id=prim.astype(jnp.int32),
+    )
+
+
+def scene_intersect(scene, origin, direction, t_min, t_max, method: str = "bvh") -> Hit:
+    """Closest-hit dispatch: 'bvh' (threaded traversal) or 'dense' (MXU)."""
+    if method == "dense":
+        return dense_intersect(scene, origin, direction, t_min, t_max)
+    return bvh_intersect(scene, origin, direction, t_min, t_max)
+
+
+def scene_occluded(scene, origin, direction, t_min, t_max, method: str = "bvh"):
+    """Any-hit dispatch."""
+    if method == "dense":
+        hit = dense_intersect(scene, origin, direction, t_min, t_max)
+        return hit.found & (hit.t < t_max)
+    return bvh_occluded(scene, origin, direction, t_min, t_max)
+
+
 def hit_normal(
     scene: SceneArrays,
     origin: jnp.ndarray,

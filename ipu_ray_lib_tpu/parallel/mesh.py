@@ -78,6 +78,7 @@ def render_path_sharded(
             res = path_trace_sample(
                 scene_rep, o, d, skey,
                 params.max_path_length, params.roulette_start_depth,
+                intersector=params.intersector,
             )
             rgb = res.rgb
             if has_env:
@@ -114,7 +115,7 @@ def render_shadow_sharded(
             rows_s, cols_s, params.image_width, params.image_height,
             params.fov_radians, 0.0, None,
         )
-        return shadow_trace(scene_rep, o, d)
+        return shadow_trace(scene_rep, o, d, intersector=params.intersector)
 
     shard_fn = jax.shard_map(
         per_shard,

@@ -26,7 +26,7 @@ from ..ops.bxdf import (
     reflect,
     sample_diffuse,
 )
-from ..ops.traversal import bvh_intersect, hit_normal
+from ..ops.traversal import hit_normal, scene_intersect
 from ..scene.build import SceneArrays
 
 MAT_DIFFUSE = 0
@@ -49,6 +49,7 @@ def path_trace_sample(
     key: jax.Array,
     max_path_length: int,
     roulette_start_depth: int,
+    intersector: str = "bvh",
 ) -> SampleResult:
     R = origins.shape[0]
     f32 = jnp.float32
@@ -82,7 +83,7 @@ def path_trace_sample(
         o = offset_ray_origin(s["o"], s["d"], s["n"])
         d = s["d"]
 
-        hit = bvh_intersect(scene, o, d, t_min, t_max)
+        hit = scene_intersect(scene, o, d, t_min, t_max, intersector)
         found = hit.found
 
         newly_escaped = active & ~found

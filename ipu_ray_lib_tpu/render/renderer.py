@@ -43,12 +43,15 @@ class RenderOutput(NamedTuple):
         return int(np.sum(self.geom_id >= 0))
 
 
-@functools.partial(jax.jit, static_argnames=("fov", "width", "height"))
-def _shadow_chunk(scene: SceneArrays, rows, cols, *, fov, width, height):
+@functools.partial(
+    jax.jit, static_argnames=("fov", "width", "height", "intersector")
+)
+def _shadow_chunk(scene: SceneArrays, rows, cols, *, fov, width, height,
+                  intersector="bvh"):
     origins, dirs = generate_camera_rays(
         rows, cols, width, height, fov, 0.0, None
     )
-    res = shadow_trace(scene, origins, dirs)
+    res = shadow_trace(scene, origins, dirs, intersector=intersector)
     return res
 
 
@@ -57,6 +60,7 @@ def _shadow_chunk(scene: SceneArrays, rows, cols, *, fov, width, height):
     static_argnames=(
         "fov", "width", "height", "aa_scale", "spp",
         "max_path_length", "roulette_start_depth", "has_env", "env_fn",
+        "intersector",
     ),
 )
 def _path_chunk(
@@ -75,6 +79,7 @@ def _path_chunk(
     roulette_start_depth,
     has_env,
     env_fn=None,
+    intersector="bvh",
 ):
     R = rows.shape[0]
 
@@ -84,7 +89,8 @@ def _path_chunk(
             rows, cols, width, height, fov, aa_scale, jax.random.fold_in(skey, 0xC0FFEE)
         )
         result = path_trace_sample(
-            scene, origins, dirs, skey, max_path_length, roulette_start_depth
+            scene, origins, dirs, skey, max_path_length, roulette_start_depth,
+            intersector=intersector,
         )
         rgb = result.rgb
         if has_env:
@@ -145,6 +151,7 @@ def render(
                 fov=params.fov_radians,
                 width=params.image_width,
                 height=params.image_height,
+                intersector=params.intersector,
             )
             rgb[sl] = np.asarray(res.rgb)
             t[sl] = np.asarray(res.t)
@@ -166,6 +173,7 @@ def render(
                 roulette_start_depth=params.roulette_start_depth,
                 has_env=env_fn is not None,
                 env_fn=env_fn,
+                intersector=params.intersector,
             )
             rgb[sl] = np.asarray(acc)
         else:

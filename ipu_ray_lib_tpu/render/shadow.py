@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..bvh.builder import INVALID_GEOM_ID
 from ..ops.bxdf import offset_ray_origin
-from ..ops.traversal import bvh_intersect, bvh_occluded, hit_normal
+from ..ops.traversal import hit_normal, scene_intersect, scene_occluded
 from ..scene.build import SceneArrays
 
 DEFAULT_LIGHT_POS = (18.0, 257.0, -1060.0)  # ref trace.cpp:247
@@ -41,6 +41,7 @@ def shadow_trace(
     dirs: jnp.ndarray,
     light_pos=DEFAULT_LIGHT_POS,
     ambient: float = DEFAULT_AMBIENT,
+    intersector: str = "bvh",
 ) -> TraceResultSoA:
     inf = jnp.float32(jnp.inf)
     zero = jnp.float32(0.0)
@@ -48,7 +49,7 @@ def shadow_trace(
     t_min = jnp.zeros(R, jnp.float32)
     t_max = jnp.full(R, inf)
 
-    hit = bvh_intersect(scene, origins, dirs, t_min, t_max)
+    hit = scene_intersect(scene, origins, dirs, t_min, t_max, intersector)
     found = hit.found
     normal = hit_normal(scene, origins, dirs, hit)
     hit_p = origins + dirs * jnp.where(found, hit.t, zero)[..., None]
@@ -59,7 +60,7 @@ def shadow_trace(
     sdir = light_offset / jnp.maximum(dist[..., None], jnp.float32(1e-30))
     sorig = offset_ray_origin(hit_p, sdir, normal)
 
-    occ = bvh_occluded(scene, sorig, sdir, t_min, dist)
+    occ = scene_occluded(scene, sorig, sdir, t_min, dist, intersector)
 
     g_safe = jnp.clip(hit.geom_id, 0, scene.mat_id.shape[0] - 1)
     albedo = scene.mat_albedo[scene.mat_id[g_safe]]

@@ -24,6 +24,9 @@ import jax.numpy as jnp
 from ..bvh.builder import CompactBvh, build_bvh, INVALID_GEOM_ID
 from .types import CropWindow, SceneDescription
 
+if False:  # import-cycle guard: DenseTables is only an annotation here
+    from ..ops.dense import DenseTables
+
 GEOM_MESH = 0
 GEOM_SPHERE = 1
 GEOM_DISC = 2
@@ -60,6 +63,11 @@ class SceneArrays(NamedTuple):
     mat_type: jnp.ndarray      # [Mm] i32
     mat_emissive: jnp.ndarray  # [Mm] i32
 
+    # Dense-intersector tables (ops/dense.py) + per-prim geom id maps:
+    dense: "DenseTables"
+    sphere_geom: jnp.ndarray  # [S] i32 geomID of each sphere
+    disc_geom: jnp.ndarray    # [D] i32 geomID of each disc
+
 
 @dataclass(frozen=True)
 class SceneParams:
@@ -83,6 +91,9 @@ class SceneParams:
     window_c: int
     window_r: int
     path_trace: bool
+    # 'bvh' (threaded traversal, any scene size) or 'dense' (MXU brute
+    # force, the fast path for SRAM-class scenes like the reference's):
+    intersector: str = "bvh"
 
 
 def _pad_rows(a: np.ndarray, min_rows: int = 1) -> np.ndarray:
@@ -105,6 +116,7 @@ def build_scene(
     samples_per_pixel: int = 256,
     rng_seed: int = 1442,
     max_leaf_size: int = 1,
+    intersector: str = "auto",
 ) -> tuple[SceneArrays, SceneParams, CompactBvh]:
     """Compile a SceneDescription into device arrays + static params."""
     scene.validate()
@@ -191,6 +203,29 @@ def build_scene(
     mat_emissive = np.array([1 if m.emissive else 0 for m in mats], np.int32)
     mat_id = np.asarray(scene.mat_ids[:num_geoms], np.int32)
 
+    # Dense tables: global triangle -> (geomID, local primID):
+    tri_geom_ids = (
+        np.concatenate([np.full(len(m.triangles), g, np.int32) for g, m in enumerate(scene.meshes)])
+        if scene.meshes else np.zeros(0, np.int32)
+    )
+    tri_prim_ids = (
+        np.concatenate([np.arange(len(m.triangles), dtype=np.int32) for m in scene.meshes])
+        if scene.meshes else np.zeros(0, np.int32)
+    )
+    from ..ops.dense import build_dense_tables
+
+    dense = build_dense_tables(
+        tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
+        verts if len(verts) else np.zeros((0, 3), np.float32),
+        tri_geom_ids, tri_prim_ids,
+    )
+    sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
+    disc_geom = disc_gid0 + np.arange(max(len(scene.discs), 1), dtype=np.int32)
+
+    total_prims = len(tri_geom_ids) + len(scene.spheres) + len(scene.discs)
+    if intersector == "auto":
+        intersector = "dense" if total_prims <= 32768 else "bvh"
+
     arrays = SceneArrays(
         bvh_min=jnp.asarray(bvh.mins),
         bvh_ext=jnp.asarray(bvh.exts),
@@ -212,6 +247,9 @@ def build_scene(
         mat_ior=jnp.asarray(_pad_rows(mat_ior)),
         mat_type=jnp.asarray(_pad_rows(mat_type)),
         mat_emissive=jnp.asarray(_pad_rows(mat_emissive)),
+        dense=dense,
+        sphere_geom=jnp.asarray(sphere_geom),
+        disc_geom=jnp.asarray(disc_geom),
     )
 
     win = window or CropWindow(image_width, image_height, 0, 0)
@@ -233,5 +271,6 @@ def build_scene(
         window_c=win.c,
         window_r=win.r,
         path_trace=scene.path_trace is not None,
+        intersector=intersector,
     )
     return arrays, params, bvh

@@ -48,7 +48,8 @@ def test_shadow_sharded_matches_single(cornell_built):
 def test_path_sharded_runs_and_is_consistent(cornell_built):
     arrays, params, _ = cornell_built
     mesh = make_ray_mesh()
-    rows, cols = pixel_grid(16, 16, 0, 0)
+    # Central window (corner rays may never reach the light at low spp):
+    rows, cols = pixel_grid(16, 16, 56, 56)
     key = jax.random.PRNGKey(0)
     rgb = np.asarray(
         render_path_sharded(arrays, params, rows, cols, key, mesh, spp=4)
