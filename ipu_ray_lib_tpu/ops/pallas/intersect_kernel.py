@@ -1,0 +1,203 @@
+"""Pallas TPU closest-hit kernel over blocked scene tables.
+
+Two-phase design tuned to how a TPU actually executes:
+
+1. **Cull phase (XLA, vectorised):** slab-test every ray against every
+   triangle-block AABB ([R, nb] — a few dozen flops per pair), reduce to
+   per-ray-block hit masks, and pack them into per-ray-block *block
+   lists* + counts. This is the scheduler: it decides which dense tiles
+   each 1024-ray block must test.
+2. **Dense phase (Pallas):** the block lists arrive as scalar-prefetch
+   operands (SMEM), so the kernel's inner loop is `for j < count:
+   blk = list[i, j]; test block` — scalar reads only, **no
+   vector->scalar `any()` syncs** (profiling showed those dominate: a
+   per-block reduce+branch costs more than the 128x1024 dense test it
+   guards). Each tested block is one `[8, 3TB] x [8, 2BR]` MXU
+   contraction + ~15 VPU ops per (tri, ray) pair against VMEM-resident
+   tables, with the running closest hit in VMEM scratch.
+
+The reference reaches the same goal (every tile's scene in fast memory,
+zero pointer chasing in the hot loop) with per-tile SRAM replication and
+a scalar megakernel (src/IpuScene.cpp:231-237,
+codelets/TraceCodelets.cpp:170-264); here the hierarchy decision is
+hoisted out of the hot loop entirely because lane-wide vectors make
+per-node branching the expensive operation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.constants import gamma
+from .tables import SB, TB, BlockedSceneTables
+
+BR = 1024  # rays per block (lane-major)
+_SLAB_SCALE = np.float32(1.0 + 2.0 * gamma(3))
+_INF = np.float32(np.inf)
+
+
+def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max, n_ray_blocks):
+    """Vectorised phase 1: per-ray-block hit-block lists + counts.
+
+    Returns (counts [nrb] i32, lists [nrb, nb] i32): for ray block i the
+    first counts[i] entries of lists[i] are the (ascending) indices of
+    triangle blocks whose AABB at least one ray in the block hits.
+    """
+    nb = tables.num_blocks
+    lo = tables.baabb[:, 0:3]  # [nb,3]
+    hi = tables.baabb[:, 3:6]
+    inv_d = 1.0 / dirs  # [R,3]
+
+    t0 = jnp.broadcast_to(t_min[:, None], (t_min.shape[0], nb))
+    t1 = jnp.broadcast_to(t_max[:, None], (t_max.shape[0], nb))
+    for a in range(3):
+        tmin = (lo[None, :, a] - origins[:, a : a + 1]) * inv_d[:, a : a + 1]
+        tmax = (hi[None, :, a] - origins[:, a : a + 1]) * inv_d[:, a : a + 1]
+        swap = tmin > tmax
+        tmin, tmax = jnp.where(swap, tmax, tmin), jnp.where(swap, tmin, tmax)
+        tmax = tmax * _SLAB_SCALE
+        t0 = jnp.where(tmin > t0, tmin, t0)
+        t1 = jnp.where(tmax < t1, tmax, t1)
+    hit = (t0 <= t1).reshape(n_ray_blocks, BR, nb).any(axis=1)  # [nrb, nb]
+
+    counts = hit.sum(axis=1).astype(jnp.int32)
+    # Stable argsort of (miss, block_index) puts hit blocks first, in order:
+    order = jnp.argsort(jnp.where(hit, 0, 1), axis=1, stable=True).astype(jnp.int32)
+    return counts, order
+
+
+def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
+                  out_t_ref, out_i_ref, bt_ref, bi_ref):
+    i = pl.program_id(0)
+    rays = rays_ref[:]                     # [8, BR]
+    t_min = rays[6:7, :]                   # [1, BR]
+    t_max = rays[7:8, :]
+    od = od_ref[:]                         # [8, 2BR] = [o | d], rows 3..7 zero
+
+    bt_ref[:] = t_max
+    bi_ref[:] = jnp.full((1, BR), -1, jnp.int32)
+
+    def step(j, _):
+        blk = list_ref[i, j]
+        best_t = bt_ref[:]
+        # One MXU contraction (K padded to 8 sublanes) for all six dot
+        # products of o and d against n/g1/g2:
+        w = w_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]          # [8, 3TB]
+        dims = (((0,), (0,)), ((), ()))
+        dots = jax.lax.dot_general(w, od, dims, preferred_element_type=jnp.float32)
+        on = dots[0:TB, 0:BR]
+        og1 = dots[TB : 2 * TB, 0:BR]
+        og2 = dots[2 * TB : 3 * TB, 0:BR]
+        dn = dots[0:TB, BR : 2 * BR]
+        dg1 = dots[TB : 2 * TB, BR : 2 * BR]
+        dg2 = dots[2 * TB : 3 * TB, BR : 2 * BR]
+
+        pb = p_ref[pl.ds(blk * TB, TB), 0:4]               # [TB, 4]
+        tnp0 = pb[:, 0:1]
+        g1p0 = pb[:, 1:2]
+        g2p0 = pb[:, 2:3]
+
+        # Fast reciprocal + one Newton step (~f32 accurate):
+        r = pl.reciprocal(dn, approx=True)
+        r = r * (2.0 - dn * r)
+        t = (tnp0 - on) * r
+        b1 = og1 + t * dg1 - g1p0
+        b2 = og2 + t * dg2 - g2p0
+        ok = (
+            (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+            & (t > t_min) & (t < best_t)
+        )
+        tm = jnp.where(ok, t, _INF)
+        bt = jnp.min(tm, axis=0, keepdims=True)            # [1, BR]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TB, BR), 0) + blk * TB
+        bi = jnp.min(
+            jnp.where(tm <= bt, lane, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        )
+        better = (bt < best_t) & (bt < _INF)
+        bt_ref[:] = jnp.where(better, bt, best_t)
+        bi_ref[:] = jnp.where(better, bi, bi_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, count_ref[i], step, 0)
+    out_t_ref[:] = bt_ref[:]
+    out_i_ref[:] = bi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
+                     interpret: bool = False):
+    """Closest-hit against the blocked triangle tables.
+
+    origins/dirs [R,3], t_min/t_max [R]; R is padded to BR internally.
+    Returns (t [R], packed_tri_index [R]; -1 where no triangle hit).
+    """
+    R = origins.shape[0]
+    Rp = -(-R // BR) * BR
+    pad = Rp - R
+    nrb = Rp // BR
+
+    def padr(a, fill=0.0):
+        cfg = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    o_pad = padr(origins)
+    d_pad = padr(dirs, 1.0)                 # pad dirs nonzero
+    tmin_pad = padr(t_min)
+    tmax_pad = padr(t_max, -1.0)            # pad rays never hit
+
+    counts, lists = block_cull_lists(
+        tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb
+    )
+
+    o_t = o_pad.T
+    d_t = d_pad.T
+    rays = jnp.concatenate(
+        [o_t, d_t, tmin_pad[None, :], tmax_pad[None, :]], axis=0
+    )                                              # [8, Rp]
+    # [o | d] blocks interleaved per ray block so one (8, 2BR) VMEM block
+    # feeds the fused matmul: columns [i*2BR, i*2BR+BR) = o, rest = d.
+    od = jnp.concatenate(
+        [o_t.reshape(3, nrb, BR), d_t.reshape(3, nrb, BR)], axis=2
+    ).reshape(3, 2 * Rp)
+    od = jnp.pad(od, ((0, 5), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nrb,),
+        in_specs=[
+            pl.BlockSpec((8, BR), lambda i, c, l: (0, i)),
+            pl.BlockSpec((8, 2 * BR), lambda i, c, l: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w (whole table)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # p
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BR), lambda i, c, l: (0, i)),
+            pl.BlockSpec((1, BR), lambda i, c, l: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, BR), jnp.float32),
+            pltpu.VMEM((1, BR), jnp.int32),
+        ],
+    )
+    out_t, out_i = pl.pallas_call(
+        _dense_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, lists, rays, od, tables.w, tables.p)
+
+    t = out_t[0, :R]
+    idx = out_i[0, :R]
+    found = idx >= 0
+    return jnp.where(found, t, t_max), idx

@@ -1,0 +1,165 @@
+"""Blocked scene tables for the Pallas intersector.
+
+Triangles are Morton-ordered and packed into lanes-aligned blocks of
+``TB`` with per-block AABBs, grouped into supers of ``SB`` blocks with
+their own AABBs — a two-level, fixed-shape hierarchy designed for the
+TPU kernel in :mod:`.intersect_kernel`:
+
+* the whole table set lives in VMEM (the analogue of the reference
+  keeping the entire scene in each tile's SRAM, src/IpuScene.cpp:231-237);
+* culling decisions are per *ray-block x triangle-block*, so the inner
+  loop is always a dense [TB, BR] computation — no per-ray divergence;
+* layouts are transposed so rays ride the lane dimension everywhere.
+
+Table layouts (f32 unless noted):
+  w     [8, nb*3*TB]   block b columns [b*3TB, (b+1)*3TB) =
+                       [tn^T | g1^T | g2^T], rows 0..2 = xyz (rows 3..7 pad)
+  p     [nb*TB, 8]     per-tri row: [n.p0, g1.p0, g2.p0, 0...]
+  baabb [nb, 8]        block AABB lo.xyz, hi.xyz (pad 2)
+  saabb [ns, 8]        super AABB
+  tri_geom/tri_prim [nb*TB] i32 (Morton order), padding -> -1
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+TB = 128  # triangles per block (lane width)
+SB = 8    # blocks per super
+
+
+class BlockedSceneTables(NamedTuple):
+    w: jnp.ndarray        # [8, nb*3*TB] f32
+    p: jnp.ndarray        # [nb*TB, 8] f32
+    baabb: jnp.ndarray    # [nb, 8] f32
+    saabb: jnp.ndarray    # [ns, 8] f32
+    tri_geom: jnp.ndarray  # [nb*TB] i32
+    tri_prim: jnp.ndarray  # [nb*TB] i32
+
+    @property
+    def num_blocks(self) -> int:
+        return self.baabb.shape[0]
+
+    @property
+    def num_supers(self) -> int:
+        return self.saabb.shape[0]
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit quantised coords into 30-bit Morton codes."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return spread(x[:, 0]) | (spread(x[:, 1]) << np.uint64(1)) | (
+        spread(x[:, 2]) << np.uint64(2)
+    )
+
+
+def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
+                         tri_geom: np.ndarray, tri_prim: np.ndarray) -> BlockedSceneTables:
+    T = len(tri_v)
+    if T == 0:
+        tri_v = np.zeros((1, 3), np.int64)
+        verts = np.zeros((1, 3), np.float32) if len(verts) == 0 else verts
+        tri_geom = np.full(1, -1, np.int32)
+        tri_prim = np.full(1, -1, np.int32)
+        T = 1
+
+    p0 = verts[tri_v[:, 0]].astype(np.float64)
+    p1 = verts[tri_v[:, 1]].astype(np.float64)
+    p2 = verts[tri_v[:, 2]].astype(np.float64)
+
+    # Morton order by centroid:
+    cent = (p0 + p1 + p2) / 3.0
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-20)
+    q = np.clip(((cent - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable")
+    p0, p1, p2 = p0[order], p1[order], p2[order]
+    tri_geom = np.asarray(tri_geom, np.int32)[order]
+    tri_prim = np.asarray(tri_prim, np.int32)[order]
+
+    # Plane + barycentric-gradient precompute (as ops/dense.py):
+    e1 = p1 - p0
+    e2 = p2 - p0
+    n = np.cross(e1, e2)
+    nlen = np.linalg.norm(n, axis=-1, keepdims=True)
+    degenerate = nlen[:, 0] < 1e-20
+    n = np.where(degenerate[:, None], 0.0, n / np.maximum(nlen, 1e-30))
+    d00 = np.sum(e1 * e1, axis=-1)
+    d01 = np.sum(e1 * e2, axis=-1)
+    d11 = np.sum(e2 * e2, axis=-1)
+    denom = d00 * d11 - d01 * d01
+    safe = np.where(np.abs(denom) < 1e-30, 1.0, denom)
+    g1 = np.where(degenerate[:, None], 0.0, (e1 * d11[:, None] - e2 * d01[:, None]) / safe[:, None])
+    g2 = np.where(degenerate[:, None], 0.0, (e2 * d00[:, None] - e1 * d01[:, None]) / safe[:, None])
+
+    nb = max(1, -(-T // TB))
+    ns = -(-nb // SB)
+    nb = ns * SB  # pad block count to a whole number of supers
+    Tp = nb * TB
+
+    def padT(a, fill=0.0):
+        return np.pad(a.astype(np.float64), ((0, Tp - T),) + ((0, 0),) * (a.ndim - 1),
+                      constant_values=fill)
+
+    n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
+    p0_p = padT(p0)
+    tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
+    tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
+
+    # w: [8, nb*3*TB]
+    w = np.zeros((8, nb * 3 * TB), np.float32)
+    for b in range(nb):
+        sl = slice(b * TB, (b + 1) * TB)
+        base = b * 3 * TB
+        w[0:3, base : base + TB] = n_p[sl].T
+        w[0:3, base + TB : base + 2 * TB] = g1_p[sl].T
+        w[0:3, base + 2 * TB : base + 3 * TB] = g2_p[sl].T
+
+    # p: [nb*TB, 8]
+    p = np.zeros((Tp, 8), np.float32)
+    p[:, 0] = np.sum(n_p * p0_p, axis=-1)
+    p[:, 1] = np.sum(g1_p * p0_p, axis=-1)
+    p[:, 2] = np.sum(g2_p * p0_p, axis=-1)
+
+    # Block/super AABBs over real triangles (empty blocks get inverted
+    # boxes that can never be hit):
+    tlo = np.minimum(np.minimum(p0, p1), p2)
+    thi = np.maximum(np.maximum(p0, p1), p2)
+    baabb = np.zeros((nb, 8), np.float32)
+    baabb[:, 0:3] = np.inf
+    baabb[:, 3:6] = -np.inf
+    for b in range(nb):
+        sl = slice(b * TB, min((b + 1) * TB, T))
+        if sl.start < T:
+            baabb[b, 0:3] = tlo[sl].min(axis=0)
+            baabb[b, 3:6] = thi[sl].max(axis=0)
+    saabb = np.zeros((ns, 8), np.float32)
+    saabb[:, 0:3] = np.inf
+    saabb[:, 3:6] = -np.inf
+    for s in range(ns):
+        blk = baabb[s * SB : (s + 1) * SB]
+        valid = blk[:, 0] <= blk[:, 3]
+        if valid.any():
+            saabb[s, 0:3] = blk[valid, 0:3].min(axis=0)
+            saabb[s, 3:6] = blk[valid, 3:6].max(axis=0)
+
+    return BlockedSceneTables(
+        w=jnp.asarray(w),
+        p=jnp.asarray(p),
+        baabb=jnp.asarray(baabb),
+        saabb=jnp.asarray(saabb),
+        tri_geom=jnp.asarray(tg),
+        tri_prim=jnp.asarray(tp),
+    )

@@ -231,10 +231,47 @@ def dense_intersect(
     )
 
 
+def pallas_scene_intersect(scene, origin, direction, t_min, t_max) -> Hit:
+    """Closest-hit via the Pallas blocked kernel (triangles) + dense
+    sphere/disc tests. Falls back to interpreter mode off-TPU."""
+    import jax as _jax
+
+    from .dense import dense_discs, dense_spheres
+    from .pallas.intersect_kernel import pallas_intersect
+
+    interpret = _jax.default_backend() != "tpu"
+    best_t, tri = pallas_intersect(
+        scene.blocked, origin, direction, t_min, t_max, interpret=interpret
+    )
+    tri_safe = jnp.clip(tri, 0, scene.blocked.tri_geom.shape[0] - 1)
+    geom = jnp.where(tri >= 0, scene.blocked.tri_geom[tri_safe], INVALID_GEOM_ID)
+    prim = jnp.where(tri >= 0, scene.blocked.tri_prim[tri_safe], INVALID_PRIM_ID)
+
+    sb, st, si = dense_spheres(scene.spheres, origin, direction, t_min, best_t)
+    geom = jnp.where(sb, scene.sphere_geom[si], geom)
+    prim = jnp.where(sb, 0, prim)
+    best_t = jnp.where(sb, st, best_t)
+
+    db, dtt, di = dense_discs(scene.discs, origin, direction, t_min, best_t)
+    geom = jnp.where(db, scene.disc_geom[di], geom)
+    prim = jnp.where(db, 0, prim)
+    best_t = jnp.where(db, dtt, best_t)
+
+    found = geom != INVALID_GEOM_ID
+    return Hit(
+        t=jnp.where(found, best_t, t_max),
+        geom_id=geom.astype(jnp.int32),
+        prim_id=prim.astype(jnp.int32),
+    )
+
+
 def scene_intersect(scene, origin, direction, t_min, t_max, method: str = "bvh") -> Hit:
-    """Closest-hit dispatch: 'bvh' (threaded traversal) or 'dense' (MXU)."""
+    """Closest-hit dispatch: 'bvh' (threaded traversal), 'dense' (MXU
+    brute force), or 'pallas' (blocked VMEM kernel)."""
     if method == "dense":
         return dense_intersect(scene, origin, direction, t_min, t_max)
+    if method == "pallas":
+        return pallas_scene_intersect(scene, origin, direction, t_min, t_max)
     return bvh_intersect(scene, origin, direction, t_min, t_max)
 
 
@@ -242,6 +279,9 @@ def scene_occluded(scene, origin, direction, t_min, t_max, method: str = "bvh"):
     """Any-hit dispatch."""
     if method == "dense":
         hit = dense_intersect(scene, origin, direction, t_min, t_max)
+        return hit.found & (hit.t < t_max)
+    if method == "pallas":
+        hit = pallas_scene_intersect(scene, origin, direction, t_min, t_max)
         return hit.found & (hit.t < t_max)
     return bvh_occluded(scene, origin, direction, t_min, t_max)
 

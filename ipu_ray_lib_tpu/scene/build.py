@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from ..bvh.builder import CompactBvh, build_bvh, INVALID_GEOM_ID
 from .types import CropWindow, SceneDescription
 
-if False:  # import-cycle guard: DenseTables is only an annotation here
+if False:  # import-cycle guard: these are only annotations here
     from ..ops.dense import DenseTables
+    from ..ops.pallas.tables import BlockedSceneTables
 
 GEOM_MESH = 0
 GEOM_SPHERE = 1
@@ -65,6 +66,8 @@ class SceneArrays(NamedTuple):
 
     # Dense-intersector tables (ops/dense.py) + per-prim geom id maps:
     dense: "DenseTables"
+    # Blocked Morton-ordered tables for the Pallas kernel (ops/pallas):
+    blocked: "BlockedSceneTables"
     sphere_geom: jnp.ndarray  # [S] i32 geomID of each sphere
     disc_geom: jnp.ndarray    # [D] i32 geomID of each disc
 
@@ -213,10 +216,16 @@ def build_scene(
         if scene.meshes else np.zeros(0, np.int32)
     )
     from ..ops.dense import build_dense_tables
+    from ..ops.pallas.tables import build_blocked_tables
 
     dense = build_dense_tables(
         tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
         verts if len(verts) else np.zeros((0, 3), np.float32),
+        tri_geom_ids, tri_prim_ids,
+    )
+    blocked = build_blocked_tables(
+        tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
+        verts if len(verts) else np.zeros((1, 3), np.float32),
         tri_geom_ids, tri_prim_ids,
     )
     sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
@@ -224,7 +233,15 @@ def build_scene(
 
     total_prims = len(tri_geom_ids) + len(scene.spheres) + len(scene.discs)
     if intersector == "auto":
-        intersector = "dense" if total_prims <= 32768 else "bvh"
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        if total_prims <= 65536 and on_tpu:
+            intersector = "pallas"
+        elif total_prims <= 32768:
+            intersector = "dense"
+        else:
+            intersector = "bvh"
 
     arrays = SceneArrays(
         bvh_min=jnp.asarray(bvh.mins),
@@ -248,6 +265,7 @@ def build_scene(
         mat_type=jnp.asarray(_pad_rows(mat_type)),
         mat_emissive=jnp.asarray(_pad_rows(mat_emissive)),
         dense=dense,
+        blocked=blocked,
         sphere_geom=jnp.asarray(sphere_geom),
         disc_geom=jnp.asarray(disc_geom),
     )

@@ -86,3 +86,24 @@ def test_dense_path_trace_smoke(cornell_built):
     out = render(arrays, p, mode="path-trace", chunk_size=256)
     assert np.all(np.isfinite(out.rgb))
     assert out.rgb.max() > 0
+
+
+def test_pallas_intersector_matches_bvh(cornell_built):
+    """Pallas blocked kernel (interpret mode on CPU) vs BVH closest hit."""
+    from ipu_ray_lib_tpu.ops.traversal import pallas_scene_intersect
+
+    arrays, params, _ = cornell_built
+    o, d = _camera_rays(params, 16)
+    R = o.shape[0]
+    t_min = jnp.zeros(R)
+    t_max = jnp.full(R, jnp.inf)
+    hb = bvh_intersect(arrays, o, d, t_min, t_max)
+    hp = pallas_scene_intersect(arrays, o, d, t_min, t_max)
+    fb, fp = np.asarray(hb.found), np.asarray(hp.found)
+    assert (fb == fp).mean() > 0.99
+    both = fb & fp
+    rel = np.abs(np.asarray(hb.t) - np.asarray(hp.t))[both] / np.maximum(
+        np.asarray(hb.t)[both], 1.0
+    )
+    assert np.quantile(rel, 0.99) < 1e-4
+    assert (np.asarray(hb.geom_id) == np.asarray(hp.geom_id))[both].mean() > 0.99
