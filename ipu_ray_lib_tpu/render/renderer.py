@@ -141,6 +141,10 @@ def render(
 
     base_key = jax.random.PRNGKey(params.rng_seed)
 
+    # Dispatch all chunks asynchronously (JAX queues them on device), then
+    # gather. With a progress callback we synchronise per chunk instead so
+    # partial results stream back as they finish (RayCallback semantics).
+    pending = []
     for ci in range(n_chunks):
         sl = slice(ci * chunk_size, (ci + 1) * chunk_size)
         rows = jnp.asarray(rows_np[sl])
@@ -153,16 +157,9 @@ def render(
                 height=params.image_height,
                 intersector=params.intersector,
             )
-            rgb[sl] = np.asarray(res.rgb)
-            t[sl] = np.asarray(res.t)
-            g = np.asarray(res.geom_id)
-            geom[sl] = np.where(g == INVALID_GEOM_ID, -1, g)
-            prim[sl] = np.asarray(res.prim_id)
-            normal[sl] = np.asarray(res.normal)
-            hit_p[sl] = np.asarray(res.hit_p)
         elif mode == "path-trace":
             ckey = jax.random.fold_in(base_key, ci)
-            acc = _path_chunk(
+            res = _path_chunk(
                 scene, rows, cols, ckey, env_params,
                 fov=params.fov_radians,
                 width=params.image_width,
@@ -175,11 +172,24 @@ def render(
                 env_fn=env_fn,
                 intersector=params.intersector,
             )
-            rgb[sl] = np.asarray(acc)
         else:
             raise ValueError(f"Unknown render mode '{mode}'")
+        pending.append((ci, sl, res))
         if progress_callback is not None:
-            progress_callback(ci, rgb[sl])
+            chunk_rgb = np.asarray(res.rgb if mode == "shadow-trace" else res)
+            progress_callback(ci, chunk_rgb)
+
+    for ci, sl, res in pending:
+        if mode == "shadow-trace":
+            rgb[sl] = np.asarray(res.rgb)
+            t[sl] = np.asarray(res.t)
+            g = np.asarray(res.geom_id)
+            geom[sl] = np.where(g == INVALID_GEOM_ID, -1, g)
+            prim[sl] = np.asarray(res.prim_id)
+            normal[sl] = np.asarray(res.normal)
+            hit_p[sl] = np.asarray(res.hit_p)
+        else:
+            rgb[sl] = np.asarray(res)
 
     def im(a, ch=None):
         a = a[:total]
