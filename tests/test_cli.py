@@ -1,0 +1,67 @@
+"""CLI integration tests: trace.py end-to-end on tiny renders (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _run(tmp_path, *argv):
+    import trace as cli
+
+    out = str(tmp_path / "out")
+    rc = cli.main(list(argv) + ["-o", out, "--log-level", "warn"])
+    assert rc == 0
+    return out
+
+
+def test_cli_shadow_trace_box(tmp_path):
+    out = _run(
+        tmp_path,
+        "--scene", "box-simple", "-w", "24", "-H", "24",
+        "--render-mode", "shadow-trace", "--visualise", "normal",
+        "--chunk-size", "576", "--intersector", "dense",
+    )
+    from ipu_ray_lib_tpu.utils.exr import read_exr
+
+    tpu = read_exr(out + "_normal_tpu.exr")
+    oracle = read_exr(out + "_normal_oracle.exr")
+    assert tpu.shape == (24, 24, 3)
+    d = (tpu - oracle) ** 2
+    assert d.mean() < 1e-3
+
+
+def test_cli_path_trace_crop(tmp_path):
+    out = _run(
+        tmp_path,
+        "--scene", "box-simple", "-w", "32", "-H", "32",
+        "--crop", "8x8+12+12", "--samples", "4", "--chunk-size", "64",
+        "--tpu-only", "--intersector", "dense",
+    )
+    from ipu_ray_lib_tpu.utils.exr import read_exr
+
+    img = read_exr(out + "_rgb_tpu.exr")
+    assert img.shape == (8, 8, 3)
+    assert np.isfinite(img).all()
+
+
+def test_cli_collada_scene(tmp_path):
+    out = _run(
+        tmp_path,
+        "--mesh-file", "assets/hdri_test.dae", "-w", "16", "-H", "16",
+        "--render-mode", "shadow-trace", "--visualise", "id",
+        "--chunk-size", "256", "--tpu-only", "--intersector", "dense",
+    )
+    from ipu_ray_lib_tpu.utils.exr import read_exr
+
+    img = read_exr(out + "_id_tpu.exr")
+    assert img.max() > 0  # some geometry visible
+
+
+def test_cli_rejects_bad_args(tmp_path):
+    import trace as cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--visualise", "nonsense"])
+    with pytest.raises(RuntimeError):
+        cli.main(["--render-mode", "path-trace", "--visualise", "normal"])

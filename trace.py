@@ -62,6 +62,10 @@ def add_options(p: argparse.ArgumentParser) -> None:
     p.add_argument("--progressive", action="store_true",
                    help="Report partial results chunk-by-chunk while rendering "
                         "(RayCallback analogue).")
+    p.add_argument("--intersector", default="auto",
+                   choices=["auto", "bvh", "dense", "pallas"],
+                   help="Closest-hit engine: threaded-BVH wavefront, dense MXU, "
+                        "or the blocked Pallas kernel (auto picks per scene/backend).")
     p.add_argument("--log-level", default="info",
                    choices=["trace", "debug", "info", "warn", "err", "critical", "off"])
 
@@ -143,11 +147,13 @@ def main(argv=None) -> int:
         roulette_start_depth=args.roulette_start_depth,
         samples_per_pixel=args.samples,
         rng_seed=args.seed,
+        intersector=args.intersector,
     )
     log.info(
-        "Scene built: %d geoms, %d BVH nodes (max depth %d), window %dx%d+%d+%d",
+        "Scene built: %d geoms, %d BVH nodes (max depth %d), window %dx%d+%d+%d, intersector=%s",
         params.num_geoms, params.num_bvh_nodes, params.bvh_max_depth,
         params.window_w, params.window_h, params.window_c, params.window_r,
+        params.intersector,
     )
 
     env_fn = env_params = None
