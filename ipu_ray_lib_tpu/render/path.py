@@ -71,7 +71,6 @@ def path_trace_sample(
     )
 
     t_min = jnp.zeros(R, f32)
-    t_max = jnp.full(R, f32(jnp.inf))
 
     def cond(s):
         return (s["i"] < max_path_length) & jnp.any(s["active"])
@@ -83,6 +82,9 @@ def path_trace_sample(
         o = offset_ray_origin(s["o"], s["d"], s["n"])
         d = s["d"]
 
+        # Dead lanes get t_max = -1: every intersector then culls them
+        # for free (slab/dense tests can never satisfy t < t_max):
+        t_max = jnp.where(active, jnp.float32(jnp.inf), jnp.float32(-1.0))
         hit = scene_intersect(scene, o, d, t_min, t_max, intersector)
         found = hit.found
 

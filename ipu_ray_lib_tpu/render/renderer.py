@@ -26,6 +26,7 @@ from .path import path_trace_sample
 from .shadow import DEFAULT_AMBIENT, DEFAULT_LIGHT_POS, shadow_trace
 
 DEFAULT_CHUNK = 1 << 16
+TILE = 32  # pixel tile edge for coherent ray ordering
 
 
 class RenderOutput(NamedTuple):
@@ -126,6 +127,16 @@ def render(
     w, h = params.window_w, params.window_h
     rows_np, cols_np = np.asarray(pixel_grid(w, h, params.window_c, params.window_r))
     total = w * h
+    # Tile-ordered traversal: rays in a chunk cover compact screen tiles,
+    # which keeps ray blocks spatially coherent for the intersectors'
+    # block culling (the IPU analogue is rays-per-tile locality):
+    rel_r = rows_np - params.window_r
+    rel_c = cols_np - params.window_c
+    order = np.lexsort(
+        (rel_c % TILE, rel_r % TILE, rel_c // TILE, rel_r // TILE)
+    )
+    rows_np = rows_np[order]
+    cols_np = cols_np[order]
     n_chunks = -(-total // chunk_size)
     padded = n_chunks * chunk_size
     pad = padded - total
@@ -191,8 +202,11 @@ def render(
         else:
             rgb[sl] = np.asarray(res)
 
+    inverse = np.empty(total, np.int64)
+    inverse[order] = np.arange(total)
+
     def im(a, ch=None):
-        a = a[:total]
+        a = a[:total][inverse]  # undo tile ordering
         return a.reshape((h, w) + ((ch,) if ch else ()))
 
     return RenderOutput(
