@@ -75,3 +75,29 @@ def test_scene_bundle_file_round_trip(rng, tmp_path):
     np.testing.assert_array_equal(bvh2.miss, bvh.miss)
     np.testing.assert_array_equal(arrays2["verts"], arrays["verts"])
     np.testing.assert_array_equal(arrays2["tri_v"], arrays["tri_v"])
+
+
+def test_compiled_scene_cache_round_trip(tmp_path, cornell_scene, cornell_built):
+    """Full scene cache: saved+loaded scene must render identically —
+    the analogue of the reference's on-device deserialise test
+    (tests/test.cpp:246-300: the binary transport contract end to end)."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.render.renderer import render
+    from ipu_ray_lib_tpu.scene.cache import load_compiled_scene, save_compiled_scene
+
+    arrays, params, bvh = cornell_built
+    p = str(tmp_path / "cornell.tprs")
+    save_compiled_scene(p, arrays, params, bvh)
+    arrays2, params2, bvh2 = load_compiled_scene(p)
+    assert params2 == params
+    assert bvh2.num_nodes == bvh.num_nodes
+
+    small = dataclasses.replace(params, window_w=16, window_h=16,
+                                window_c=40, window_r=40)
+    small2 = dataclasses.replace(params2, window_w=16, window_h=16,
+                                 window_c=40, window_r=40)
+    a = render(arrays, small, mode="shadow-trace", chunk_size=256)
+    b = render(arrays2, small2, mode="shadow-trace", chunk_size=256)
+    np.testing.assert_array_equal(a.rgb, b.rgb)
+    np.testing.assert_array_equal(a.geom_id, b.geom_id)
