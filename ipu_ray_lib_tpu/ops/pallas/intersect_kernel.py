@@ -43,7 +43,8 @@ _SLAB_SCALE = np.float32(1.0 + 2.0 * gamma(3))
 _INF = np.float32(np.inf)
 
 
-def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max, n_ray_blocks):
+def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
+                     n_ray_blocks, br: int = BR):
     """Vectorised phase 1: per-ray-block hit-block lists + counts.
 
     Returns (counts [nrb] i32, lists [nrb, nb] i32): for ray block i the
@@ -65,7 +66,7 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max, n_
         tmax = tmax * _SLAB_SCALE
         t0 = jnp.where(tmin > t0, tmin, t0)
         t1 = jnp.where(tmax < t1, tmax, t1)
-    hit = (t0 <= t1).reshape(n_ray_blocks, BR, nb).any(axis=1)  # [nrb, nb]
+    hit = (t0 <= t1).reshape(n_ray_blocks, br, nb).any(axis=1)  # [nrb, nb]
 
     counts = hit.sum(axis=1).astype(jnp.int32)
     # Stable argsort of (miss, block_index) puts hit blocks first, in order:
@@ -74,15 +75,15 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max, n_
 
 
 def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
-                  out_t_ref, out_i_ref, bt_ref, bi_ref):
+                  out_t_ref, out_i_ref, bt_ref, bi_ref, *, br):
     i = pl.program_id(0)
-    rays = rays_ref[:]                     # [8, BR]
-    t_min = rays[6:7, :]                   # [1, BR]
+    rays = rays_ref[:]                     # [8, br]
+    t_min = rays[6:7, :]                   # [1, br]
     t_max = rays[7:8, :]
-    od = od_ref[:]                         # [8, 2BR] = [o | d], rows 3..7 zero
+    od = od_ref[:]                         # [8, 2br] = [o | d], rows 3..7 zero
 
     bt_ref[:] = t_max
-    bi_ref[:] = jnp.full((1, BR), -1, jnp.int32)
+    bi_ref[:] = jnp.full((1, br), -1, jnp.int32)
 
     def step(j, _):
         blk = list_ref[i, j]
@@ -92,12 +93,12 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
         w = w_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]          # [8, 3TB]
         dims = (((0,), (0,)), ((), ()))
         dots = jax.lax.dot_general(w, od, dims, preferred_element_type=jnp.float32)
-        on = dots[0:TB, 0:BR]
-        og1 = dots[TB : 2 * TB, 0:BR]
-        og2 = dots[2 * TB : 3 * TB, 0:BR]
-        dn = dots[0:TB, BR : 2 * BR]
-        dg1 = dots[TB : 2 * TB, BR : 2 * BR]
-        dg2 = dots[2 * TB : 3 * TB, BR : 2 * BR]
+        on = dots[0:TB, 0:br]
+        og1 = dots[TB : 2 * TB, 0:br]
+        og2 = dots[2 * TB : 3 * TB, 0:br]
+        dn = dots[0:TB, br : 2 * br]
+        dg1 = dots[TB : 2 * TB, br : 2 * br]
+        dg2 = dots[2 * TB : 3 * TB, br : 2 * br]
 
         pb = p_ref[pl.ds(blk * TB, TB), 0:4]               # [TB, 4]
         tnp0 = pb[:, 0:1]
@@ -115,8 +116,8 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
             & (t > t_min) & (t < best_t)
         )
         tm = jnp.where(ok, t, _INF)
-        bt = jnp.min(tm, axis=0, keepdims=True)            # [1, BR]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TB, BR), 0) + blk * TB
+        bt = jnp.min(tm, axis=0, keepdims=True)            # [1, br]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TB, br), 0) + blk * TB
         bi = jnp.min(
             jnp.where(tm <= bt, lane, jnp.int32(0x7FFFFFFF)),
             axis=0, keepdims=True,
@@ -131,18 +132,19 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
     out_i_ref[:] = bi_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "br"))
 def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
-                     interpret: bool = False):
+                     interpret: bool = False, br: int | None = None):
     """Closest-hit against the blocked triangle tables.
 
     origins/dirs [R,3], t_min/t_max [R]; R is padded to BR internally.
     Returns (t [R], packed_tri_index [R]; -1 where no triangle hit).
     """
+    br = br or BR
     R = origins.shape[0]
-    Rp = -(-R // BR) * BR
+    Rp = -(-R // br) * br
     pad = Rp - R
-    nrb = Rp // BR
+    nrb = Rp // br
 
     def padr(a, fill=0.0):
         cfg = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
@@ -154,7 +156,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     tmax_pad = padr(t_max, -1.0)            # pad rays never hit
 
     counts, lists = block_cull_lists(
-        tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb
+        tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br
     )
 
     o_t = o_pad.T
@@ -165,7 +167,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     # [o | d] blocks interleaved per ray block so one (8, 2BR) VMEM block
     # feeds the fused matmul: columns [i*2BR, i*2BR+BR) = o, rest = d.
     od = jnp.concatenate(
-        [o_t.reshape(3, nrb, BR), d_t.reshape(3, nrb, BR)], axis=2
+        [o_t.reshape(3, nrb, br), d_t.reshape(3, nrb, br)], axis=2
     ).reshape(3, 2 * Rp)
     od = jnp.pad(od, ((0, 5), (0, 0)))
 
@@ -173,22 +175,22 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
         num_scalar_prefetch=2,
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec((8, BR), lambda i, c, l: (0, i)),
-            pl.BlockSpec((8, 2 * BR), lambda i, c, l: (0, i)),
+            pl.BlockSpec((8, br), lambda i, c, l: (0, i)),
+            pl.BlockSpec((8, 2 * br), lambda i, c, l: (0, i)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w (whole table)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p
         ],
         out_specs=[
-            pl.BlockSpec((1, BR), lambda i, c, l: (0, i)),
-            pl.BlockSpec((1, BR), lambda i, c, l: (0, i)),
+            pl.BlockSpec((1, br), lambda i, c, l: (0, i)),
+            pl.BlockSpec((1, br), lambda i, c, l: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, BR), jnp.float32),
-            pltpu.VMEM((1, BR), jnp.int32),
+            pltpu.VMEM((1, br), jnp.float32),
+            pltpu.VMEM((1, br), jnp.int32),
         ],
     )
     out_t, out_i = pl.pallas_call(
-        _dense_kernel,
+        functools.partial(_dense_kernel, br=br),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, Rp), jnp.float32),
