@@ -57,7 +57,7 @@ def main() -> int:
     # Warm-up / compile on the first chunk:
     r0 = jnp.asarray(rows_np[:chunk])
     c0 = jnp.asarray(cols_np[:chunk])
-    _path_chunk(arrays, r0, c0, key, None, **kw).block_until_ready()
+    _path_chunk(arrays, r0, c0, key, None, **kw)[0].block_until_ready()
 
     t0 = time.time()
     done = 0
@@ -71,12 +71,14 @@ def main() -> int:
             cc = np.pad(np.asarray(cols_np[sl]), (0, chunk - n))
         else:
             rr, cc = rows_np[sl], cols_np[sl]
-        acc = _path_chunk(
+        acc, _err = _path_chunk(
             arrays, jnp.asarray(rr), jnp.asarray(cc),
             jax.random.fold_in(key, ci), None, **kw
         )
         done += n
-    acc.block_until_ready()
+    import numpy as _np
+
+    _np.asarray(acc)  # force completion (block_until_ready is advisory on axon)
     dt = time.time() - t0
 
     paths = done * spp

@@ -84,7 +84,7 @@ def _path_chunk(
 ):
     R = rows.shape[0]
 
-    def one_sample(s, acc):
+    def one_sample(s, acc, carry_err):
         skey = jax.random.fold_in(key, s)
         origins, dirs = generate_camera_rays(
             rows, cols, width, height, fov, aa_scale, jax.random.fold_in(skey, 0xC0FFEE)
@@ -99,12 +99,14 @@ def _path_chunk(
             rgb = rgb + jnp.where(
                 result.escaped[..., None], result.esc_throughput * env_rgb, 0.0
             )
-        return acc + rgb
+        err = carry_err | result.error
+        return acc + rgb, err
 
-    acc = jax.lax.fori_loop(
-        0, spp, one_sample, jnp.zeros((R, 3), jnp.float32)
+    acc, err = jax.lax.fori_loop(
+        0, spp, lambda s, c: one_sample(s, *c),
+        (jnp.zeros((R, 3), jnp.float32), jnp.zeros(R, bool)),
     )
-    return acc * (1.0 / spp)
+    return acc * (1.0 / spp), err
 
 
 def render(
@@ -170,7 +172,7 @@ def render(
             )
         elif mode == "path-trace":
             ckey = jax.random.fold_in(base_key, ci)
-            res = _path_chunk(
+            res, _err = _path_chunk(
                 scene, rows, cols, ckey, env_params,
                 fov=params.fov_radians,
                 width=params.image_width,
@@ -185,12 +187,15 @@ def render(
             )
         else:
             raise ValueError(f"Unknown render mode '{mode}'")
-        pending.append((ci, sl, res))
+        pending.append((ci, sl, res, _err if mode == "path-trace" else None))
         if progress_callback is not None:
             chunk_rgb = np.asarray(res.rgb if mode == "shadow-trace" else res)
             progress_callback(ci, chunk_rgb)
 
-    for ci, sl, res in pending:
+    n_errors = 0
+    for ci, sl, res, err in pending:
+        if err is not None:
+            n_errors += int(np.asarray(err).sum())
         if mode == "shadow-trace":
             rgb[sl] = np.asarray(res.rgb)
             t[sl] = np.asarray(res.t)
@@ -201,6 +206,12 @@ def render(
             hit_p[sl] = np.asarray(res.hit_p)
         else:
             rgb[sl] = np.asarray(res)
+    if n_errors:
+        from ..utils.log import logger
+
+        # In-band error marker, like the reference's HitRecord::ERROR NaN
+        # flagging (TraceCodelets.cpp:240-244):
+        logger().warning("%d rays flagged material errors during path trace", n_errors)
 
     inverse = np.empty(total, np.int64)
     inverse[order] = np.arange(total)

@@ -116,6 +116,36 @@ def build_scene_description(args):
     return scene
 
 
+def _render_sharded(arrays, params, n_dev, env_fn, env_params):
+    """Full-frame data-parallel path render (ray axis sharded over chips)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipu_ray_lib_tpu.ops.camera import pixel_grid
+    from ipu_ray_lib_tpu.parallel.mesh import (
+        make_ray_mesh, render_path_sharded, shard_rays,
+    )
+    from ipu_ray_lib_tpu.render.renderer import RenderOutput
+
+    mesh = make_ray_mesh(jax.devices()[:n_dev])
+    rows, cols = pixel_grid(
+        params.window_w, params.window_h, params.window_c, params.window_r
+    )
+    total = rows.shape[0]
+    n = shard_rays(total, mesh)
+    rows = jnp.pad(rows, (0, n - total))
+    cols = jnp.pad(cols, (0, n - total))
+    key = jax.random.PRNGKey(params.rng_seed)
+    rgb = np.asarray(
+        render_path_sharded(arrays, params, rows, cols, key, mesh,
+                            env_fn=env_fn, env_params=env_params)
+    )[:total].reshape(params.window_h, params.window_w, 3)
+    zero = np.zeros_like(rgb)
+    zi = np.full(rgb.shape[:2], -1, np.int32)
+    zf = np.full(rgb.shape[:2], np.inf, np.float32)
+    return RenderOutput(rgb=rgb, t=zf, geom_id=zi, prim_id=zi, normal=zero, hit_p=zero)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     add_options(parser)
@@ -228,12 +258,19 @@ def main(argv=None) -> int:
         def cb(ci, rgb_chunk):
             log.info("chunk %d done (mean %.4f)", ci, float(rgb_chunk.mean()))
 
+    n_dev = len(jax.devices())
+    want_dev = args.devices if args.devices > 0 else n_dev
     t0 = time.time()
-    out = render(
-        arrays, params, mode=args.render_mode,
-        chunk_size=args.chunk_size, env_fn=env_fn, env_params=env_params,
-        progress_callback=cb,
-    )
+    if want_dev > 1 and n_dev > 1 and args.render_mode == "path-trace":
+        # Data-parallel over the device mesh (replicated scene, sharded rays):
+        out = _render_sharded(arrays, params, min(want_dev, n_dev), env_fn, env_params)
+        log.info("Sharded render over %d devices", min(want_dev, n_dev))
+    else:
+        out = render(
+            arrays, params, mode=args.render_mode,
+            chunk_size=args.chunk_size, env_fn=env_fn, env_params=env_params,
+            progress_callback=cb,
+        )
     dt = time.time() - t0
     spp = args.samples if args.render_mode == "path-trace" else 1
     log.info(
