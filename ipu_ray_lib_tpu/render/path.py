@@ -34,6 +34,31 @@ MAT_SPECULAR = 1
 MAT_REFRACTIVE = 2
 
 
+def _sort_key(scene, o, d, active):
+    """Coherence key for wavefront ray sorting: direction octant (3 bits)
+    + 12-bit Morton cell of the origin within the scene bounds. Dead rays
+    sort to the back so active lanes stay contiguous (stream compaction +
+    binning in one permutation)."""
+    root_lo = scene.bvh_min[0]
+    root_ext = jnp.maximum(scene.bvh_ext[0].astype(jnp.float32), 1e-6)
+    q = jnp.clip((o - root_lo) / root_ext * 16.0, 0.0, 15.0).astype(jnp.int32)
+
+    def spread4(v):
+        v = (v | (v << 8)) & 0xF00F
+        v = (v | (v << 4)) & 0xC3C3
+        v = (v | (v << 2)) & 0x9249
+        return v
+
+    morton = spread4(q[..., 0]) | (spread4(q[..., 1]) << 1) | (spread4(q[..., 2]) << 2)
+    octant = (
+        (d[..., 0] > 0).astype(jnp.int32)
+        + 2 * (d[..., 1] > 0).astype(jnp.int32)
+        + 4 * (d[..., 2] > 0).astype(jnp.int32)
+    )
+    key = octant * 4096 + morton
+    return jnp.where(active, key, jnp.int32(0x7FFFFFFF))
+
+
 class SampleResult(NamedTuple):
     rgb: jnp.ndarray            # [R,3] radiance for this sample (env light NOT applied)
     esc_dir: jnp.ndarray        # [R,3] direction at escape (zeros if none)
@@ -50,6 +75,7 @@ def path_trace_sample(
     max_path_length: int,
     roulette_start_depth: int,
     intersector: str = "bvh",
+    sort_rays: bool = False,
 ) -> SampleResult:
     R = origins.shape[0]
     f32 = jnp.float32
@@ -68,6 +94,9 @@ def path_trace_sample(
         esc_tp=zero3,
         escaped=jnp.zeros(R, bool),
         error=jnp.zeros(R, bool),
+        # Original lane index each ray came from (identity when not
+        # sorting): results are scattered back through this at the end.
+        pix=jnp.arange(R, dtype=jnp.int32),
     )
 
     t_min = jnp.zeros(R, f32)
@@ -136,7 +165,7 @@ def path_trace_sample(
         tp = jnp.where((use_roulette & live)[..., None], tp_r, tp)
         live = live & jnp.where(use_roulette, ~stop, True)
 
-        return dict(
+        out = dict(
             i=i + 1,
             o=o,
             d=d,
@@ -148,9 +177,33 @@ def path_trace_sample(
             esc_tp=esc_tp,
             escaped=escaped,
             error=error,
+            pix=s["pix"],
         )
+        if sort_rays:
+            # Re-bin the wavefront: secondary rays grouped by direction
+            # octant and origin cell so ray blocks stay coherent for
+            # block-level culling (the SURVEY's "stream compaction" role).
+            perm = jnp.argsort(_sort_key(scene, o, d, live))
+            for k, v in out.items():
+                if k != "i":
+                    out[k] = v[perm]
+        return out
 
     out = jax.lax.while_loop(cond, body, state)
+    if sort_rays:
+        # Scatter results back to the caller's lane order:
+        pix = out["pix"]
+
+        def unsort(v):
+            return jnp.zeros_like(v).at[pix].set(v)
+
+        return SampleResult(
+            rgb=unsort(out["color"]),
+            esc_dir=unsort(out["esc_dir"]),
+            esc_throughput=unsort(out["esc_tp"]),
+            escaped=unsort(out["escaped"]),
+            error=unsort(out["error"]),
+        )
     return SampleResult(
         rgb=out["color"],
         esc_dir=out["esc_dir"],

@@ -94,3 +94,42 @@ def test_path_trace_smoke(cornell_scene):
     out2 = render(arrays, params2, mode="path-trace", chunk_size=24 * 24)
     m1, m2 = img.mean(), out2.rgb.mean()
     assert abs(m1 - m2) / max(m1, m2) < 0.25
+
+
+def test_path_trace_sorted_wavefront_distribution(cornell_scene):
+    """Ray sorting permutes RNG pairing, so images differ per pixel but
+    must match in distribution (the reference's RNG-parity standard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipu_ray_lib_tpu.ops.camera import generate_camera_rays, pixel_grid
+    from ipu_ray_lib_tpu.render.path import path_trace_sample
+
+    arrays, params, _ = build_scene(
+        cornell_scene, image_width=32, image_height=32
+    )
+    rows, cols = pixel_grid(32, 32, 0, 0)
+    key = jax.random.PRNGKey(0)
+
+    def run(sort):
+        acc = np.zeros((1024, 3), np.float32)
+        for s in range(6):
+            o, d = generate_camera_rays(
+                rows, cols, 32, 32, params.fov_radians, 0.25,
+                jax.random.fold_in(key, 100 + s),
+            )
+            r = path_trace_sample(
+                arrays, o, d, jax.random.fold_in(key, s), 6, 3,
+                intersector="dense", sort_rays=sort,
+            )
+            acc += np.asarray(r.rgb)
+        return acc / 6
+
+    a = run(False)
+    b = run(True)
+    assert np.all(np.isfinite(b))
+    # Same energy and distribution:
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-9) < 0.15
+    ha, _ = np.histogram(a, bins=16, range=(0, 2))
+    hb, _ = np.histogram(b, bins=16, range=(0, 2))
+    assert np.abs(ha - hb).sum() / max(ha.sum(), 1) < 0.2
