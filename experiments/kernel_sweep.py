@@ -84,12 +84,14 @@ def bench_fn(f, *args, iters=5):
 def sweep_br(tables, o, d, ro, rd, R):
     tmin = jnp.zeros(R)
     tmax = jnp.full(R, jnp.inf)
-    for br in (1024, 2048, 4096, 8192):
-        f = jax.jit(lambda o_, d_, br=br: K.pallas_intersect(tables, o_, d_, tmin, tmax, br=br))
-        dt_c = bench_fn(f, o, d)
-        dt_i = bench_fn(f, ro, rd)
-        log_result(exp="sweep_br", br=br,
-                   coherent_mrays=R / dt_c / 1e6, incoherent_mrays=R / dt_i / 1e6)
+    for cull in ("bundle", "ray"):
+        for br in (1024, 2048, 4096):
+            f = jax.jit(lambda o_, d_, br=br, cull=cull: K.pallas_intersect(
+                tables, o_, d_, tmin, tmax, br=br, cull=cull))
+            dt_c = bench_fn(f, o, d)
+            dt_i = bench_fn(f, ro, rd)
+            log_result(exp="sweep_br", br=br, cull=cull,
+                       coherent_mrays=R / dt_c / 1e6, incoherent_mrays=R / dt_i / 1e6)
 
 
 def cull_timing(tables, o, d, R):

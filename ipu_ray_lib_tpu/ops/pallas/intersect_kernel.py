@@ -43,6 +43,71 @@ _SLAB_SCALE = np.float32(1.0 + 2.0 * gamma(3))
 _INF = np.float32(np.inf)
 
 
+def block_cull_lists_bundle(tables: BlockedSceneTables, origins, dirs,
+                            t_min, t_max, n_ray_blocks, br: int = BR):
+    """O(nrb x nb) conservative cull: per-ray-block *bundle* (interval
+    AABB of origins + directions) vs block AABBs. A block is kept if any
+    ray in the bundle could possibly hit it:
+
+        max_axis(min possible entry t)  <=  min_axis(max possible exit t)
+
+    Mixed-sign direction axes contribute no constraint (conservative).
+    Orders of magnitude cheaper than the exact per-ray cull — the whole
+    computation is [n_ray_blocks, num_blocks] sized.
+    """
+    nb = tables.num_blocks
+    blo = tables.baabb[:, 0:3]                      # [nb,3]
+    bhi = tables.baabb[:, 3:6]
+
+    o_r = origins.reshape(n_ray_blocks, br, 3)
+    d_r = dirs.reshape(n_ray_blocks, br, 3)
+    olo = o_r.min(axis=1)                           # [nrb,3]
+    ohi = o_r.max(axis=1)
+    dlo = d_r.min(axis=1)
+    dhi = d_r.max(axis=1)
+    tmax_hi = t_max.reshape(n_ray_blocks, br).max(axis=1)   # [nrb]
+    tmin_lo = t_min.reshape(n_ray_blocks, br).min(axis=1)
+
+    INF = jnp.float32(jnp.inf)
+    enter = jnp.full((n_ray_blocks, nb), -INF)
+    exit_ = jnp.full((n_ray_blocks, nb), INF)
+    for a in range(3):
+        pos = dlo[:, a] > 0.0                        # all-positive axis
+        neg = dhi[:, a] < 0.0                        # all-negative axis
+        same_sign = pos | neg
+        # inv-direction interval endpoints (same sign class only):
+        i1 = 1.0 / jnp.where(same_sign, dlo[:, a], 1.0)
+        i2 = 1.0 / jnp.where(same_sign, dhi[:, a], 1.0)
+        ilo = jnp.minimum(i1, i2)
+        ihi = jnp.maximum(i1, i2)
+        # slab-minus-origin intervals [nrb, nb]:
+        s1_lo = blo[None, :, a] - ohi[:, None, a]
+        s1_hi = blo[None, :, a] - olo[:, None, a]
+        s2_lo = bhi[None, :, a] - ohi[:, None, a]
+        s2_hi = bhi[None, :, a] - olo[:, None, a]
+        # interval products (4 corners per slab plane):
+        def iprod(slos, shis):
+            p1 = slos * ilo[:, None]
+            p2 = slos * ihi[:, None]
+            p3 = shis * ilo[:, None]
+            p4 = shis * ihi[:, None]
+            return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                    jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+        lo1, hi1 = iprod(s1_lo, s1_hi)
+        lo2, hi2 = iprod(s2_lo, s2_hi)
+        ax_enter = jnp.minimum(lo1, lo2)             # lowest possible entry
+        ax_exit = jnp.maximum(hi1, hi2) * _SLAB_SCALE
+        ax_enter = jnp.where(same_sign[:, None], ax_enter, -INF)
+        ax_exit = jnp.where(same_sign[:, None], ax_exit, INF)
+        enter = jnp.maximum(enter, ax_enter)
+        exit_ = jnp.minimum(exit_, ax_exit)
+
+    hit = (enter <= exit_) & (enter <= tmax_hi[:, None]) & (exit_ >= tmin_lo[:, None])
+    counts = hit.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(hit, 0, 1), axis=1, stable=True).astype(jnp.int32)
+    return counts, order
+
+
 def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
                      n_ray_blocks, br: int = BR):
     """Vectorised phase 1: per-ray-block hit-block lists + counts.
@@ -132,9 +197,10 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
     out_i_ref[:] = bi_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "br"))
+@functools.partial(jax.jit, static_argnames=("interpret", "br", "cull"))
 def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
-                     interpret: bool = False, br: int | None = None):
+                     interpret: bool = False, br: int | None = None,
+                     cull: str = "bundle"):
     """Closest-hit against the blocked triangle tables.
 
     origins/dirs [R,3], t_min/t_max [R]; R is padded to BR internally.
@@ -155,9 +221,8 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     tmin_pad = padr(t_min)
     tmax_pad = padr(t_max, -1.0)            # pad rays never hit
 
-    counts, lists = block_cull_lists(
-        tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br
-    )
+    cull_fn = block_cull_lists_bundle if cull == "bundle" else block_cull_lists
+    counts, lists = cull_fn(tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br)
 
     o_t = o_pad.T
     d_t = d_pad.T
