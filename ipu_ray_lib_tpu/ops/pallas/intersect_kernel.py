@@ -59,14 +59,21 @@ def block_cull_lists_bundle(tables: BlockedSceneTables, origins, dirs,
     blo = tables.baabb[:, 0:3]                      # [nb,3]
     bhi = tables.baabb[:, 3:6]
 
+    # Bundle AABBs over *live* lanes only (dead rays carry t_max < 0):
+    # as the wavefront dies off, bundles tighten and whole ray blocks
+    # stop touching any triangle block.
+    alive = (t_max > 0.0).reshape(n_ray_blocks, br, 1)
+    INF0 = jnp.float32(jnp.inf)
     o_r = origins.reshape(n_ray_blocks, br, 3)
     d_r = dirs.reshape(n_ray_blocks, br, 3)
-    olo = o_r.min(axis=1)                           # [nrb,3]
-    ohi = o_r.max(axis=1)
-    dlo = d_r.min(axis=1)
-    dhi = d_r.max(axis=1)
+    olo = jnp.where(alive, o_r, INF0).min(axis=1)   # [nrb,3]
+    ohi = jnp.where(alive, o_r, -INF0).max(axis=1)
+    dlo = jnp.where(alive, d_r, INF0).min(axis=1)
+    dhi = jnp.where(alive, d_r, -INF0).max(axis=1)
     tmax_hi = t_max.reshape(n_ray_blocks, br).max(axis=1)   # [nrb]
-    tmin_lo = t_min.reshape(n_ray_blocks, br).min(axis=1)
+    tmin_lo = jnp.where(
+        alive[..., 0], t_min.reshape(n_ray_blocks, br), INF0
+    ).min(axis=1)
 
     INF = jnp.float32(jnp.inf)
     enter = jnp.full((n_ray_blocks, nb), -INF)
@@ -139,8 +146,8 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     return counts, order
 
 
-def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
-                  out_t_ref, out_i_ref, bt_ref, bi_ref, *, br):
+def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
+                  out_t_ref, out_i_ref, out_n_ref, bt_ref, bi_ref, bn_ref, *, br):
     i = pl.program_id(0)
     rays = rays_ref[:]                     # [8, br]
     t_min = rays[6:7, :]                   # [1, br]
@@ -149,6 +156,7 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
 
     bt_ref[:] = t_max
     bi_ref[:] = jnp.full((1, br), -1, jnp.int32)
+    bn_ref[:] = jnp.zeros((8, br), jnp.float32)
 
     def step(j, _):
         blk = list_ref[i, j]
@@ -187,14 +195,30 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref,
             jnp.where(tm <= bt, lane, jnp.int32(0x7FFFFFFF)),
             axis=0, keepdims=True,
         )
+        # Shading normal of the per-block winner, selected densely via a
+        # one-hot matmul against the normal-basis table (no gathers):
+        onehot = (lane == bi).astype(jnp.float32)          # [TB, br]
+        nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]  # [8, 3TB]
+        w1 = onehot
+        w2 = onehot * b1
+        w3 = onehot * b2
+        nd = (((1,), (0,)), ((), ()))
+        n_cand = (
+            jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd, preferred_element_type=jnp.float32)
+        )                                                   # [8, br]
+
         better = (bt < best_t) & (bt < _INF)
         bt_ref[:] = jnp.where(better, bt, best_t)
         bi_ref[:] = jnp.where(better, bi, bi_ref[:])
+        bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
         return 0
 
     jax.lax.fori_loop(0, count_ref[i], step, 0)
     out_t_ref[:] = bt_ref[:]
     out_i_ref[:] = bi_ref[:]
+    out_n_ref[:] = bn_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "br", "cull"))
@@ -244,27 +268,35 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
             pl.BlockSpec((8, 2 * br), lambda i, c, l: (0, i)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w (whole table)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
         ],
         out_specs=[
             pl.BlockSpec((1, br), lambda i, c, l: (0, i)),
             pl.BlockSpec((1, br), lambda i, c, l: (0, i)),
+            pl.BlockSpec((8, br), lambda i, c, l: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, br), jnp.float32),
             pltpu.VMEM((1, br), jnp.int32),
+            pltpu.VMEM((8, br), jnp.float32),
         ],
     )
-    out_t, out_i = pl.pallas_call(
+    out_t, out_i, out_n = pl.pallas_call(
         functools.partial(_dense_kernel, br=br),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, Rp), jnp.float32),
             jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, lists, rays, od, tables.w, tables.p)
+    )(counts, lists, rays, od, tables.w, tables.p, tables.nrm)
 
     t = out_t[0, :R]
     idx = out_i[0, :R]
     found = idx >= 0
-    return jnp.where(found, t, t_max), idx
+    normal = out_n[0:3, :R].T
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), jnp.float32(1e-30)
+    )
+    return jnp.where(found, t, t_max), idx, normal

@@ -15,6 +15,10 @@ Table layouts (f32 unless noted):
   w     [8, nb*3*TB]   block b columns [b*3TB, (b+1)*3TB) =
                        [tn^T | g1^T | g2^T], rows 0..2 = xyz (rows 3..7 pad)
   p     [nb*TB, 8]     per-tri row: [n.p0, g1.p0, g2.p0, 0...]
+  nrm   [8, nb*3*TB]   block b columns = [N0^T | dN1^T | dN2^T]: shading
+                       normal basis so the kernel can emit per-ray normals
+                       (N0 + b1*dN1 + b2*dN2); geometric-normal meshes get
+                       dN1 = dN2 = 0
   baabb [nb, 8]        block AABB lo.xyz, hi.xyz (pad 2)
   saabb [ns, 8]        super AABB
   tri_geom/tri_prim [nb*TB] i32 (Morton order), padding -> -1
@@ -35,6 +39,7 @@ SB = 8    # blocks per super
 class BlockedSceneTables(NamedTuple):
     w: jnp.ndarray        # [8, nb*3*TB] f32
     p: jnp.ndarray        # [nb*TB, 8] f32
+    nrm: jnp.ndarray      # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
     saabb: jnp.ndarray    # [ns, 8] f32
     tri_geom: jnp.ndarray  # [nb*TB] i32
@@ -66,18 +71,34 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
-                         tri_geom: np.ndarray, tri_prim: np.ndarray) -> BlockedSceneTables:
+                         tri_geom: np.ndarray, tri_prim: np.ndarray,
+                         vert_normals: np.ndarray | None = None,
+                         tri_has_normals: np.ndarray | None = None) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
         verts = np.zeros((1, 3), np.float32) if len(verts) == 0 else verts
         tri_geom = np.full(1, -1, np.int32)
         tri_prim = np.full(1, -1, np.int32)
+        vert_normals = None
         T = 1
+    if tri_has_normals is None:
+        tri_has_normals = np.zeros(T, bool)
+    else:
+        tri_has_normals = np.asarray(tri_has_normals, bool)[:T]
+    if vert_normals is None:
+        tri_has_normals = np.zeros(T, bool)
 
     p0 = verts[tri_v[:, 0]].astype(np.float64)
     p1 = verts[tri_v[:, 1]].astype(np.float64)
     p2 = verts[tri_v[:, 2]].astype(np.float64)
+
+    if vert_normals is not None:
+        vn0 = vert_normals[tri_v[:, 0]].astype(np.float64)
+        vn1 = vert_normals[tri_v[:, 1]].astype(np.float64)
+        vn2 = vert_normals[tri_v[:, 2]].astype(np.float64)
+    else:
+        vn0 = vn1 = vn2 = np.zeros_like(p0)
 
     # Morton order by centroid:
     cent = (p0 + p1 + p2) / 3.0
@@ -86,6 +107,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     q = np.clip(((cent - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
     order = np.argsort(_morton3(q), kind="stable")
     p0, p1, p2 = p0[order], p1[order], p2[order]
+    vn0, vn1, vn2 = vn0[order], vn1[order], vn2[order]
+    tri_has_normals = tri_has_normals[order]
     tri_geom = np.asarray(tri_geom, np.int32)[order]
     tri_prim = np.asarray(tri_prim, np.int32)[order]
 
@@ -104,6 +127,13 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     g1 = np.where(degenerate[:, None], 0.0, (e1 * d11[:, None] - e2 * d01[:, None]) / safe[:, None])
     g2 = np.where(degenerate[:, None], 0.0, (e2 * d00[:, None] - e1 * d01[:, None]) / safe[:, None])
 
+    # Shading-normal basis: interpolated where vertex normals exist,
+    # geometric (unit plane normal) otherwise:
+    hasn = tri_has_normals[:, None]
+    N0 = np.where(hasn, vn0, n)
+    dN1 = np.where(hasn, vn1 - vn0, 0.0)
+    dN2 = np.where(hasn, vn2 - vn0, 0.0)
+
     nb = max(1, -(-T // TB))
     ns = -(-nb // SB)
     nb = ns * SB  # pad block count to a whole number of supers
@@ -114,18 +144,23 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                       constant_values=fill)
 
     n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
+    N0_p, dN1_p, dN2_p = padT(N0), padT(dN1), padT(dN2)
     p0_p = padT(p0)
     tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
     tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
 
-    # w: [8, nb*3*TB]
+    # w / nrm: [8, nb*3*TB]
     w = np.zeros((8, nb * 3 * TB), np.float32)
+    nrm = np.zeros((8, nb * 3 * TB), np.float32)
     for b in range(nb):
         sl = slice(b * TB, (b + 1) * TB)
         base = b * 3 * TB
         w[0:3, base : base + TB] = n_p[sl].T
         w[0:3, base + TB : base + 2 * TB] = g1_p[sl].T
         w[0:3, base + 2 * TB : base + 3 * TB] = g2_p[sl].T
+        nrm[0:3, base : base + TB] = N0_p[sl].T
+        nrm[0:3, base + TB : base + 2 * TB] = dN1_p[sl].T
+        nrm[0:3, base + 2 * TB : base + 3 * TB] = dN2_p[sl].T
 
     # p: [nb*TB, 8]
     p = np.zeros((Tp, 8), np.float32)
@@ -158,6 +193,7 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     return BlockedSceneTables(
         w=jnp.asarray(w),
         p=jnp.asarray(p),
+        nrm=jnp.asarray(nrm),
         baabb=jnp.asarray(baabb),
         saabb=jnp.asarray(saabb),
         tri_geom=jnp.asarray(tg),

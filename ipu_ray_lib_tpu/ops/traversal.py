@@ -231,16 +231,19 @@ def dense_intersect(
     )
 
 
-def pallas_scene_intersect(scene, origin, direction, t_min, t_max) -> Hit:
+def pallas_scene_intersect(scene, origin, direction, t_min, t_max,
+                           with_normal: bool = False):
     """Closest-hit via the Pallas blocked kernel (triangles) + dense
-    sphere/disc tests. Falls back to interpreter mode off-TPU."""
+    sphere/disc tests. Falls back to interpreter mode off-TPU.
+    With ``with_normal`` returns (Hit, normal [R,3]) using the kernel's
+    densely-selected shading normals (no per-lane gathers)."""
     import jax as _jax
 
     from .dense import dense_discs, dense_spheres
     from .pallas.intersect_kernel import pallas_intersect
 
     interpret = _jax.default_backend() != "tpu"
-    best_t, tri = pallas_intersect(
+    best_t, tri, knormal = pallas_intersect(
         scene.blocked, origin, direction, t_min, t_max, interpret=interpret
     )
     tri_safe = jnp.clip(tri, 0, scene.blocked.tri_geom.shape[0] - 1)
@@ -258,11 +261,40 @@ def pallas_scene_intersect(scene, origin, direction, t_min, t_max) -> Hit:
     best_t = jnp.where(db, dtt, best_t)
 
     found = geom != INVALID_GEOM_ID
-    return Hit(
+    hit = Hit(
         t=jnp.where(found, best_t, t_max),
         geom_id=geom.astype(jnp.int32),
         prim_id=prim.astype(jnp.int32),
     )
+    if not with_normal:
+        return hit
+
+    # Mix kernel triangle normals with analytic sphere/disc normals:
+    hit_p = origin + direction * hit.t[..., None]
+    si = jnp.clip(jnp.where(sb, si, 0), 0, scene.spheres.shape[0] - 1)
+    sp = scene.spheres[si]
+    sphere_n = hit_p - sp[..., :3]
+    sphere_n = sphere_n / jnp.maximum(
+        jnp.linalg.norm(sphere_n, axis=-1, keepdims=True), jnp.float32(1e-30)
+    )
+    di_safe = jnp.clip(jnp.where(db, di, 0), 0, scene.discs.shape[0] - 1)
+    disc_n = scene.discs[di_safe][..., 0:3]
+    normal = jnp.where(sb[..., None], sphere_n, knormal)
+    normal = jnp.where(db[..., None], disc_n, normal)
+    default = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), normal.shape)
+    normal = jnp.where(found[..., None], normal, default)
+    return hit, normal
+
+
+def scene_intersect_with_normal(scene, origin, direction, t_min, t_max,
+                                method: str = "bvh"):
+    """Closest hit + shading normal in one call; uses in-kernel normals
+    for the pallas path, hit_normal recomputation otherwise."""
+    if method == "pallas":
+        return pallas_scene_intersect(scene, origin, direction, t_min, t_max,
+                                      with_normal=True)
+    hit = scene_intersect(scene, origin, direction, t_min, t_max, method)
+    return hit, hit_normal(scene, origin, direction, hit)
 
 
 def scene_intersect(scene, origin, direction, t_min, t_max, method: str = "bvh") -> Hit:

@@ -26,7 +26,7 @@ from ..ops.bxdf import (
     reflect,
     sample_diffuse,
 )
-from ..ops.traversal import hit_normal, scene_intersect
+from ..ops.traversal import scene_intersect_with_normal
 from ..scene.build import SceneArrays
 
 MAT_DIFFUSE = 0
@@ -114,7 +114,7 @@ def path_trace_sample(
         # Dead lanes get t_max = -1: every intersector then culls them
         # for free (slab/dense tests can never satisfy t < t_max):
         t_max = jnp.where(active, jnp.float32(jnp.inf), jnp.float32(-1.0))
-        hit = scene_intersect(scene, o, d, t_min, t_max, intersector)
+        hit, hit_n = scene_intersect_with_normal(scene, o, d, t_min, t_max, intersector)
         found = hit.found
 
         newly_escaped = active & ~found
@@ -123,8 +123,7 @@ def path_trace_sample(
         escaped = s["escaped"] | newly_escaped
 
         live = active & found
-        n = hit_normal(scene, o, d, hit)
-        n = jnp.where(live[..., None], n, s["n"])
+        n = jnp.where(live[..., None], hit_n, s["n"])
         o = jnp.where(live[..., None], o + d * hit.t[..., None], o)
 
         g_safe = jnp.clip(hit.geom_id, 0, scene.mat_id.shape[0] - 1)

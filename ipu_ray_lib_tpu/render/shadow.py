@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..bvh.builder import INVALID_GEOM_ID
 from ..ops.bxdf import offset_ray_origin
-from ..ops.traversal import hit_normal, scene_intersect, scene_occluded
+from ..ops.traversal import scene_intersect_with_normal, scene_occluded
 from ..scene.build import SceneArrays
 
 DEFAULT_LIGHT_POS = (18.0, 257.0, -1060.0)  # ref trace.cpp:247
@@ -49,9 +49,10 @@ def shadow_trace(
     t_min = jnp.zeros(R, jnp.float32)
     t_max = jnp.full(R, inf)
 
-    hit = scene_intersect(scene, origins, dirs, t_min, t_max, intersector)
+    hit, normal = scene_intersect_with_normal(
+        scene, origins, dirs, t_min, t_max, intersector
+    )
     found = hit.found
-    normal = hit_normal(scene, origins, dirs, hit)
     hit_p = origins + dirs * jnp.where(found, hit.t, zero)[..., None]
 
     light = jnp.asarray(light_pos, jnp.float32)

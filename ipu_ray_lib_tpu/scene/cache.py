@@ -57,7 +57,15 @@ def load_compiled_scene(path: str):
         tri_prim[sl] = np.arange(sl.stop - sl.start, dtype=np.int32)
 
     dense = build_dense_tables(tri_v, verts, tri_geom, tri_prim)
-    blocked = build_blocked_tables(tri_v, verts, tri_geom, tri_prim)
+    has_n = host["mesh_has_normals"][: params.num_meshes]
+    tri_has_normals = np.zeros(T, bool)
+    for g in range(params.num_meshes):
+        sl = slice(bounds[g], bounds[g + 1])
+        tri_has_normals[sl] = bool(has_n[g])
+    blocked = build_blocked_tables(
+        tri_v, verts, tri_geom, tri_prim,
+        vert_normals=host["normals"], tri_has_normals=tri_has_normals,
+    )
 
     arrays = SceneArrays(
         bvh_min=jnp.asarray(bvh.mins),

@@ -107,3 +107,22 @@ def test_pallas_intersector_matches_bvh(cornell_built):
     )
     assert np.quantile(rel, 0.99) < 1e-4
     assert (np.asarray(hb.geom_id) == np.asarray(hp.geom_id))[both].mean() > 0.99
+
+
+def test_pallas_kernel_normals_match_hit_normal(cornell_built):
+    """Kernel-selected shading normals must match hit_normal recomputation."""
+    from ipu_ray_lib_tpu.ops.traversal import (
+        hit_normal,
+        pallas_scene_intersect,
+    )
+
+    arrays, params, _ = cornell_built
+    o, d = _camera_rays(params, 16)
+    R = o.shape[0]
+    t_min = jnp.zeros(R)
+    t_max = jnp.full(R, jnp.inf)
+    hit, n_kernel = pallas_scene_intersect(arrays, o, d, t_min, t_max, with_normal=True)
+    n_ref = hit_normal(arrays, o, d, hit)
+    both = np.asarray(hit.found)
+    dots = np.sum(np.asarray(n_kernel) * np.asarray(n_ref), axis=-1)[both]
+    assert np.quantile(dots, 0.01) > 0.9999
