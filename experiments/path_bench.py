@@ -56,8 +56,8 @@ def main():
 
     key = jax.random.PRNGKey(1442)
 
-    for intersector in ("pallas", "dense", "bvh"):
-        for sort in (False, True):
+    for intersector, sorts in (("pallas", (0, 1, 2, 3)), ("bvh", (0,))):
+        for sort in sorts:
             @functools.partial(jax.jit, static_argnames=())
             def run(k):
                 def one(s, acc):
@@ -93,8 +93,7 @@ def main():
             except Exception as e:
                 log_result(exp="path_bench", intersector=intersector, sort=sort,
                            error=repr(e)[:160])
-            if intersector == "bvh" and not sort:
-                break  # bvh+sort adds nothing new; save TPU time
+
 
 
 if __name__ == "__main__":

@@ -75,7 +75,7 @@ def path_trace_sample(
     max_path_length: int,
     roulette_start_depth: int,
     intersector: str = "bvh",
-    sort_rays: bool = False,
+    sort_rays: int = 0,
 ) -> SampleResult:
     R = origins.shape[0]
     f32 = jnp.float32
@@ -182,10 +182,15 @@ def path_trace_sample(
             # Re-bin the wavefront: secondary rays grouped by direction
             # octant and origin cell so ray blocks stay coherent for
             # block-level culling (the SURVEY's "stream compaction" role).
-            perm = jnp.argsort(_sort_key(scene, o, d, live))
-            for k, v in out.items():
-                if k != "i":
-                    out[k] = v[perm]
+            # sort_rays = k sorts on bounces where i % k == 0 (k=1: every
+            # bounce) — sorting costs an argsort, so a cadence can win.
+            def do_sort(vals):
+                perm = jnp.argsort(_sort_key(scene, vals["o"], vals["d"], vals["active"]))
+                return {k: (v if k == "i" else v[perm]) for k, v in vals.items()}
+
+            out = jax.lax.cond(
+                (i % jnp.int32(int(sort_rays))) == 0, do_sort, lambda v: v, out
+            )
         return out
 
     out = jax.lax.while_loop(cond, body, state)
