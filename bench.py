@@ -3,9 +3,12 @@
 
 Headline metric matches the reference's own (BASELINE.md): path samples
 per second per chip at 1440x1440. The reference achieves ~26 Mpaths/s per
-IPU (~100M over 4 IPUs); the north star is >=100 Mpaths/s per TPU chip.
+IPU Mk2 (~100M over 4 IPUs); the north star is >=100 Mpaths/s per TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_SIZE (1440), BENCH_SPP (16), BENCH_CHUNK (131072),
+BENCH_INTERSECTOR (auto), BENCH_SORT (0).
 """
 
 import json
@@ -20,12 +23,9 @@ def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", 1440))
     spp = int(os.environ.get("BENCH_SPP", 16))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+    intersector = os.environ.get("BENCH_INTERSECTOR", "auto")
 
-    import jax
-    import jax.numpy as jnp
-
-    from ipu_ray_lib_tpu.ops.camera import pixel_grid
-    from ipu_ray_lib_tpu.render.renderer import _path_chunk
+    from ipu_ray_lib_tpu.render.renderer import render
     from ipu_ray_lib_tpu.scene.build import build_scene
     from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
 
@@ -34,55 +34,24 @@ def main() -> int:
         mesh_file = None
     scene = make_cornell_box_scene(mesh_file, box_only=False)
     arrays, params, _ = build_scene(
-        scene, image_width=size, image_height=size, samples_per_pixel=spp
+        scene, image_width=size, image_height=size, samples_per_pixel=spp,
+        intersector=intersector,
     )
 
-    rows_np, cols_np = pixel_grid(size, size, 0, 0)
-    total = size * size
-    n_chunks = -(-total // chunk)
+    # Warm-up/compile on a tiny crop so the timed run is execution only:
+    import dataclasses
 
-    kw = dict(
-        fov=params.fov_radians,
-        width=params.image_width,
-        height=params.image_height,
-        aa_scale=params.anti_alias_scale,
-        spp=spp,
-        max_path_length=params.max_path_length,
-        roulette_start_depth=params.roulette_start_depth,
-        has_env=False,
-        env_fn=None,
-    )
-    key = jax.random.PRNGKey(1442)
-
-    # Warm-up / compile on the first chunk:
-    r0 = jnp.asarray(rows_np[:chunk])
-    c0 = jnp.asarray(cols_np[:chunk])
-    _path_chunk(arrays, r0, c0, key, None, **kw)[0].block_until_ready()
+    warm = dataclasses.replace(params, window_w=min(chunk, size), window_h=1)
+    render(arrays, warm, mode="path-trace", chunk_size=chunk)
 
     t0 = time.time()
-    done = 0
-    for ci in range(n_chunks):
-        sl = slice(ci * chunk, min((ci + 1) * chunk, total))
-        n = sl.stop - sl.start
-        if n < chunk:  # pad the tail chunk to the static shape
-            import numpy as np
-
-            rr = np.pad(np.asarray(rows_np[sl]), (0, chunk - n))
-            cc = np.pad(np.asarray(cols_np[sl]), (0, chunk - n))
-        else:
-            rr, cc = rows_np[sl], cols_np[sl]
-        acc, _err = _path_chunk(
-            arrays, jnp.asarray(rr), jnp.asarray(cc),
-            jax.random.fold_in(key, ci), None, **kw
-        )
-        done += n
-    import numpy as _np
-
-    _np.asarray(acc)  # force completion (block_until_ready is advisory on axon)
+    out = render(arrays, params, mode="path-trace", chunk_size=chunk)
     dt = time.time() - t0
 
-    paths = done * spp
+    paths = size * size * spp
     mpaths_s = paths / dt / 1e6
+    sys.stderr.write(f"# {dt:.2f}s, image mean {float(out.rgb.mean()):.4f}, "
+                     f"intersector {params.intersector}\n")
     print(
         json.dumps(
             {
