@@ -110,9 +110,9 @@ def block_cull_lists_bundle(tables: BlockedSceneTables, origins, dirs,
         exit_ = jnp.minimum(exit_, ax_exit)
 
     hit = (enter <= exit_) & (enter <= tmax_hi[:, None]) & (exit_ >= tmin_lo[:, None])
-    counts = hit.sum(axis=1).astype(jnp.int32)
-    order = jnp.argsort(jnp.where(hit, 0, 1), axis=1, stable=True).astype(jnp.int32)
-    return counts, order
+    # Flags, not packed lists: the kernel iterates all blocks with a
+    # scalar-predicated skip, so no argsort/pack step is needed.
+    return hit.astype(jnp.int32)
 
 
 def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
@@ -146,8 +146,9 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     return counts, order
 
 
-def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
-                  out_t_ref, out_i_ref, out_n_ref, bt_ref, bi_ref, bn_ref, *, br):
+def _dense_kernel(flags_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
+                  out_t_ref, out_i_ref, out_n_ref, bt_ref, bi_ref, bn_ref,
+                  *, br, nb):
     i = pl.program_id(0)
     rays = rays_ref[:]                     # [8, br]
     t_min = rays[6:7, :]                   # [1, br]
@@ -158,8 +159,7 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
     bi_ref[:] = jnp.full((1, br), -1, jnp.int32)
     bn_ref[:] = jnp.zeros((8, br), jnp.float32)
 
-    def step(j, _):
-        blk = list_ref[i, j]
+    def step(blk, _):
         best_t = bt_ref[:]
         # One MXU contraction (K padded to 8 sublanes) for all six dot
         # products of o and d against n/g1/g2:
@@ -178,7 +178,7 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
         g1p0 = pb[:, 1:2]
         g2p0 = pb[:, 2:3]
 
-        # Fast reciprocal + one Newton step (~f32 accurate):
+        # Fast reciprocal + one Newton step (~f32 accurate):  # noqa
         r = pl.reciprocal(dn, approx=True)
         r = r * (2.0 - dn * r)
         t = (tnp0 - on) * r
@@ -215,7 +215,16 @@ def _dense_kernel(count_ref, list_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
         bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, count_ref[i], step, 0)
+    def guarded(blk, c):
+        # Scalar SMEM flag read + branch: skipping a culled block costs a
+        # few scalar cycles, with no vector->scalar sync.
+        @pl.when(flags_ref[i, blk] != 0)
+        def _():
+            step(blk, c)
+
+        return c
+
+    jax.lax.fori_loop(0, nb, guarded, 0)
     out_t_ref[:] = bt_ref[:]
     out_i_ref[:] = bi_ref[:]
     out_n_ref[:] = bn_ref[:]
@@ -245,8 +254,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     tmin_pad = padr(t_min)
     tmax_pad = padr(t_max, -1.0)            # pad rays never hit
 
-    cull_fn = block_cull_lists_bundle if cull == "bundle" else block_cull_lists
-    counts, lists = cull_fn(tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br)
+    flags = block_cull_lists_bundle(tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br)
 
     o_t = o_pad.T
     d_t = d_pad.T
@@ -261,19 +269,19 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     od = jnp.pad(od, ((0, 5), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec((8, br), lambda i, c, l: (0, i)),
-            pl.BlockSpec((8, 2 * br), lambda i, c, l: (0, i)),
+            pl.BlockSpec((8, br), lambda i, f: (0, i)),
+            pl.BlockSpec((8, 2 * br), lambda i, f: (0, i)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w (whole table)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
         ],
         out_specs=[
-            pl.BlockSpec((1, br), lambda i, c, l: (0, i)),
-            pl.BlockSpec((1, br), lambda i, c, l: (0, i)),
-            pl.BlockSpec((8, br), lambda i, c, l: (0, i)),
+            pl.BlockSpec((1, br), lambda i, f: (0, i)),
+            pl.BlockSpec((1, br), lambda i, f: (0, i)),
+            pl.BlockSpec((8, br), lambda i, f: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, br), jnp.float32),
@@ -282,7 +290,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
         ],
     )
     out_t, out_i, out_n = pl.pallas_call(
-        functools.partial(_dense_kernel, br=br),
+        functools.partial(_dense_kernel, br=br, nb=tables.num_blocks),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, Rp), jnp.float32),
@@ -290,7 +298,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, lists, rays, od, tables.w, tables.p, tables.nrm)
+    )(flags, rays, od, tables.w, tables.p, tables.nrm)
 
     t = out_t[0, :R]
     idx = out_i[0, :R]

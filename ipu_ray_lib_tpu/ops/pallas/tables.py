@@ -70,10 +70,47 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
+def _split_large_triangles(p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim,
+                           tri_has_normals, max_frac=0.25, max_rounds=4):
+    """Subdivide triangles whose AABB edge exceeds ``max_frac`` of the
+    scene extent (4-way midpoint split, repeated). Large wall/floor
+    triangles otherwise inflate every Morton block's AABB and defeat
+    block-level culling. Geometric results are identical (same planes);
+    tri_geom/tri_prim keep the ORIGINAL ids so hit reporting and AOVs
+    are unchanged."""
+    scene_lo = np.minimum(np.minimum(p0, p1), p2).min(axis=0)
+    scene_hi = np.maximum(np.maximum(p0, p1), p2).max(axis=0)
+    limit = max(float(np.max(scene_hi - scene_lo)), 1e-20) * max_frac
+
+    for _ in range(max_rounds):
+        ext = (np.maximum(np.maximum(p0, p1), p2)
+               - np.minimum(np.minimum(p0, p1), p2)).max(axis=1)
+        big = ext > limit
+        if not big.any():
+            break
+        keep = ~big
+        b0, b1, b2 = p0[big], p1[big], p2[big]
+        n0, n1, n2 = vn0[big], vn1[big], vn2[big]
+        m01, m12, m20 = (b0 + b1) / 2, (b1 + b2) / 2, (b2 + b0) / 2
+        k01, k12, k20 = (n0 + n1) / 2, (n1 + n2) / 2, (n2 + n0) / 2
+        p0 = np.concatenate([p0[keep], b0, m01, m20, m01])
+        p1 = np.concatenate([p1[keep], m01, b1, m12, m12])
+        p2 = np.concatenate([p2[keep], m20, m12, b2, m20])
+        vn0 = np.concatenate([vn0[keep], n0, k01, k20, k01])
+        vn1 = np.concatenate([vn1[keep], k01, n1, k12, k12])
+        vn2 = np.concatenate([vn2[keep], k20, k12, n2, k20])
+        rep = lambda a: np.concatenate([a[keep]] + [a[big]] * 4)
+        tri_geom = rep(tri_geom)
+        tri_prim = rep(tri_prim)
+        tri_has_normals = rep(tri_has_normals)
+    return p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals
+
+
 def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          tri_geom: np.ndarray, tri_prim: np.ndarray,
                          vert_normals: np.ndarray | None = None,
-                         tri_has_normals: np.ndarray | None = None) -> BlockedSceneTables:
+                         tri_has_normals: np.ndarray | None = None,
+                         split_large: bool = False) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
@@ -100,6 +137,15 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     else:
         vn0 = vn1 = vn2 = np.zeros_like(p0)
 
+    tri_geom = np.asarray(tri_geom, np.int32)
+    tri_prim = np.asarray(tri_prim, np.int32)
+    if split_large:
+        (p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim,
+         tri_has_normals) = _split_large_triangles(
+            p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals
+        )
+        T = len(p0)
+
     # Morton order by centroid:
     cent = (p0 + p1 + p2) / 3.0
     lo = cent.min(axis=0)
@@ -109,8 +155,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     p0, p1, p2 = p0[order], p1[order], p2[order]
     vn0, vn1, vn2 = vn0[order], vn1[order], vn2[order]
     tri_has_normals = tri_has_normals[order]
-    tri_geom = np.asarray(tri_geom, np.int32)[order]
-    tri_prim = np.asarray(tri_prim, np.int32)[order]
+    tri_geom = tri_geom[order]
+    tri_prim = tri_prim[order]
 
     # Plane + barycentric-gradient precompute (as ops/dense.py):
     e1 = p1 - p0

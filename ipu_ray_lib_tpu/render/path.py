@@ -183,14 +183,18 @@ def path_trace_sample(
             # octant and origin cell so ray blocks stay coherent for
             # block-level culling (the SURVEY's "stream compaction" role).
             # sort_rays = k sorts on bounces where i % k == 0 (k=1: every
-            # bounce) — sorting costs an argsort, so a cadence can win.
+            # bounce); sort_rays = -1 sorts once after the first bounce —
+            # the order largely persists, so one argsort buys coherence
+            # for every later bounce.
             def do_sort(vals):
                 perm = jnp.argsort(_sort_key(scene, vals["o"], vals["d"], vals["active"]))
                 return {k: (v if k == "i" else v[perm]) for k, v in vals.items()}
 
-            out = jax.lax.cond(
-                (i % jnp.int32(int(sort_rays))) == 0, do_sort, lambda v: v, out
-            )
+            if int(sort_rays) == -1:
+                pred = i == 0
+            else:
+                pred = (i % jnp.int32(int(sort_rays))) == 0
+            out = jax.lax.cond(pred, do_sort, lambda v: v, out)
         return out
 
     out = jax.lax.while_loop(cond, body, state)
