@@ -110,9 +110,25 @@ def block_cull_lists_bundle(tables: BlockedSceneTables, origins, dirs,
         exit_ = jnp.minimum(exit_, ax_exit)
 
     hit = (enter <= exit_) & (enter <= tmax_hi[:, None]) & (exit_ >= tmin_lo[:, None])
-    # Flags, not packed lists: the kernel iterates all blocks with a
-    # scalar-predicated skip, so no argsort/pack step is needed.
-    return hit.astype(jnp.int32)
+
+    # Near-to-far ordering + a provable early-stop bound: for unit-length
+    # ray directions, any hit in block b satisfies
+    #     t >= dist(origin-bundle box, block box)
+    # so once every lane's best_t is below the next block's distance, no
+    # remaining block can matter. Culled blocks sort to the end with an
+    # infinite bound, which the early stop also kills — no counts needed.
+    d2 = jnp.zeros((n_ray_blocks, nb), jnp.float32)
+    for a in range(3):
+        gap = jnp.maximum(
+            blo[None, :, a] - ohi[:, None, a], olo[:, None, a] - bhi[None, :, a]
+        )
+        gap = jnp.maximum(gap, 0.0)
+        d2 = d2 + gap * gap
+    dist_lb = jnp.where(hit, jnp.sqrt(d2), jnp.float32(jnp.inf))
+    order = jnp.argsort(dist_lb, axis=1).astype(jnp.int32)
+    dist_sorted = jnp.take_along_axis(dist_lb, order, axis=1)
+    counts = hit.sum(axis=1).astype(jnp.int32)
+    return counts, order, dist_sorted
 
 
 def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
@@ -146,7 +162,7 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     return counts, order
 
 
-def _dense_kernel(flags_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
+def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
                   out_t_ref, out_i_ref, out_n_ref, bt_ref, bi_ref, bn_ref,
                   *, br, nb):
     i = pl.program_id(0)
@@ -215,16 +231,26 @@ def _dense_kernel(flags_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
         bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
         return 0
 
-    def guarded(blk, c):
-        # Scalar SMEM flag read + branch: skipping a culled block costs a
-        # few scalar cycles, with no vector->scalar sync.
-        @pl.when(flags_ref[i, blk] != 0)
-        def _():
-            step(blk, c)
+    # Near-to-far walk with early termination: every CHECK_EVERY blocks,
+    # compare the worst live best_t against the next block's distance
+    # lower bound; once no remaining block can beat any lane, stop.
+    CHECK_EVERY = 4
+    count = count_ref[i]
 
-        return c
+    def cond(carry):
+        j, stop = carry
+        return (j < count) & jnp.logical_not(stop)
 
-    jax.lax.fori_loop(0, nb, guarded, 0)
+    def loop(carry):
+        j, _ = carry
+        step(list_ref[i, j], 0)
+        j = j + 1
+        do_check = (j % CHECK_EVERY == 0) & (j < nb)
+        worst = jnp.max(bt_ref[:])
+        stop = jnp.where(do_check, worst < dist_ref[i, j % nb], False)
+        return j, stop
+
+    jax.lax.while_loop(cond, loop, (jnp.int32(0), False))
     out_t_ref[:] = bt_ref[:]
     out_i_ref[:] = bi_ref[:]
     out_n_ref[:] = bn_ref[:]
@@ -254,7 +280,9 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     tmin_pad = padr(t_min)
     tmax_pad = padr(t_max, -1.0)            # pad rays never hit
 
-    flags = block_cull_lists_bundle(tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br)
+    counts, order, dists = block_cull_lists_bundle(
+        tables, o_pad, d_pad, tmin_pad, tmax_pad, nrb, br
+    )
 
     o_t = o_pad.T
     d_t = d_pad.T
@@ -269,19 +297,19 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     od = jnp.pad(od, ((0, 5), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec((8, br), lambda i, f: (0, i)),
-            pl.BlockSpec((8, 2 * br), lambda i, f: (0, i)),
+            pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
+            pl.BlockSpec((8, 2 * br), lambda i, c_, o_, d_: (0, i)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w (whole table)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
         ],
         out_specs=[
-            pl.BlockSpec((1, br), lambda i, f: (0, i)),
-            pl.BlockSpec((1, br), lambda i, f: (0, i)),
-            pl.BlockSpec((8, br), lambda i, f: (0, i)),
+            pl.BlockSpec((1, br), lambda i, c_, o_, d_: (0, i)),
+            pl.BlockSpec((1, br), lambda i, c_, o_, d_: (0, i)),
+            pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, br), jnp.float32),
@@ -298,7 +326,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(flags, rays, od, tables.w, tables.p, tables.nrm)
+    )(counts, order, dists, rays, od, tables.w, tables.p, tables.nrm)
 
     t = out_t[0, :R]
     idx = out_i[0, :R]
