@@ -117,6 +117,7 @@ def render(
     env_fn: Optional[Callable] = None,
     env_params=None,
     progress_callback: Optional[Callable[[int, np.ndarray], None]] = None,
+    streaming: bool = True,
 ) -> RenderOutput:
     """Render the scene's crop window. ``mode`` is 'shadow-trace' or
     'path-trace'. ``env_fn(env_params, dirs) -> rgb`` is an optional
@@ -125,7 +126,29 @@ def render(
     ``progress_callback(chunk_index, rgb_chunk)`` fires as each chunk
     completes — the analogue of the reference's RayCallback streaming
     partial results (src/RayCallback.cpp).
+
+    Path tracing uses the regenerating streaming wavefront
+    (render/streaming.py) by default — the fastest integrator; pass
+    ``streaming=False`` for the per-sample wavefront (used by parity
+    tests and the progressive callback mode).
     """
+    if (
+        mode == "path-trace"
+        and streaming
+        and progress_callback is None
+    ):
+        from .streaming import render_streaming
+
+        rgb_img, _done = render_streaming(
+            scene, params, chunk_slots=chunk_size,
+            env_fn=env_fn, env_params=env_params,
+        )
+        h, w = params.window_h, params.window_w
+        zi = np.full((h, w), -1, np.int32)
+        zf = np.full((h, w), np.inf, np.float32)
+        z3 = np.zeros((h, w, 3), np.float32)
+        return RenderOutput(rgb=rgb_img, t=zf, geom_id=zi, prim_id=zi,
+                            normal=z3, hit_p=z3)
     w, h = params.window_w, params.window_h
     rows_np, cols_np = np.asarray(pixel_grid(w, h, params.window_c, params.window_r))
     total = w * h

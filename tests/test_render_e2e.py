@@ -133,3 +133,22 @@ def test_path_trace_sorted_wavefront_distribution(cornell_scene):
     ha, _ = np.histogram(a, bins=16, range=(0, 2))
     hb, _ = np.histogram(b, bins=16, range=(0, 2))
     assert np.abs(ha - hb).sum() / max(ha.sum(), 1) < 0.2
+
+
+def test_streaming_matches_per_sample_energy(cornell_scene):
+    """Streaming-regeneration integrator must agree with the per-sample
+    wavefront in distribution (independent RNG streams)."""
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    arrays, params, _ = build_scene(
+        cornell_scene, image_width=24, image_height=24,
+        samples_per_pixel=32, intersector="dense",
+    )
+    img, done = render_streaming(arrays, params, chunk_slots=2048)
+    assert done == 24 * 24 * 32
+    assert np.isfinite(img).all() and img.min() >= 0
+
+    out = render(arrays, params, mode="path-trace", chunk_size=24 * 24,
+                 streaming=False)
+    a, b = img.mean(), out.rgb.mean()
+    assert abs(a - b) / max(b, 1e-9) < 0.12
