@@ -38,11 +38,8 @@ def main() -> int:
         intersector=intersector,
     )
 
-    # Warm-up/compile on a tiny crop so the timed run is execution only:
-    import dataclasses
-
-    warm = dataclasses.replace(params, window_w=min(chunk, size), window_h=1)
-    render(arrays, warm, mode="path-trace", chunk_size=chunk)
+    # Warm-up/compile with identical static shapes, then time the rerun:
+    render(arrays, params, mode="path-trace", chunk_size=chunk)
 
     t0 = time.time()
     out = render(arrays, params, mode="path-trace", chunk_size=chunk)

@@ -211,8 +211,9 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, od_ref, w_ref, p_ref,
             jnp.where(tm <= bt, lane, jnp.int32(0x7FFFFFFF)),
             axis=0, keepdims=True,
         )
-        # Shading normal of the per-block winner, selected densely via a
-        # one-hot matmul against the normal-basis table (no gathers):
+        # Shading normal (+ material payload rows) of the per-block
+        # winner, selected densely via a one-hot matmul (no gathers);
+        # (lane == bi) picks exactly one triangle even on t-ties:
         onehot = (lane == bi).astype(jnp.float32)          # [TB, br]
         nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]  # [8, 3TB]
         w1 = onehot
@@ -335,4 +336,8 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), jnp.float32(1e-30)
     )
-    return jnp.where(found, t, t_max), idx, normal
+    # Material payload rows (3..7): albedo / packed(mat_id*4+type) / ior —
+    # interpolation weights w2/w3 only touch rows 0..2 (dN tables), so
+    # these come through the w1 one-hot exactly:
+    payload = out_n[3:8, :R]
+    return jnp.where(found, t, t_max), idx, normal, payload

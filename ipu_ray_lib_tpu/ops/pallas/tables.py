@@ -18,7 +18,11 @@ Table layouts (f32 unless noted):
   nrm   [8, nb*3*TB]   block b columns = [N0^T | dN1^T | dN2^T]: shading
                        normal basis so the kernel can emit per-ray normals
                        (N0 + b1*dN1 + b2*dN2); geometric-normal meshes get
-                       dN1 = dN2 = 0
+                       dN1 = dN2 = 0. Segment 0's spare rows carry per-tri
+                       material data selected by the same one-hot dot:
+                       rows 3..5 = albedo, row 6 = mat_id*4 + mat_type,
+                       row 7 = ior (the streaming integrator reads these
+                       straight from the kernel output — no gathers)
   baabb [nb, 8]        block AABB lo.xyz, hi.xyz (pad 2)
   saabb [ns, 8]        super AABB
   tri_geom/tri_prim [nb*TB] i32 (Morton order), padding -> -1
@@ -71,7 +75,7 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def _split_large_triangles(p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim,
-                           tri_has_normals, max_frac=0.25, max_rounds=4):
+                           tri_has_normals, tri_mat, max_frac=0.25, max_rounds=4):
     """Subdivide triangles whose AABB edge exceeds ``max_frac`` of the
     scene extent (4-way midpoint split, repeated). Large wall/floor
     triangles otherwise inflate every Morton block's AABB and defeat
@@ -103,14 +107,19 @@ def _split_large_triangles(p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim,
         tri_geom = rep(tri_geom)
         tri_prim = rep(tri_prim)
         tri_has_normals = rep(tri_has_normals)
-    return p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals
+        tri_mat = rep(tri_mat)
+    return p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals, tri_mat
 
 
 def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          tri_geom: np.ndarray, tri_prim: np.ndarray,
                          vert_normals: np.ndarray | None = None,
                          tri_has_normals: np.ndarray | None = None,
-                         split_large: bool = False) -> BlockedSceneTables:
+                         split_large: bool = False,
+                         tri_mat: np.ndarray | None = None,
+                         mat_albedo: np.ndarray | None = None,
+                         mat_ior: np.ndarray | None = None,
+                         mat_type: np.ndarray | None = None) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
@@ -139,10 +148,19 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
 
     tri_geom = np.asarray(tri_geom, np.int32)
     tri_prim = np.asarray(tri_prim, np.int32)
+    if tri_mat is None:
+        tri_mat = np.zeros(T, np.int32)
+        mat_albedo = np.zeros((1, 3), np.float32)
+        mat_ior = np.full(1, 1.52, np.float32)
+        mat_type = np.zeros(1, np.int32)
+    tri_mat = np.asarray(tri_mat, np.int32)[:T]
+    if len(tri_mat) < T:
+        tri_mat = np.pad(tri_mat, (0, T - len(tri_mat)))
     if split_large:
         (p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim,
-         tri_has_normals) = _split_large_triangles(
-            p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals
+         tri_has_normals, tri_mat) = _split_large_triangles(
+            p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals,
+            tri_mat,
         )
         T = len(p0)
 
@@ -157,6 +175,7 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     tri_has_normals = tri_has_normals[order]
     tri_geom = tri_geom[order]
     tri_prim = tri_prim[order]
+    tri_mat = tri_mat[order]
 
     # Plane + barycentric-gradient precompute (as ops/dense.py):
     e1 = p1 - p0
@@ -180,6 +199,12 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     dN1 = np.where(hasn, vn1 - vn0, 0.0)
     dN2 = np.where(hasn, vn2 - vn0, 0.0)
 
+    # Per-tri material payload (selected via the w1 one-hot dot):
+    m_safe = np.clip(tri_mat, 0, len(mat_albedo) - 1)
+    mat_alb = np.asarray(mat_albedo, np.float64)[m_safe]
+    mat_packed = (m_safe * 4 + np.asarray(mat_type, np.int64)[m_safe]).astype(np.float64)
+    mat_iors = np.asarray(mat_ior, np.float64)[m_safe]
+
     nb = max(1, -(-T // TB))
     ns = -(-nb // SB)
     nb = ns * SB  # pad block count to a whole number of supers
@@ -191,6 +216,9 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
 
     n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
     N0_p, dN1_p, dN2_p = padT(N0), padT(dN1), padT(dN2)
+    mat_alb_p = padT(mat_alb)
+    mat_packed_p = padT(mat_packed)
+    mat_ior_p = padT(mat_iors)
     p0_p = padT(p0)
     tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
     tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
@@ -207,6 +235,9 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         nrm[0:3, base : base + TB] = N0_p[sl].T
         nrm[0:3, base + TB : base + 2 * TB] = dN1_p[sl].T
         nrm[0:3, base + 2 * TB : base + 3 * TB] = dN2_p[sl].T
+        nrm[3:6, base : base + TB] = mat_alb_p[sl].T
+        nrm[6, base : base + TB] = mat_packed_p[sl]
+        nrm[7, base : base + TB] = mat_ior_p[sl]
 
     # p: [nb*TB, 8]
     p = np.zeros((Tp, 8), np.float32)

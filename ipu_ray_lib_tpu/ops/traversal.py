@@ -243,7 +243,7 @@ def pallas_scene_intersect(scene, origin, direction, t_min, t_max,
     from .pallas.intersect_kernel import pallas_intersect
 
     interpret = _jax.default_backend() != "tpu"
-    best_t, tri, knormal = pallas_intersect(
+    best_t, tri, knormal, _payload = pallas_intersect(
         scene.blocked, origin, direction, t_min, t_max, interpret=interpret
     )
     tri_safe = jnp.clip(tri, 0, scene.blocked.tri_geom.shape[0] - 1)
@@ -284,6 +284,65 @@ def pallas_scene_intersect(scene, origin, direction, t_min, t_max,
     default = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), normal.shape)
     normal = jnp.where(found[..., None], normal, default)
     return hit, normal
+
+
+def pallas_path_intersect(scene, origin, direction, t_min, t_max):
+    """Streaming-integrator fast path: closest hit + shading normal +
+    material payload (albedo, mat_id, type, ior) straight from the
+    kernel's one-hot selection — zero per-lane gathers for triangle hits.
+    Sphere/disc hits override via their (few) analytic lanes."""
+    import jax as _jax
+
+    from .dense import dense_discs, dense_spheres
+    from .pallas.intersect_kernel import pallas_intersect
+
+    interpret = _jax.default_backend() != "tpu"
+    best_t, tri, knormal, payload = pallas_intersect(
+        scene.blocked, origin, direction, t_min, t_max, interpret=interpret
+    )
+    found = tri >= 0
+    albedo = payload[0:3].T                     # [R,3]
+    packed = payload[3].astype(jnp.int32)
+    mid = packed >> 2
+    mtype = packed & 3
+    ior = payload[4]
+    normal = knormal
+
+    sb, st, si = dense_spheres(scene.spheres, origin, direction, t_min,
+                               jnp.where(found, best_t, t_max))
+    db, dtt, di = dense_discs(scene.discs, origin, direction, t_min,
+                              jnp.where(sb, st, jnp.where(found, best_t, t_max)))
+
+    hit_t = jnp.where(db, dtt, jnp.where(sb, st, best_t))
+    found = found | sb | db
+
+    # Sphere/disc overrides (analytic normals + material via geom gather):
+    hp = origin + direction * hit_t[..., None]
+    si_s = jnp.clip(si, 0, scene.spheres.shape[0] - 1)
+    sp = scene.spheres[si_s]
+    sn = hp - sp[..., :3]
+    sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-30)
+    di_s = jnp.clip(di, 0, scene.discs.shape[0] - 1)
+    dn = scene.discs[di_s][..., 0:3]
+    normal = jnp.where(sb[..., None], sn, normal)
+    normal = jnp.where(db[..., None], dn, normal)
+
+    gid_override = jnp.where(db, scene.disc_geom[di_s], scene.sphere_geom[si_s])
+    mid_o = scene.mat_id[jnp.clip(gid_override, 0, scene.mat_id.shape[0] - 1)]
+    use_o = sb | db
+    mid = jnp.where(use_o, mid_o, mid)
+    albedo = jnp.where(use_o[..., None], scene.mat_albedo[mid_o], albedo)
+    mtype = jnp.where(use_o, scene.mat_type[mid_o], mtype)
+    ior = jnp.where(use_o, scene.mat_ior[mid_o], ior)
+
+    default_n = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], jnp.float32), normal.shape
+    )
+    normal = jnp.where(found[..., None], normal, default_n)
+    return dict(
+        t=jnp.where(found, hit_t, t_max), found=found, normal=normal,
+        albedo=albedo, mat_id=mid, mat_type=mtype, ior=ior,
+    )
 
 
 def scene_intersect_with_normal(scene, origin, direction, t_min, t_max,

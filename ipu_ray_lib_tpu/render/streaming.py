@@ -2,22 +2,26 @@
 
 The highest-throughput integrator: a fixed pool of R ray slots advances
 one segment per iteration; the moment a path terminates (escape, roulette,
-bounce limit) its radiance is scatter-added into the image and the slot
-immediately *regenerates* a fresh (pixel, sample) camera path. Slot
-utilisation therefore stays ~100%, versus ~40% for the per-sample
-wavefront whose loop must drag every lane to the longest path's length
-(render/path.py keeps that mode for per-sample parity testing).
+bounce limit) its radiance is banked and the slot immediately
+*regenerates* the next (pixel, sample) camera path. Slot utilisation
+stays ~100%, versus ~40% for the per-sample wavefront whose loop drags
+every lane to the longest path's length (render/path.py keeps that mode
+for per-sample parity testing).
 
-This is the TPU analogue of the reference's DRAM ray-streaming design
-goal — the device never idles on ray supply (README.md:20-23) — pushed
-inside the integrator itself. Radiometry is identical to the reference's
-megakernel: emissive accumulation on hit, diffuse/specular/dielectric
-sampling, roulette after the configured depth, env light (NIF) on escape
-(codelets/TraceCodelets.cpp:170-264, 321-382).
+Key TPU design point — **no scatters**: XLA scatter-add costs ~17 ms per
+op on this hardware, so each slot owns a *private, statically-strided
+pixel set* (slot s serves pixels {s, s+R, s+2R, ...} of the tile-ordered
+pixel stream). Banking a finished path is then a dense one-hot FMA into
+a [R, J, 3] accumulator, and the final image is a pure reshape. Spawning
+is slot-local (a per-slot path counter), so there is no cross-lane
+bookkeeping at all.
 
-RNG is counter-based per (path_id, bounce) (ops/rng.py) — independent
-streams per path sample, matching the reference's per-worker HW RNG
-contract in distribution.
+Radiometry is identical to the reference's megakernel: emissive
+accumulation on hit, diffuse/specular/dielectric sampling, roulette
+after the configured depth, env light (NIF) on escape
+(codelets/TraceCodelets.cpp:170-264, 321-382). RNG is counter-based per
+(path_id, bounce) (ops/rng.py) — matching the reference's per-worker HW
+RNG contract in distribution.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ from ..ops.bxdf import (
 )
 from ..ops.camera import pixel_to_ray_dir
 from ..ops.rng import normal2, uniform01
-from ..ops.traversal import scene_intersect_with_normal
+from ..ops.traversal import pallas_path_intersect, scene_intersect_with_normal
 from ..scene.build import SceneArrays, SceneParams
 
 MAT_DIFFUSE = 0
@@ -47,9 +51,9 @@ MAT_SPECULAR = 1
 MAT_REFRACTIVE = 2
 
 
-def _camera_ray(scene_params, rows, cols, pix, path_id, aa_scale):
-    """Fresh camera rays for the given slot path ids (vectorised)."""
-    g1, g2 = normal2(path_id, jnp.uint32(0xCA3))
+def _camera_ray(scene_params, rows, cols, pix, path_id, aa_scale, seed):
+    """Fresh camera rays for the given slot pixel indices (vectorised)."""
+    g1, g2 = normal2(path_id, seed, jnp.uint32(0xCA3))
     pu = rows[pix] + aa_scale * g1
     pv = cols[pix] + aa_scale * g2
     tan_theta = jnp.tan(jnp.float32(scene_params.fov_radians) / 2.0)
@@ -64,48 +68,58 @@ def _camera_ray(scene_params, rows, cols, pix, path_id, aa_scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "total_paths", "n_pix", "slots", "max_iters",
+    static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "has_env", "env_fn"),
 )
 def streaming_path_trace(
     scene: SceneArrays,
-    rows: jnp.ndarray,          # [n_pix] f32 pixel rows
-    cols: jnp.ndarray,          # [n_pix] f32 pixel cols
+    rows: jnp.ndarray,          # [slots * j_per_slot] f32 pixel rows (padded)
+    cols: jnp.ndarray,          # [slots * j_per_slot] f32 pixel cols
     seed: jnp.ndarray,          # u32 scalar
     env_params,
     *,
     params: SceneParams,
-    total_paths: int,
-    n_pix: int,
     slots: int,
+    j_per_slot: int,
+    spp: int,
     max_iters: int,
     has_env: bool,
     env_fn=None,
 ):
-    """Returns (accum_rgb [n_pix,3], paths_completed). accum is a SUM of
-    per-path radiance; divide by spp for the image."""
+    """Returns (accum [slots, J, 3] radiance sums, paths_done). Pixel
+    p of the padded stream lives at accum[p % slots, p // slots]."""
     R = slots
+    J = j_per_slot
+    K = J * spp  # paths per slot
     f32 = jnp.float32
     aa = f32(params.anti_alias_scale)
+    slot_ids = jnp.arange(R, dtype=jnp.uint32)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (R, J), 1)
 
-    # Initial fill: slots take path ids 0..R-1.
-    path_id0 = jnp.arange(R, dtype=jnp.uint32)
-    pix0 = (path_id0 % jnp.uint32(n_pix)).astype(jnp.int32)
-    o0, d0 = _camera_ray(params, rows, cols, pix0, path_id0 + seed * 0x9E37, aa)
+    def slot_pix(k):
+        """Pixel-stream index for each slot's k-th path (same pixel for
+        spp consecutive paths -> maximal regeneration coherence)."""
+        j = k // spp
+        return slot_ids.astype(jnp.int32) + j * R, j
+
+    def slot_pid(k):
+        return slot_ids * jnp.uint32(K) + k.astype(jnp.uint32)
+
+    k0 = jnp.zeros(R, jnp.int32)
+    pix0, j0 = slot_pix(k0)
+    o0, d0 = _camera_ray(params, rows, cols, pix0, slot_pid(k0), aa, seed)
 
     state = dict(
         it=jnp.int32(0),
-        next_path=jnp.uint32(R),
-        pid=path_id0,
-        pix=pix0,
+        k=k0,
         bounce=jnp.zeros(R, jnp.int32),
         o=o0,
         d=d0,
         n=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), (R, 3)),
         tp=jnp.ones((R, 3), f32),
         color=jnp.zeros((R, 3), f32),
-        active=jnp.ones(R, bool),   # slot holds a live path
-        accum=jnp.zeros((n_pix, 3), f32),
+        active=jnp.ones(R, bool),
+        accum=jnp.zeros((R, J, 3), f32),
         done=jnp.uint32(0),
     )
 
@@ -116,37 +130,51 @@ def streaming_path_trace(
 
     def body(s):
         active = s["active"]
-        rng_a = s["pid"]
+        pid = slot_pid(s["k"])
         rng_b = s["bounce"].astype(jnp.uint32) + jnp.uint32(7) + seed
 
         o = offset_ray_origin(s["o"], s["d"], s["n"])
         d = s["d"]
         t_max = jnp.where(active, f32(jnp.inf), f32(-1.0))
-        hit, hit_n = scene_intersect_with_normal(
-            scene, o, d, t_min, t_max, params.intersector
-        )
-        found = hit.found
+        if params.intersector == "pallas":
+            # Fast path: normal + material payload come from the kernel's
+            # one-hot selection — no per-lane material gathers:
+            res = pallas_path_intersect(scene, o, d, t_min, t_max)
+            found = res["found"]
+            hit_t = res["t"]
+            hit_n = res["normal"]
+            mid = res["mat_id"]
+            albedo = res["albedo"]
+            ior = res["ior"]
+            mtype = res["mat_type"]
+        else:
+            hit, hit_n = scene_intersect_with_normal(
+                scene, o, d, t_min, t_max, params.intersector
+            )
+            found = hit.found
+            hit_t = hit.t
+            g_safe = jnp.clip(hit.geom_id, 0, scene.mat_id.shape[0] - 1)
+            mid = scene.mat_id[g_safe]
+            albedo = scene.mat_albedo[mid]
+            ior = scene.mat_ior[mid]
+            mtype = scene.mat_type[mid]
+
+        mid_safe = jnp.clip(mid, 0, scene.mat_emission.shape[0] - 1)
+        emission = scene.mat_emission[mid_safe]
+        emissive = scene.mat_emissive[mid_safe] != 0
 
         live = active & found
         n = jnp.where(live[..., None], hit_n, s["n"])
-        o = jnp.where(live[..., None], o + d * hit.t[..., None], o)
-
-        g_safe = jnp.clip(hit.geom_id, 0, scene.mat_id.shape[0] - 1)
-        mid = scene.mat_id[g_safe]
-        albedo = scene.mat_albedo[mid]
-        emission = scene.mat_emission[mid]
-        emissive = scene.mat_emissive[mid] != 0
-        ior = scene.mat_ior[mid]
-        mtype = scene.mat_type[mid]
+        o = jnp.where(live[..., None], o + d * hit_t[..., None], o)
 
         color = s["color"] + jnp.where(
             (live & emissive)[..., None], s["tp"] * emission, 0.0
         )
 
-        u0 = uniform01(rng_a, rng_b, jnp.uint32(0))
-        u1 = uniform01(rng_a, rng_b, jnp.uint32(1))
-        u2 = uniform01(rng_a, rng_b, jnp.uint32(2))
-        u3 = uniform01(rng_a, rng_b, jnp.uint32(3))
+        u0 = uniform01(pid, rng_b, jnp.uint32(0))
+        u1 = uniform01(pid, rng_b, jnp.uint32(1))
+        u2 = uniform01(pid, rng_b, jnp.uint32(2))
+        u3 = uniform01(pid, rng_b, jnp.uint32(3))
 
         d_diffuse = sample_diffuse(n, u0, u1)
         d_specular = reflect(d, n)
@@ -167,39 +195,30 @@ def streaming_path_trace(
         tp = jnp.where((use_roulette & live)[..., None], tp_r, tp)
         killed = live & use_roulette & stop_r
 
-        # Escape contribution (env light / NIF):
+        # Escape contribution (env light / NIF). Escaped lanes kept their
+        # traced direction (not live, so the resample didn't touch them):
         escaped = active & ~found
         if has_env:
-            # Escaped lanes kept their traced direction (they are not
-            # live, so the resample above did not touch them):
             env_rgb = env_fn(env_params, d)
-            color = color + jnp.where(
-                escaped[..., None], s["tp"] * env_rgb, 0.0
-            )
+            color = color + jnp.where(escaped[..., None], s["tp"] * env_rgb, 0.0)
 
         bounce = s["bounce"] + 1
         over = live & (bounce >= params.max_path_length)
         terminated = escaped | killed | over
 
-        # Flush finished paths into the image accumulator:
-        flush_pix = jnp.where(terminated, s["pix"], n_pix)  # n_pix row = dropped
-        accum = s["accum"].at[flush_pix].add(
-            jnp.where(terminated[..., None], color, 0.0),
-            mode="drop",
-        )
+        # Bank finished paths: dense one-hot FMA into the slot-private
+        # accumulator (no scatter).
+        _, j_cur = slot_pix(s["k"])
+        onehot = (j_iota == j_cur[:, None]) & terminated[:, None]
+        accum = s["accum"] + onehot[..., None] * color[:, None, :]
         done = s["done"] + terminated.sum().astype(jnp.uint32)
 
-        # Regenerate terminated slots with fresh paths (if any remain):
-        order = jnp.cumsum(terminated.astype(jnp.uint32)) - 1
-        new_ids = s["next_path"] + order
-        can_spawn = terminated & (new_ids < jnp.uint32(total_paths))
-        spawned = can_spawn.sum().astype(jnp.uint32)
-
-        pid = jnp.where(can_spawn, new_ids, s["pid"])
-        pix = jnp.where(
-            can_spawn, (new_ids % jnp.uint32(n_pix)).astype(jnp.int32), s["pix"]
-        )
-        co, cd = _camera_ray(params, rows, cols, pix, pid + seed * 0x9E37, aa)
+        # Regenerate terminated slots with their next path:
+        k_next = s["k"] + 1
+        can_spawn = terminated & (k_next < K)
+        k = jnp.where(terminated, jnp.minimum(k_next, K), s["k"])
+        pix, _ = slot_pix(k)
+        co, cd = _camera_ray(params, rows, cols, pix, slot_pid(k), aa, seed)
         o = jnp.where(can_spawn[..., None], co, o)
         d = jnp.where(can_spawn[..., None], cd, d)
         n = jnp.where(can_spawn[..., None],
@@ -211,14 +230,13 @@ def streaming_path_trace(
 
         return dict(
             it=s["it"] + 1,
-            next_path=s["next_path"] + spawned,
-            pid=pid, pix=pix, bounce=bounce,
+            k=k, bounce=bounce,
             o=o, d=d, n=n, tp=tp, color=color,
             active=active, accum=accum, done=done,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["accum"], out["done"]
+    return out["accum"], out["done"], out["it"]
 
 
 def render_streaming(
@@ -228,25 +246,44 @@ def render_streaming(
     env_fn: Optional[Callable] = None,
     env_params=None,
     spp: int | None = None,
+    tile: int = 32,
 ):
-    """Full-window streaming render; returns rgb [H, W, 3] numpy."""
-    from ..ops.camera import pixel_grid
-
+    """Full-window streaming render; returns (rgb [H, W, 3] numpy, done)."""
     spp = spp if spp is not None else params.samples_per_pixel
-    rows, cols = pixel_grid(
-        params.window_w, params.window_h, params.window_c, params.window_r
-    )
-    n_pix = int(rows.shape[0])
-    total_paths = n_pix * spp
-    slots = min(chunk_slots, total_paths)
-    # Expected segments/path is well under the hard bounce cap; the +slack
-    # covers the drain phase:
-    max_iters = int(np.ceil(total_paths / slots) * params.max_path_length + 64)
+    w, h = params.window_w, params.window_h
+    n_pix = w * h
 
-    accum, done = streaming_path_trace(
-        scene, rows, cols, jnp.uint32(params.rng_seed & 0xFFFFFFFF), env_params,
-        params=params, total_paths=total_paths, n_pix=n_pix, slots=slots,
+    # Tile-ordered pixel stream (coherent slot neighbourhoods):
+    rr, cc = np.meshgrid(
+        np.arange(params.window_r, params.window_r + h),
+        np.arange(params.window_c, params.window_c + w),
+        indexing="ij",
+    )
+    rel_r, rel_c = rr - params.window_r, cc - params.window_c
+    order = np.lexsort(
+        (rel_c.ravel() % tile, rel_r.ravel() % tile,
+         rel_c.ravel() // tile, rel_r.ravel() // tile)
+    )
+    rows_np = rr.ravel()[order].astype(np.float32)
+    cols_np = cc.ravel()[order].astype(np.float32)
+
+    R = min(chunk_slots, n_pix)
+    J = -(-n_pix // R)
+    pad = R * J - n_pix
+    rows_np = np.pad(rows_np, (0, pad))
+    cols_np = np.pad(cols_np, (0, pad))
+
+    # Drain bound: every path takes at most max_path_length segments.
+    max_iters = J * spp * params.max_path_length + 8
+
+    accum, done, _iters = streaming_path_trace(
+        scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
+        jnp.uint32(params.rng_seed & 0xFFFFFFFF), env_params,
+        params=params, slots=R, j_per_slot=J, spp=spp,
         max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
     )
-    img = np.asarray(accum) / spp
-    return img.reshape(params.window_h, params.window_w, 3), int(done)
+    # accum[s, j] holds padded-stream pixel s + j*R:
+    flat = np.asarray(accum).transpose(1, 0, 2).reshape(R * J, 3) / spp
+    img = np.empty((n_pix, 3), np.float32)
+    img[order] = flat[:n_pix]
+    return img.reshape(h, w, 3), int(done)

@@ -228,12 +228,17 @@ def build_scene(
             np.full(len(m.triangles), bool(m.has_normals)) for m in scene.meshes
         ]) if scene.meshes else np.zeros(0, bool)
     )
+    tri_mat_ids = (
+        mat_id[tri_geom_ids] if len(tri_geom_ids) else np.zeros(0, np.int32)
+    )
     blocked = build_blocked_tables(
         tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
         verts if len(verts) else np.zeros((1, 3), np.float32),
         tri_geom_ids, tri_prim_ids,
         vert_normals=normals if len(normals) else None,
         tri_has_normals=tri_has_normals,
+        tri_mat=tri_mat_ids,
+        mat_albedo=mat_albedo, mat_ior=mat_ior, mat_type=mat_type,
     )
     sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
     disc_geom = disc_gid0 + np.arange(max(len(scene.discs), 1), dtype=np.int32)

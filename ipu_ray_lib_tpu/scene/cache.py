@@ -62,9 +62,13 @@ def load_compiled_scene(path: str):
     for g in range(params.num_meshes):
         sl = slice(bounds[g], bounds[g + 1])
         tri_has_normals[sl] = bool(has_n[g])
+    mat_id_arr = host["mat_id"]
+    tri_mat = mat_id_arr[np.clip(tri_geom, 0, len(mat_id_arr) - 1)]
     blocked = build_blocked_tables(
         tri_v, verts, tri_geom, tri_prim,
         vert_normals=host["normals"], tri_has_normals=tri_has_normals,
+        tri_mat=tri_mat, mat_albedo=host["mat_albedo"],
+        mat_ior=host["mat_ior"], mat_type=host["mat_type"],
     )
 
     arrays = SceneArrays(
