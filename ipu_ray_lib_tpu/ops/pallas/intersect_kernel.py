@@ -216,9 +216,12 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, od_ref, w_ref, p_ref,
         # (lane == bi) picks exactly one triangle even on t-ties:
         onehot = (lane == bi).astype(jnp.float32)          # [TB, br]
         nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]  # [8, 3TB]
+        # Zero barycentrics on failed rows first: degenerate/padding
+        # triangles produce NaN b1/b2 there, and 0 * NaN = NaN would
+        # poison the selection dot:
         w1 = onehot
-        w2 = onehot * b1
-        w3 = onehot * b2
+        w2 = onehot * jnp.where(ok, b1, 0.0)
+        w3 = onehot * jnp.where(ok, b2, 0.0)
         nd = (((1,), (0,)), ((), ()))
         n_cand = (
             jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd, preferred_element_type=jnp.float32)

@@ -302,7 +302,9 @@ def pallas_path_intersect(scene, origin, direction, t_min, t_max):
     )
     found = tri >= 0
     albedo = payload[0:3].T                     # [R,3]
-    packed = payload[3].astype(jnp.int32)
+    # Round, don't truncate: the one-hot selection runs on the MXU whose
+    # f32 accumulation can return 15.9999 for an exact 16.0:
+    packed = jnp.round(payload[3]).astype(jnp.int32)
     mid = packed >> 2
     mtype = packed & 3
     ior = payload[4]
