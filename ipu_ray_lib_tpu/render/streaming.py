@@ -8,13 +8,17 @@ stays ~100%, versus ~40% for the per-sample wavefront whose loop drags
 every lane to the longest path's length (render/path.py keeps that mode
 for per-sample parity testing).
 
-Key TPU design point — **no scatters**: XLA scatter-add costs ~17 ms per
-op on this hardware, so each slot owns a *private, statically-strided
-pixel set* (slot s serves pixels {s, s+R, s+2R, ...} of the tile-ordered
-pixel stream). Banking a finished path is then a dense one-hot FMA into
-a [R, J, 3] accumulator, and the final image is a pure reshape. Spawning
-is slot-local (a per-slot path counter), so there is no cross-lane
-bookkeeping at all.
+TPU-specific design points (from profiling on hardware):
+
+* **No scatters** — XLA scatter-add costs ~17 ms/op here. Each slot owns
+  a private strided pixel set (slot s serves pixels {s, s+R, ...} of the
+  tile-ordered stream), so banking is dense.
+* **Lane-major accumulator layout** — a [R, J, 3] accumulator gets a
+  42x-padded XLA tile layout (minor dims (16, 3) pad to (16, 128)!) and
+  its one-hot FMA alone cost ~3.4 ms/iteration. Shaped [J, 3, R] (rays on
+  the lane dimension) the same dense banking costs ~0.3 ms.
+* The self-intersection offset is folded into the end of the iteration,
+  so the surface normal never enters the loop carry.
 
 Radiometry is identical to the reference's megakernel: emissive
 accumulation on hit, diffuse/specular/dielectric sampling, roulette
@@ -52,7 +56,9 @@ MAT_REFRACTIVE = 2
 
 
 def _camera_ray(scene_params, rows, cols, pix, path_id, aa_scale, seed):
-    """Fresh camera rays for the given slot pixel indices (vectorised)."""
+    """Fresh camera rays for the given slot pixel indices (vectorised).
+    Origins come back pre-offset along the initial normal (0, 0, 1),
+    matching the reference's first offsetRay on camera rays."""
     g1, g2 = normal2(path_id, seed, jnp.uint32(0xCA3))
     pu = rows[pix] + aa_scale * g1
     pv = cols[pix] + aa_scale * g2
@@ -63,7 +69,11 @@ def _camera_ray(scene_params, rows, cols, pix, path_id, aa_scale, seed):
         jnp.float32(scene_params.image_height),
         tan_theta,
     )
-    return jnp.zeros_like(d), d
+    o = offset_ray_origin(
+        jnp.zeros_like(d), d,
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), d.shape),
+    )
+    return o, d
 
 
 @functools.partial(
@@ -86,19 +96,16 @@ def streaming_path_trace(
     has_env: bool,
     env_fn=None,
 ):
-    """Returns (accum [slots, J, 3] radiance sums, paths_done). Pixel
-    p of the padded stream lives at accum[p % slots, p // slots]."""
+    """Returns (accum [J, 3, slots] radiance sums, paths_done, iters).
+    Pixel p of the padded stream lives at accum[p // slots, :, p % slots]."""
     R = slots
     J = j_per_slot
     K = J * spp  # paths per slot
     f32 = jnp.float32
     aa = f32(params.anti_alias_scale)
     slot_ids = jnp.arange(R, dtype=jnp.uint32)
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (R, J), 1)
 
     def slot_pix(k):
-        """Pixel-stream index for each slot's k-th path (same pixel for
-        spp consecutive paths -> maximal regeneration coherence)."""
         j = k // spp
         return slot_ids.astype(jnp.int32) + j * R, j
 
@@ -106,8 +113,7 @@ def streaming_path_trace(
         return slot_ids * jnp.uint32(K) + k.astype(jnp.uint32)
 
     k0 = jnp.zeros(R, jnp.int32)
-    pix0, j0 = slot_pix(k0)
-    o0, d0 = _camera_ray(params, rows, cols, pix0, slot_pid(k0), aa, seed)
+    o0, d0 = _camera_ray(params, rows, cols, slot_pix(k0)[0], slot_pid(k0), aa, seed)
 
     state = dict(
         it=jnp.int32(0),
@@ -115,15 +121,16 @@ def streaming_path_trace(
         bounce=jnp.zeros(R, jnp.int32),
         o=o0,
         d=d0,
-        n=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), (R, 3)),
         tp=jnp.ones((R, 3), f32),
         color=jnp.zeros((R, 3), f32),
         active=jnp.ones(R, bool),
-        accum=jnp.zeros((R, J, 3), f32),
+        accum=jnp.zeros((J, 3, R), f32),
         done=jnp.uint32(0),
     )
 
     t_min = jnp.zeros(R, f32)
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (J, 1, 1), 0)
 
     def cond(s):
         return (s["it"] < max_iters) & jnp.any(s["active"])
@@ -133,12 +140,10 @@ def streaming_path_trace(
         pid = slot_pid(s["k"])
         rng_b = s["bounce"].astype(jnp.uint32) + jnp.uint32(7) + seed
 
-        o = offset_ray_origin(s["o"], s["d"], s["n"])
+        o = s["o"]
         d = s["d"]
         t_max = jnp.where(active, f32(jnp.inf), f32(-1.0))
         if params.intersector == "pallas":
-            # Fast path: normal + material payload come from the kernel's
-            # one-hot selection — no per-lane material gathers:
             res = pallas_path_intersect(scene, o, d, t_min, t_max)
             found = res["found"]
             hit_t = res["t"]
@@ -164,8 +169,7 @@ def streaming_path_trace(
         emissive = scene.mat_emissive[mid_safe] != 0
 
         live = active & found
-        n = jnp.where(live[..., None], hit_n, s["n"])
-        o = jnp.where(live[..., None], o + d * hit_t[..., None], o)
+        hit_p = o + d * hit_t[..., None]
 
         color = s["color"] + jnp.where(
             (live & emissive)[..., None], s["tp"] * emission, 0.0
@@ -176,9 +180,9 @@ def streaming_path_trace(
         u2 = uniform01(pid, rng_b, jnp.uint32(2))
         u3 = uniform01(pid, rng_b, jnp.uint32(3))
 
-        d_diffuse = sample_diffuse(n, u0, u1)
-        d_specular = reflect(d, n)
-        d_dielec, refracted = dielectric(d, n, ior, u2)
+        d_diffuse = sample_diffuse(hit_n, u0, u1)
+        d_specular = reflect(d, hit_n)
+        d_dielec, refracted = dielectric(d, hit_n, ior, u2)
         is_diff = mtype == MAT_DIFFUSE
         is_spec = mtype == MAT_SPECULAR
         new_d = jnp.where(
@@ -187,6 +191,13 @@ def streaming_path_trace(
         )
         scale_tp = is_diff | is_spec | ((mtype == MAT_REFRACTIVE) & refracted)
         tp = s["tp"] * jnp.where((live & scale_tp)[..., None], albedo, 1.0)
+
+        # Next segment origin, pre-offset (normal leaves the loop here):
+        o = jnp.where(
+            live[..., None],
+            offset_ray_origin(hit_p, new_d, hit_n),
+            o,
+        )
         d = jnp.where(live[..., None], new_d, d)
 
         # Roulette (after the configured depth):
@@ -206,32 +217,30 @@ def streaming_path_trace(
         over = live & (bounce >= params.max_path_length)
         terminated = escaped | killed | over
 
-        # Bank finished paths: dense one-hot FMA into the slot-private
-        # accumulator (no scatter).
+        # Bank finished paths: dense lane-major one-hot FMA:
         _, j_cur = slot_pix(s["k"])
-        onehot = (j_iota == j_cur[:, None]) & terminated[:, None]
-        accum = s["accum"] + onehot[..., None] * color[:, None, :]
+        sel = (j_iota == j_cur[None, None, :]) & terminated[None, None, :]
+        accum = s["accum"] + jnp.where(sel, color.T[None], 0.0)
         done = s["done"] + terminated.sum().astype(jnp.uint32)
 
-        # Regenerate terminated slots with their next path:
-        k_next = s["k"] + 1
-        can_spawn = terminated & (k_next < K)
-        k = jnp.where(terminated, jnp.minimum(k_next, K), s["k"])
+        k = jnp.where(terminated, jnp.minimum(s["k"] + 1, K), s["k"])
+        active = active & ~terminated
+        bounce = jnp.where(terminated, 0, bounce)
+        color = jnp.where(terminated[..., None], 0.0, color)
+
+        # Regenerate idle slots with their next path:
+        can_spawn = (~active) & (k < K)
         pix, _ = slot_pix(k)
         co, cd = _camera_ray(params, rows, cols, pix, slot_pid(k), aa, seed)
         o = jnp.where(can_spawn[..., None], co, o)
         d = jnp.where(can_spawn[..., None], cd, d)
-        n = jnp.where(can_spawn[..., None],
-                      jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), (R, 3)), n)
         tp = jnp.where(can_spawn[..., None], 1.0, tp)
-        color = jnp.where(terminated[..., None], 0.0, color)
-        bounce = jnp.where(can_spawn, 0, bounce)
-        active = (active & ~terminated) | can_spawn
+        active = active | can_spawn
 
         return dict(
             it=s["it"] + 1,
             k=k, bounce=bounce,
-            o=o, d=d, n=n, tp=tp, color=color,
+            o=o, d=d, tp=tp, color=color,
             active=active, accum=accum, done=done,
         )
 
@@ -274,7 +283,7 @@ def render_streaming(
     cols_np = np.pad(cols_np, (0, pad))
 
     # Drain bound: every path takes at most max_path_length segments.
-    max_iters = J * spp * params.max_path_length + 8
+    max_iters = J * spp * params.max_path_length + 16
 
     accum, done, _iters = streaming_path_trace(
         scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
@@ -282,8 +291,8 @@ def render_streaming(
         params=params, slots=R, j_per_slot=J, spp=spp,
         max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
     )
-    # accum[s, j] holds padded-stream pixel s + j*R:
-    flat = np.asarray(accum).transpose(1, 0, 2).reshape(R * J, 3) / spp
+    # accum[j, :, s] holds padded-stream pixel s + j*R:
+    flat = np.asarray(accum).transpose(0, 2, 1).reshape(R * J, 3) / spp
     img = np.empty((n_pix, 3), np.float32)
     img[order] = flat[:n_pix]
     return img.reshape(h, w, 3), int(done)
