@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.constants import gamma
-from .tables import SB, TB, BlockedSceneTables
+from .tables import TB, BlockedSceneTables
 
 BR = 1024  # rays per block (lane-major)
 _SLAB_SCALE = np.float32(1.0 + 2.0 * gamma(3))

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bvh.builder import INVALID_GEOM_ID
-from ..scene.build import GEOM_MESH, GEOM_SPHERE, GEOM_DISC, SceneArrays
+from ..scene.build import GEOM_MESH, GEOM_SPHERE, SceneArrays
 from .intersect import (
     RayShear,
     intersect_box_slab,

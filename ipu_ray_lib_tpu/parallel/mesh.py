@@ -17,8 +17,6 @@ equivalent implemented here:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -23,7 +23,7 @@ from ..bvh.builder import INVALID_GEOM_ID
 from ..ops.camera import generate_camera_rays, pixel_grid
 from ..scene.build import SceneArrays, SceneParams
 from .path import path_trace_sample
-from .shadow import DEFAULT_AMBIENT, DEFAULT_LIGHT_POS, shadow_trace
+from .shadow import shadow_trace
 
 DEFAULT_CHUNK = 1 << 16
 TILE = 32  # pixel tile edge for coherent ray ordering

@@ -21,7 +21,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..bvh.builder import CompactBvh, build_bvh, INVALID_GEOM_ID
+from ..bvh.builder import CompactBvh, build_bvh
 from .types import CropWindow, SceneDescription
 
 if False:  # import-cycle guard: these are only annotations here

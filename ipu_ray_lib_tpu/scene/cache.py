@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..bvh.builder import CompactBvh
-from .build import SceneArrays, SceneParams, _pad_rows
+from .build import SceneArrays, SceneParams
 from .serial import load_scene_bundle, save_scene_bundle
 
 _ARRAY_FIELDS = [

@@ -9,7 +9,6 @@ serialiser layer and no templated storage.
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 from dataclasses import dataclass, field
 from typing import List, Optional
