@@ -281,7 +281,8 @@ def main(argv=None) -> int:
     img = make_aov_image(out, vis, mat_id, mat_albedo)
     images["tpu"] = img
     write_image(prefix + "tpu.exr", img)
-    log.info("Hit count: %d", out.hit_count)
+    if args.render_mode == "shadow-trace":
+        log.info("Hit count: %d", out.hit_count)
 
     if "cpu" in images:
         log.info("MSE TPU vs CPU-twin: %.6g", mse(images["tpu"], images["cpu"]))
