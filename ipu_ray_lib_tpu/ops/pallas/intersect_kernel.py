@@ -181,7 +181,13 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, od_ref, w_ref, p_ref,
         # products of o and d against n/g1/g2:
         w = w_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]          # [8, 3TB]
         dims = (((0,), (0,)), ((), ()))
-        dots = jax.lax.dot_general(w, od, dims, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the MXU's default f32 path rounds through
+        # bf16 (~0.4% rel), which is visible in hit points and shadow
+        # epsilons; the geometry contraction must be true f32.
+        dots = jax.lax.dot_general(
+            w, od, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         on = dots[0:TB, 0:br]
         og1 = dots[TB : 2 * TB, 0:br]
         og2 = dots[2 * TB : 3 * TB, 0:br]
