@@ -162,14 +162,13 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     return counts, order
 
 
-def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, od_ref, w_ref, p_ref, nrm_ref,
+def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
                   out_t_ref, out_i_ref, out_n_ref, bt_ref, bi_ref, bn_ref,
                   *, br, nb):
     i = pl.program_id(0)
     rays = rays_ref[:]                     # [8, br]
     t_min = rays[6:7, :]                   # [1, br]
     t_max = rays[7:8, :]
-    od = od_ref[:]                         # [8, 2br] = [o | d], rows 3..7 zero
 
     bt_ref[:] = t_max
     bi_ref[:] = jnp.full((1, br), -1, jnp.int32)
@@ -179,26 +178,31 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, od_ref, w_ref, p_ref,
         best_t = bt_ref[:]
         # One MXU contraction (K padded to 8 sublanes) for all six dot
         # products of o and d against n/g1/g2:
-        w = w_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]          # [8, 3TB]
-        dims = (((0,), (0,)), ((), ()))
-        # HIGHEST precision: the MXU's default f32 path rounds through
-        # bf16 (~0.4% rel), which is visible in hit points and shadow
-        # epsilons; the geometry contraction must be true f32.
-        dots = jax.lax.dot_general(
-            w, od, dims, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        on = dots[0:TB, 0:br]
-        og1 = dots[TB : 2 * TB, 0:br]
-        og2 = dots[2 * TB : 3 * TB, 0:br]
-        dn = dots[0:TB, br : 2 * br]
-        dg1 = dots[TB : 2 * TB, br : 2 * br]
-        dg2 = dots[2 * TB : 3 * TB, br : 2 * br]
-
-        pb = p_ref[pl.ds(blk * TB, TB), 0:4]               # [TB, 4]
+        # Precision note: the MXU's default f32 dot rounds operands
+        # through bf16 (~0.4% rel) — visibly wrong hit points and shadow
+        # acne — and Precision.HIGHEST lowers ~5x slower here. Full-f32
+        # VPU FMAs over per-triangle component columns are exact and
+        # competitive:
+        pb = p_ref[pl.ds(blk * TB, TB), :]                 # [TB, 16]
         tnp0 = pb[:, 0:1]
         g1p0 = pb[:, 1:2]
         g2p0 = pb[:, 2:3]
+
+        def tdot(c0, ray_rows):
+            return (
+                pb[:, c0 : c0 + 1] * ray_rows[0]
+                + pb[:, c0 + 1 : c0 + 2] * ray_rows[1]
+                + pb[:, c0 + 2 : c0 + 3] * ray_rows[2]
+            )
+
+        o_rows = [rays[a : a + 1, :] for a in range(3)]    # [1, br] each
+        d_rows = [rays[a : a + 1, :] for a in range(3, 6)]
+        on = tdot(3, o_rows)
+        dn = tdot(3, d_rows)
+        og1 = tdot(6, o_rows)
+        dg1 = tdot(6, d_rows)
+        og2 = tdot(9, o_rows)
+        dg2 = tdot(9, d_rows)
 
         # Fast reciprocal + one Newton step (~f32 accurate):  # noqa
         r = pl.reciprocal(dn, approx=True)
@@ -299,20 +303,12 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     rays = jnp.concatenate(
         [o_t, d_t, tmin_pad[None, :], tmax_pad[None, :]], axis=0
     )                                              # [8, Rp]
-    # [o | d] blocks interleaved per ray block so one (8, 2BR) VMEM block
-    # feeds the fused matmul: columns [i*2BR, i*2BR+BR) = o, rest = d.
-    od = jnp.concatenate(
-        [o_t.reshape(3, nrb, br), d_t.reshape(3, nrb, br)], axis=2
-    ).reshape(3, 2 * Rp)
-    od = jnp.pad(od, ((0, 5), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nrb,),
         in_specs=[
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
-            pl.BlockSpec((8, 2 * br), lambda i, c_, o_, d_: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w (whole table)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
         ],
@@ -336,7 +332,7 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, order, dists, rays, od, tables.w, tables.p, tables.nrm)
+    )(counts, order, dists, rays, tables.p, tables.nrm)
 
     t = out_t[0, :R]
     idx = out_i[0, :R]

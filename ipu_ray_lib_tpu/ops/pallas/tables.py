@@ -14,7 +14,12 @@ TPU kernel in :mod:`.intersect_kernel`:
 Table layouts (f32 unless noted):
   w     [8, nb*3*TB]   block b columns [b*3TB, (b+1)*3TB) =
                        [tn^T | g1^T | g2^T], rows 0..2 = xyz (rows 3..7 pad)
-  p     [nb*TB, 8]     per-tri row: [n.p0, g1.p0, g2.p0, 0...]
+  p     [nb*TB, 16]    per-tri row: [n.p0, g1.p0, g2.p0,
+                       nx,ny,nz, g1x,g1y,g1z, g2x,g2y,g2z, pad...] —
+                       component columns let the kernel form the six
+                       ray/triangle dot products as full-f32 VPU FMAs
+                       (the MXU's bf16-rounded f32 dots are not accurate
+                       enough for hit points)
   nrm   [8, nb*3*TB]   block b columns = [N0^T | dN1^T | dN2^T]: shading
                        normal basis so the kernel can emit per-ray normals
                        (N0 + b1*dN1 + b2*dN2); geometric-normal meshes get
@@ -42,7 +47,7 @@ SB = 8    # blocks per super
 
 class BlockedSceneTables(NamedTuple):
     w: jnp.ndarray        # [8, nb*3*TB] f32
-    p: jnp.ndarray        # [nb*TB, 8] f32
+    p: jnp.ndarray        # [nb*TB, 16] f32
     nrm: jnp.ndarray      # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
     saabb: jnp.ndarray    # [ns, 8] f32
@@ -239,11 +244,14 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         nrm[6, base : base + TB] = mat_packed_p[sl]
         nrm[7, base : base + TB] = mat_ior_p[sl]
 
-    # p: [nb*TB, 8]
-    p = np.zeros((Tp, 8), np.float32)
+    # p: [nb*TB, 16]
+    p = np.zeros((Tp, 16), np.float32)
     p[:, 0] = np.sum(n_p * p0_p, axis=-1)
     p[:, 1] = np.sum(g1_p * p0_p, axis=-1)
     p[:, 2] = np.sum(g2_p * p0_p, axis=-1)
+    p[:, 3:6] = n_p
+    p[:, 6:9] = g1_p
+    p[:, 9:12] = g2_p
 
     # Block/super AABBs over real triangles (empty blocks get inverted
     # boxes that can never be hit):
