@@ -1,5 +1,8 @@
-#!/usr/bin/env python
-"""Probe the fixed per-grid-step overhead of the dense Pallas kernel.
+"""HISTORICAL: this probe targeted the MXU-dot kernel generation and is
+retained for the engineering record; the current kernel uses VPU FMAs and
+no longer takes the w table. See PROGRESS.md findings 1-2.
+
+Probe the fixed per-grid-step overhead of the dense Pallas kernel.
 
 Variants (all compute the same closest hit):
   A: baseline — (1, br) outputs, scalar-prefetch lists

@@ -12,8 +12,6 @@ TPU kernel in :mod:`.intersect_kernel`:
 * layouts are transposed so rays ride the lane dimension everywhere.
 
 Table layouts (f32 unless noted):
-  w     [8, nb*3*TB]   block b columns [b*3TB, (b+1)*3TB) =
-                       [tn^T | g1^T | g2^T], rows 0..2 = xyz (rows 3..7 pad)
   p     [nb*TB, 16]    per-tri row: [n.p0, g1.p0, g2.p0,
                        nx,ny,nz, g1x,g1y,g1z, g2x,g2y,g2z, pad...] —
                        component columns let the kernel form the six
@@ -46,7 +44,6 @@ SB = 8    # blocks per super
 
 
 class BlockedSceneTables(NamedTuple):
-    w: jnp.ndarray        # [8, nb*3*TB] f32
     p: jnp.ndarray        # [nb*TB, 16] f32
     nrm: jnp.ndarray      # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
@@ -228,15 +225,11 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
     tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
 
-    # w / nrm: [8, nb*3*TB]
-    w = np.zeros((8, nb * 3 * TB), np.float32)
+    # nrm: [8, nb*3*TB]
     nrm = np.zeros((8, nb * 3 * TB), np.float32)
     for b in range(nb):
         sl = slice(b * TB, (b + 1) * TB)
         base = b * 3 * TB
-        w[0:3, base : base + TB] = n_p[sl].T
-        w[0:3, base + TB : base + 2 * TB] = g1_p[sl].T
-        w[0:3, base + 2 * TB : base + 3 * TB] = g2_p[sl].T
         nrm[0:3, base : base + TB] = N0_p[sl].T
         nrm[0:3, base + TB : base + 2 * TB] = dN1_p[sl].T
         nrm[0:3, base + 2 * TB : base + 3 * TB] = dN2_p[sl].T
@@ -276,7 +269,6 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
             saabb[s, 3:6] = blk[valid, 3:6].max(axis=0)
 
     return BlockedSceneTables(
-        w=jnp.asarray(w),
         p=jnp.asarray(p),
         nrm=jnp.asarray(nrm),
         baabb=jnp.asarray(baabb),
