@@ -99,6 +99,86 @@ def render_path_sharded(
     return jax.jit(shard_fn)(scene, rows, cols, env_params)
 
 
+def render_streaming_sharded(
+    scene: SceneArrays,
+    params: SceneParams,
+    mesh: Mesh,
+    spp: int | None = None,
+    chunk_slots: int = 1 << 17,
+    tile: int = 32,
+):
+    """Data-parallel streaming path render: the tile-ordered pixel stream
+    is split across the mesh; every device runs the full regenerating
+    wavefront (render/streaming.py) on its own slice with a fold_in-derived
+    RNG stream. Returns (rgb [H, W, 3] numpy, paths_done).
+
+    This is the streaming-integrator counterpart of the reference's
+    multi-IPU replication: scene replicated, rays sharded, no collectives
+    (images reassemble on the host — ref IpuScene.cpp:676-732)."""
+    import numpy as _np
+
+    from ..render.streaming import streaming_path_trace
+
+    spp = spp if spp is not None else params.samples_per_pixel
+    w, h = params.window_w, params.window_h
+    n_pix = w * h
+    n_dev = mesh.devices.size
+
+    rr, cc = _np.meshgrid(
+        _np.arange(params.window_r, params.window_r + h),
+        _np.arange(params.window_c, params.window_c + w),
+        indexing="ij",
+    )
+    rel_r, rel_c = rr - params.window_r, cc - params.window_c
+    order = _np.lexsort(
+        (rel_c.ravel() % tile, rel_r.ravel() % tile,
+         rel_c.ravel() // tile, rel_r.ravel() // tile)
+    )
+    rows_np = rr.ravel()[order].astype(_np.float32)
+    cols_np = cc.ravel()[order].astype(_np.float32)
+
+    # Per-device slice sizes: R_local slots x J rows, same (static) J on
+    # every device:
+    per_dev = -(-n_pix // n_dev)
+    R_local = min(chunk_slots, per_dev)
+    J = -(-per_dev // R_local)
+    stream = n_dev * R_local * J
+    rows_np = _np.pad(rows_np, (0, stream - n_pix))
+    cols_np = _np.pad(cols_np, (0, stream - n_pix))
+    # Reorder so each device's slice is contiguous [R_local * J]:
+    rows_sh = rows_np.reshape(n_dev, R_local * J)
+    cols_sh = cols_np.reshape(n_dev, R_local * J)
+    max_iters = J * spp * params.max_path_length + 16
+
+    def per_shard(scene_rep, rows_s, cols_s):
+        seed = (
+            jnp.uint32(params.rng_seed & 0xFFFFFFFF)
+            + jnp.uint32(0x9E3779B9) * jax.lax.axis_index(RAY_AXIS).astype(jnp.uint32)
+        )
+        accum, done, _ = streaming_path_trace(
+            scene_rep, rows_s[0], cols_s[0], seed, None,
+            params=params, slots=R_local, j_per_slot=J, spp=spp,
+            max_iters=max_iters, has_env=False,
+        )
+        return accum[None], done[None]
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )
+    accum, done = jax.jit(shard_fn)(
+        scene, jnp.asarray(rows_sh), jnp.asarray(cols_sh)
+    )
+    # accum [n_dev, J, 3, R_local] -> per-device pixel streams:
+    a = _np.asarray(accum).transpose(0, 1, 3, 2).reshape(stream, 3) / spp
+    img = _np.empty((n_pix, 3), _np.float32)
+    img[order] = a[:n_pix]
+    return img.reshape(h, w, 3), int(_np.asarray(done).sum())
+
+
 def render_shadow_sharded(
     scene: SceneArrays,
     params: SceneParams,

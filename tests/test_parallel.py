@@ -81,3 +81,25 @@ def test_xoshiro_uniform_range():
     u = g.uniform_0_1(1000)
     assert np.all((u >= 0) & (u < 1))
     assert 0.4 < u.mean() < 0.6
+
+
+def test_streaming_sharded_matches_single(cornell_built):
+    """Sharded streaming render must agree with single-device streaming
+    in distribution and complete every path."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.parallel.mesh import render_streaming_sharded
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    arrays, params, _ = cornell_built
+    p = dataclasses.replace(params, window_w=32, window_h=32,
+                            window_c=48, window_r=48, samples_per_pixel=16,
+                            intersector="dense")
+    mesh = make_ray_mesh()
+    img_sh, done = render_streaming_sharded(arrays, p, mesh, chunk_slots=128)
+    assert done == 32 * 32 * 16
+    img_1, done1 = render_streaming(arrays, p, chunk_slots=1024)
+    assert done1 == 32 * 32 * 16
+    assert np.all(np.isfinite(img_sh))
+    a, b = img_sh.mean(), img_1.mean()
+    assert abs(a - b) / max(b, 1e-9) < 0.15

@@ -123,23 +123,27 @@ def _render_sharded(arrays, params, n_dev, env_fn, env_params):
 
     from ipu_ray_lib_tpu.ops.camera import pixel_grid
     from ipu_ray_lib_tpu.parallel.mesh import (
-        make_ray_mesh, render_path_sharded, shard_rays,
+        make_ray_mesh, render_path_sharded, render_streaming_sharded, shard_rays,
     )
     from ipu_ray_lib_tpu.render.renderer import RenderOutput
 
     mesh = make_ray_mesh(jax.devices()[:n_dev])
-    rows, cols = pixel_grid(
-        params.window_w, params.window_h, params.window_c, params.window_r
-    )
-    total = rows.shape[0]
-    n = shard_rays(total, mesh)
-    rows = jnp.pad(rows, (0, n - total))
-    cols = jnp.pad(cols, (0, n - total))
-    key = jax.random.PRNGKey(params.rng_seed)
-    rgb = np.asarray(
-        render_path_sharded(arrays, params, rows, cols, key, mesh,
-                            env_fn=env_fn, env_params=env_params)
-    )[:total].reshape(params.window_h, params.window_w, 3)
+    if env_fn is None:
+        # Flagship integrator (streaming regeneration), sharded:
+        rgb, _done = render_streaming_sharded(arrays, params, mesh)
+    else:
+        rows, cols = pixel_grid(
+            params.window_w, params.window_h, params.window_c, params.window_r
+        )
+        total = rows.shape[0]
+        n = shard_rays(total, mesh)
+        rows = jnp.pad(rows, (0, n - total))
+        cols = jnp.pad(cols, (0, n - total))
+        key = jax.random.PRNGKey(params.rng_seed)
+        rgb = np.asarray(
+            render_path_sharded(arrays, params, rows, cols, key, mesh,
+                                env_fn=env_fn, env_params=env_params)
+        )[:total].reshape(params.window_h, params.window_w, 3)
     zero = np.zeros_like(rgb)
     zi = np.full(rgb.shape[:2], -1, np.int32)
     zf = np.full(rgb.shape[:2], np.inf, np.float32)
