@@ -111,13 +111,18 @@ def _tri_block_best(dt: DenseTables, blk: int, origins, dirs, t_min, best):
     g2p0 = jax.lax.dynamic_slice_in_dim(dt.g2p0, blk * TRI_BLOCK, TRI_BLOCK, 0)
 
     best_t, best_tri = best
-    dn = jnp.dot(dirs, tn.T, preferred_element_type=jnp.float32)      # [R,TB]
-    on = jnp.dot(origins, tn.T, preferred_element_type=jnp.float32)
+    # Ray geometry must be exact f32: TPU dot_general at DEFAULT precision
+    # rounds operands through bf16 (~0.4% rel) — multi-unit hit-point
+    # errors, shadow acne, energy bias (PROGRESS.md finding 14). This is
+    # XLA (not Mosaic), so Precision.HIGHEST costs only the 3-pass split:
+    HI = jax.lax.Precision.HIGHEST
+    dn = jnp.dot(dirs, tn.T, preferred_element_type=jnp.float32, precision=HI)
+    on = jnp.dot(origins, tn.T, preferred_element_type=jnp.float32, precision=HI)
     t = (tnp0[None, :] - on) / dn
-    dg1 = jnp.dot(dirs, g1.T, preferred_element_type=jnp.float32)
-    og1 = jnp.dot(origins, g1.T, preferred_element_type=jnp.float32)
-    dg2 = jnp.dot(dirs, g2.T, preferred_element_type=jnp.float32)
-    og2 = jnp.dot(origins, g2.T, preferred_element_type=jnp.float32)
+    dg1 = jnp.dot(dirs, g1.T, preferred_element_type=jnp.float32, precision=HI)
+    og1 = jnp.dot(origins, g1.T, preferred_element_type=jnp.float32, precision=HI)
+    dg2 = jnp.dot(dirs, g2.T, preferred_element_type=jnp.float32, precision=HI)
+    og2 = jnp.dot(origins, g2.T, preferred_element_type=jnp.float32, precision=HI)
     b1 = og1 + t * dg1 - g1p0[None, :]
     b2 = og2 + t * dg2 - g2p0[None, :]
 
@@ -162,7 +167,9 @@ def dense_spheres(spheres, origins, dirs, t_min, best_t):
     r2 = spheres[:, 3] * spheres[:, 3]
     oc = c[None, :, :] - origins[:, None, :]            # [R,S,3]
     rd2 = 1.0 / jnp.sum(dirs * dirs, axis=-1)
-    tca = jnp.einsum("rsk,rk->rs", oc, dirs) * rd2[:, None]
+    # Exact f32 (see _tri_block_best precision note):
+    tca = jnp.einsum("rsk,rk->rs", oc, dirs,
+                     precision=jax.lax.Precision.HIGHEST) * rd2[:, None]
     l = oc - dirs[:, None, :] * tca[..., None]
     l2 = jnp.sum(l * l, axis=-1)
     td = jnp.sqrt(jnp.maximum(r2[None, :] - l2, 0.0)) * rd2[:, None]
@@ -183,9 +190,11 @@ def dense_discs(discs, origins, dirs, t_min, best_t):
     n = discs[:, 0:3]
     c = discs[:, 3:6]
     r2 = discs[:, 6] * discs[:, 6]
-    angle = jnp.dot(dirs, n.T)                          # [R,D]
+    # Exact f32 (see _tri_block_best precision note):
+    HI = jax.lax.Precision.HIGHEST
+    angle = jnp.dot(dirs, n.T, precision=HI)            # [R,D]
     d_off = jnp.abs(jnp.sum(c * n, axis=-1))            # [D]
-    t = -(jnp.dot(origins, n.T) + d_off[None, :]) / angle
+    t = -(jnp.dot(origins, n.T, precision=HI) + d_off[None, :]) / angle
     hp = origins[:, None, :] + dirs[:, None, :] * t[..., None]
     d2 = jnp.sum((hp - c[None, :, :]) ** 2, axis=-1)
     ok = (angle != 0.0) & (t > MACHINE_EPSILON) & (d2 < r2[None, :]) & (r2[None, :] > 0.0)

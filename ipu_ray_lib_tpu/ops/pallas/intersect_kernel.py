@@ -163,7 +163,8 @@ def block_cull_lists(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
 
 
 def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
-                  out_t_ref, out_i_ref, out_n_ref, bt_ref, bi_ref, bn_ref,
+                  out_t_ref, out_i_ref, out_n_ref, out_m_ref,
+                  bt_ref, bi_ref, bn_ref, bm_ref,
                   *, br, nb):
     i = pl.program_id(0)
     rays = rays_ref[:]                     # [8, br]
@@ -173,6 +174,7 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
     bt_ref[:] = t_max
     bi_ref[:] = jnp.full((1, br), -1, jnp.int32)
     bn_ref[:] = jnp.zeros((8, br), jnp.float32)
+    bm_ref[:] = jnp.zeros((8, br), jnp.float32)
 
     def step(blk, _):
         best_t = bt_ref[:]
@@ -238,11 +240,17 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
             + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd, preferred_element_type=jnp.float32)
             + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd, preferred_element_type=jnp.float32)
         )                                                   # [8, br]
+        # Second material payload bank: segment 1's spare rows selected by
+        # the clean w1 one-hot (rows 0..2 come out as dN1 — ignored):
+        m_cand = jax.lax.dot_general(
+            nrm_blk[:, TB:2 * TB], w1, nd, preferred_element_type=jnp.float32
+        )                                                   # [8, br]
 
         better = (bt < best_t) & (bt < _INF)
         bt_ref[:] = jnp.where(better, bt, best_t)
         bi_ref[:] = jnp.where(better, bi, bi_ref[:])
         bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
+        bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
         return 0
 
     # Near-to-far walk with early termination: every CHECK_EVERY blocks,
@@ -268,6 +276,7 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
     out_t_ref[:] = bt_ref[:]
     out_i_ref[:] = bi_ref[:]
     out_n_ref[:] = bn_ref[:]
+    out_m_ref[:] = bm_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "br", "cull"))
@@ -316,19 +325,22 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
             pl.BlockSpec((1, br), lambda i, c_, o_, d_: (0, i)),
             pl.BlockSpec((1, br), lambda i, c_, o_, d_: (0, i)),
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
+            pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, br), jnp.float32),
             pltpu.VMEM((1, br), jnp.int32),
             pltpu.VMEM((8, br), jnp.float32),
+            pltpu.VMEM((8, br), jnp.float32),
         ],
     )
-    out_t, out_i, out_n = pl.pallas_call(
+    out_t, out_i, out_n, out_m = pl.pallas_call(
         functools.partial(_dense_kernel, br=br, nb=tables.num_blocks),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, Rp), jnp.float32),
             jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
@@ -341,8 +353,9 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), jnp.float32(1e-30)
     )
-    # Material payload rows (3..7): albedo / packed(mat_id*4+type) / ior —
-    # interpolation weights w2/w3 only touch rows 0..2 (dN tables), so
-    # these come through the w1 one-hot exactly:
-    payload = out_n[3:8, :R]
+    # Material payload (see tables.py layout/exactness contract):
+    # rows 0-2 albedo, 3 id_hi, 4 id_lo, 5 mat_type+4*emissive, 6 ior,
+    # 7-9 emission. w2/w3 only touch rows 0..2 of their segments, so the
+    # payload rows come through the w1 one-hot alone:
+    payload = jnp.concatenate([out_n[3:8, :R], out_m[3:8, :R]], axis=0)
     return jnp.where(found, t, t_max), idx, normal, payload

@@ -1,0 +1,614 @@
+"""Megakernel streaming path tracer: the whole bounce loop in one kernel.
+
+TPU-native counterpart of the reference's on-tile path-trace megakernel
+(ref: codelets/TraceCodelets.cpp:170-264): a single ``pallas_call``
+advances a pool of ray slots through intersection, emission, BxDF
+sampling, RNG, russian roulette, radiance banking and *path regeneration*
+without leaving VMEM. The round-1 XLA-loop integrator paid ~3-4 ms per
+iteration in pallas operand staging + shading glue through HBM; here the
+entire loop carry (ray state, throughput, colour, path counters, the
+radiance accumulator) lives in VMEM scratch/output blocks, so per
+iteration the only cost is the dense intersection arithmetic itself.
+
+Structure
+---------
+Grid: ``(R / BR,)`` slot blocks. Each grid step owns ``BR`` ray slots and
+runs its own regenerating wavefront to completion (all ``K = J * spp``
+paths of each slot). TPU grid steps run sequentially on the core, so this
+is a tiled loop over the slot pool — per-block drain imbalance just
+serialises, exactly like the XLA while_loop did.
+
+Layouts: lane-major everywhere — rays ride the 128-wide lane dimension,
+state components are sublane rows ([rows, BR]); see PROGRESS.md finding 10
+for why (a [R, .., 3] layout tile-pads 42x).
+
+Geometry precision: the six ray/triangle dot products are full-f32 VPU
+FMAs over the p-table component columns (the MXU's default-precision f32
+dot rounds operands through bf16 — PROGRESS.md finding 14). Material
+payload selection uses the one-hot MXU dots with the exactness contract
+documented in tables.py. Analytic-primitive payload (a tiny [16, P] @
+[P, BR] dot) runs at Precision.HIGHEST so sphere centres — real geometry —
+come through exactly.
+
+RNG: the same counter-based mixing as ops/rng.py (identical constants and
+stream layout), expressed in int32 + logical shifts for Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.constants import PI_BY_2, PI_BY_4, RAY_EPSILON
+from .tables import TB, BlockedSceneTables
+
+BR = 1024          # ray slots per kernel block
+_INF = np.float32(np.inf)
+_BIG = np.float32(1e37)
+
+# ---------------------------------------------------------------------------
+# In-kernel counter RNG (int32 twin of ops/rng.py — same bit streams).
+# ---------------------------------------------------------------------------
+_M1 = np.int32(np.uint32(0x85EBCA6B).astype(np.int64) - (1 << 32))
+_M2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int64) - (1 << 32))
+_M3 = np.int32(0x27D4EB2F)
+_GOLDEN = np.int32(np.uint32(0x9E3779B9).astype(np.int64) - (1 << 32))
+_FNV = np.int32(np.uint32(0x811C9DC5).astype(np.int64) - (1 << 32))
+
+_shr = jax.lax.shift_right_logical
+
+
+def _mix(h):
+    h = h ^ _shr(h, 16)
+    h = h * _M1
+    h = h ^ _shr(h, 13)
+    h = h * _M2
+    h = h ^ _shr(h, 16)
+    return h
+
+
+def _hash(*streams):
+    h = jnp.full_like(streams[0], _FNV)
+    for s in streams:
+        h = _mix(h ^ (s.astype(jnp.int32) * _M3 + _GOLDEN))
+    return _mix(h)
+
+
+def _u01(*streams):
+    bits = _hash(*streams)
+    return _shr(bits, 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _normal2(*streams):
+    c = lambda v: jnp.full_like(streams[0], np.int32(v))
+    u1 = jnp.maximum(_u01(*streams, c(0xA5)), np.float32(1e-12))
+    u2 = _u01(*streams, c(0x5A))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    th = np.float32(2.0 * np.pi) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+# ---------------------------------------------------------------------------
+# Row-vector helpers (vec3 = tuple of three [1, BR] arrays).
+# ---------------------------------------------------------------------------
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _normalize3(v):
+    il = jax.lax.rsqrt(jnp.maximum(_dot3(v, v), np.float32(1e-30)))
+    return (v[0] * il, v[1] * il, v[2] * il)
+
+
+def _where3(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _scale3(v, s):
+    return (v[0] * s, v[1] * s, v[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sample_diffuse(n, u1, u2):
+    """Cosine-weighted hemisphere sample about n (ops/bxdf.py twin)."""
+    ax, ay = jnp.abs(n[0]), jnp.abs(n[1])
+    use_x = ax > ay
+    ilx = jax.lax.rsqrt(jnp.maximum(n[0] * n[0] + n[2] * n[2], 1e-30))
+    ily = jax.lax.rsqrt(jnp.maximum(n[1] * n[1] + n[2] * n[2], 1e-30))
+    zero = jnp.zeros_like(ax)
+    v2 = _where3(use_x,
+                 (-n[2] * ilx, zero, n[0] * ilx),
+                 (zero, n[2] * ily, -n[1] * ily))
+    v3 = _cross3(n, v2)
+    # Concentric disc sample:
+    ux = 2.0 * u1 - 1.0
+    uy = 2.0 * u2 - 1.0
+    use_ux = jnp.abs(ux) > jnp.abs(uy)
+    r = jnp.where(use_ux, ux, uy)
+    sx = jnp.where(ux == 0.0, 1.0, ux)
+    sy = jnp.where(uy == 0.0, 1.0, uy)
+    th = jnp.where(use_ux, np.float32(PI_BY_4) * (uy / sx),
+                   np.float32(PI_BY_2) - np.float32(PI_BY_4) * (ux / sy))
+    z0 = (ux == 0.0) & (uy == 0.0)
+    x = jnp.where(z0, 0.0, r * jnp.cos(th))
+    y = jnp.where(z0, 0.0, r * jnp.sin(th))
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    return _add3(_add3(_scale3(v2, x), _scale3(v3, y)), _scale3(n, z))
+
+
+def _reflect(d, n):
+    ct = _dot3(d, n)
+    return _normalize3(_add3(d, _scale3(n, -2.0 * ct)))
+
+
+def _dielectric(d, n_in, ior, u1):
+    """Schlick-weighted reflect/refract (ops/bxdf.py twin).
+    Returns (new_dir vec3, refracted mask)."""
+    entering = _dot3(n_in, d) <= 0.0
+    n = _where3(entering, n_in, _scale3(n_in, -1.0))
+    ri = jnp.where(entering, 1.0 / ior, ior)
+    ndotr = _dot3(n, d)
+    cost1 = -ndotr
+    cost2 = 1.0 - ri * ri * (1.0 - cost1 * cost1)
+    r0 = (1.0 - ri) / (1.0 + ri)
+    r0 = r0 * r0
+    base = 1.0 - cost1
+    schlick = r0 + (1.0 - r0) * base * base * base * base * base
+    do_refract = (cost2 > 0.0) & (u1 > schlick)
+    r_perp = _scale3(_add3(d, _scale3(n, cost1)), ri)
+    par_mag = jnp.sqrt(jnp.abs(1.0 - _dot3(r_perp, r_perp)))
+    d_refr = _add3(r_perp, _scale3(n, -par_mag))
+    d_refl = _reflect(d, n)
+    return _where3(do_refract, d_refr, d_refl), do_refract
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
+                 ap_ref, apay_ref,
+                 accum_ref, done_ref,
+                 bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
+                 *, br, nb, n_ap, R, J, spp, K,
+                 max_path_length, roulette_start_depth, max_iters,
+                 tan_theta, inv_w, inv_h, aspect, aa):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    seed = sc_ref[0]
+    n_valid = sc_ref[1]
+
+    lane = jax.lax.broadcasted_iota(i32, (1, br), 1)
+    slot = i * br + lane                               # [1, br] global slot
+    # Per-slot path budget: slot s serves padded-stream pixels {s, s+R, ..};
+    # rows with pixel >= n_valid are padding and get no paths:
+    valid_j = jnp.clip(-((slot - n_valid) // R), 0, J)
+    k_cap = valid_j * spp
+
+    j_iota = jax.lax.broadcasted_iota(i32, (J, br), 0)
+    riota = jax.lax.broadcasted_iota(i32, (3 * J, br), 0)
+    jsel = riota // 3
+    csel = riota % 3
+
+    def camera_ray(k):
+        """Fresh camera ray for path k of each slot (row layout)."""
+        j = k // spp
+        pid = slot * K + k
+        g1, g2 = _normal2(pid, seed, jnp.full_like(pid, np.int32(0xCA3)))
+        jm = j_iota == j
+        pr = jnp.sum(jnp.where(jm, rows_ref[:], 0.0), axis=0, keepdims=True)
+        pc = jnp.sum(jnp.where(jm, cols_ref[:], 0.0), axis=0, keepdims=True)
+        pu = pr + np.float32(aa) * g1
+        pv = pc + np.float32(aa) * g2
+        xn = pv * np.float32(inv_w) - 0.5
+        yn = pu * np.float32(inv_h) - 0.5
+        dx = np.float32(2.0 * aspect * tan_theta) * xn
+        dy = np.float32(-2.0 * tan_theta) * yn
+        dz = jnp.full_like(dx, -1.0)
+        d = _normalize3((dx, dy, dz))
+        # offset_ray_origin(0, d, (0,0,1)): mag=1, sign=sign(dz)=-1 always:
+        o = (jnp.zeros_like(dx), jnp.zeros_like(dx),
+             jnp.full_like(dx, np.float32(-RAY_EPSILON)))
+        return o, d
+
+    # ---- init slot pool --------------------------------------------------
+    accum_ref[:] = jnp.zeros((3 * J, br), f32)
+    k0 = jnp.zeros((1, br), i32)
+    o0, d0 = camera_ray(k0)
+    ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :] = o0[0], o0[1], o0[2]
+    ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :] = d0[0], d0[1], d0[2]
+    sh_ref[0:3, :] = jnp.ones((3, br), f32)      # throughput
+    sh_ref[3:6, :] = jnp.zeros((3, br), f32)     # colour
+    ki_ref[0:1, :] = k0                          # k
+    ki_ref[1:2, :] = jnp.zeros((1, br), i32)     # bounce
+    ki_ref[2:3, :] = (k_cap > 0).astype(i32)     # active
+    ki_ref[3:4, :] = jnp.zeros((1, br), i32)     # done count
+
+    def body(carry):
+        it, _ = carry
+        o = (ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :])
+        d = (ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :])
+        active = ki_ref[2:3, :] != 0
+        k = ki_ref[0:1, :]
+        bounce = ki_ref[1:2, :]
+        pid = slot * K + k
+
+        t_max = jnp.where(active, _INF, f32(-1.0))
+
+        # ---- closest hit: dense walk over triangle blocks ----------------
+        bt_ref[:] = t_max
+        bn_ref[:] = jnp.zeros((8, br), f32)
+        bm_ref[:] = jnp.zeros((8, br), f32)
+
+        def tri_block(blk, _):
+            best_t = bt_ref[:]
+            pb = p_ref[pl.ds(blk * TB, TB), :]             # [TB, 16]
+            tnp0 = pb[:, 0:1]
+            g1p0 = pb[:, 1:2]
+            g2p0 = pb[:, 2:3]
+
+            def tdot(c0, rr):
+                return (pb[:, c0:c0 + 1] * rr[0]
+                        + pb[:, c0 + 1:c0 + 2] * rr[1]
+                        + pb[:, c0 + 2:c0 + 3] * rr[2])
+
+            on = tdot(3, o)
+            dn = tdot(3, d)
+            og1 = tdot(6, o)
+            dg1 = tdot(6, d)
+            og2 = tdot(9, o)
+            dg2 = tdot(9, d)
+            r = pl.reciprocal(dn, approx=True)
+            r = r * (2.0 - dn * r)
+            t = (tnp0 - on) * r
+            b1 = og1 + t * dg1 - g1p0
+            b2 = og2 + t * dg2 - g2p0
+            ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                  & (t > 0.0) & (t < best_t))
+            tm = jnp.where(ok, t, _INF)
+            bt = jnp.min(tm, axis=0, keepdims=True)
+            tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+            bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+                         axis=0, keepdims=True)
+            onehot = (tri_lane == bi).astype(f32)
+            nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]
+            w1 = onehot
+            w2 = onehot * jnp.where(ok, b1, 0.0)
+            w3 = onehot * jnp.where(ok, b2, 0.0)
+            nd_ = (((1,), (0,)), ((), ()))
+            n_cand = (
+                jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd_,
+                                    preferred_element_type=f32)
+                + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd_,
+                                      preferred_element_type=f32)
+                + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd_,
+                                      preferred_element_type=f32))
+            m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd_,
+                                         preferred_element_type=f32)
+            better = (bt < best_t) & (bt < _INF)
+            bt_ref[:] = jnp.where(better, bt, best_t)
+            bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
+            bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, nb, tri_block, 0)
+
+        best_t = bt_ref[:]
+        normal = _normalize3((bn_ref[0:1, :], bn_ref[1:2, :], bn_ref[2:3, :]))
+        albedo = (bn_ref[3:4, :], bn_ref[4:5, :], bn_ref[5:6, :])
+        tpacked = jnp.round(bm_ref[3:4, :]).astype(i32)
+        ior = bm_ref[4:5, :]
+        emission = (bm_ref[5:6, :], bm_ref[6:7, :], bm_ref[7:8, :])
+
+        # ---- analytic primitives (spheres + discs, tiny tables) ----------
+        if n_ap > 0:
+            kind = ap_ref[:, 0:1]                       # [P, 1]
+            cx, cy, cz = ap_ref[:, 1:2], ap_ref[:, 2:3], ap_ref[:, 3:4]
+            nx, ny, nz = ap_ref[:, 4:5], ap_ref[:, 5:6], ap_ref[:, 6:7]
+            r2 = ap_ref[:, 7:8]
+            doff = ap_ref[:, 8:9]
+            ocx = cx - o[0]
+            ocy = cy - o[1]
+            ocz = cz - o[2]
+            tca = ocx * d[0] + ocy * d[1] + ocz * d[2]   # [P, br]
+            l2 = ocx * ocx + ocy * ocy + ocz * ocz - tca * tca
+            td = jnp.sqrt(jnp.maximum(r2 - l2, 0.0))
+            t0 = tca - td
+            t1 = tca + td
+            t_sph = jnp.where(t0 < 0.0, t1, t0)
+            ok_sph = ((kind == 1.0) & (tca >= 0.0) & (l2 <= r2)
+                      & (t_sph > 0.0))
+            dn_ = nx * d[0] + ny * d[1] + nz * d[2]
+            on_ = nx * o[0] + ny * o[1] + nz * o[2]
+            t_dsc = -(on_ + doff) / jnp.where(dn_ == 0.0, 1.0, dn_)
+            hx = o[0] + d[0] * t_dsc - cx
+            hy = o[1] + d[1] * t_dsc - cy
+            hz = o[2] + d[2] * t_dsc - cz
+            d2 = hx * hx + hy * hy + hz * hz
+            ok_dsc = (kind == 2.0) & (dn_ != 0.0) & (t_dsc > 0.0) & (d2 < r2)
+            ok_ap = ok_sph | ok_dsc
+            t_ap = jnp.where(ok_ap, jnp.where(kind == 1.0, t_sph, t_dsc), _INF)
+            t_ap = jnp.where(t_ap < best_t, t_ap, _INF)
+            bt_ap = jnp.min(t_ap, axis=0, keepdims=True)   # [1, br]
+            ap_lane = jax.lax.broadcasted_iota(i32, (n_ap, br), 0)
+            bi_ap = jnp.min(jnp.where(t_ap <= bt_ap, ap_lane, i32(0x7FFFFFFF)),
+                            axis=0, keepdims=True)
+            oh_ap = (ap_lane == bi_ap).astype(f32)
+            nd_ = (((1,), (0,)), ((), ()))
+            pay = jax.lax.dot_general(
+                apay_ref[:], oh_ap, nd_, preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)        # [16, br]
+            ap_better = bt_ap < best_t
+            best_t = jnp.where(ap_better, bt_ap, best_t)
+            albedo = _where3(ap_better, (pay[0:1], pay[1:2], pay[2:3]), albedo)
+            ior = jnp.where(ap_better, pay[3:4], ior)
+            tpacked = jnp.where(ap_better, jnp.round(pay[4:5]).astype(i32),
+                                tpacked)
+            emission = _where3(ap_better, (pay[5:6], pay[6:7], pay[7:8]),
+                               emission)
+            c_sel = (pay[8:9], pay[9:10], pay[10:11])
+            n_dsc = (pay[11:12], pay[12:13], pay[13:14])
+            kind_sel = pay[14:15]
+            hp_ap = _add3(o, _scale3(d, best_t))
+            n_sph = _normalize3(_add3(hp_ap, _scale3(c_sel, -1.0)))
+            n_ap_v = _where3(kind_sel > 1.5, n_dsc, n_sph)
+            normal = _where3(ap_better, n_ap_v, normal)
+
+        found = (best_t < _BIG) & (best_t > 0.0)
+        live = active & found
+
+        # ---- shading ------------------------------------------------------
+        tp = (sh_ref[0:1, :], sh_ref[1:2, :], sh_ref[2:3, :])
+        color = (sh_ref[3:4, :], sh_ref[4:5, :], sh_ref[5:6, :])
+
+        em_on = live & (tpacked >= 4)
+        color = _add3(color, _where3(
+            em_on, (tp[0] * emission[0], tp[1] * emission[1],
+                    tp[2] * emission[2]),
+            (jnp.zeros_like(tp[0]),) * 3))
+
+        rng_b = bounce + np.int32(7) + seed
+        c_ = lambda v: jnp.full_like(pid, np.int32(v))
+        u0 = _u01(pid, rng_b, c_(0))
+        u1 = _u01(pid, rng_b, c_(1))
+        u2 = _u01(pid, rng_b, c_(2))
+        u3 = _u01(pid, rng_b, c_(3))
+
+        hit_p = _add3(o, _scale3(d, best_t))
+        d_diff = _sample_diffuse(normal, u0, u1)
+        d_spec = _reflect(d, normal)
+        d_diel, refracted = _dielectric(d, normal, ior, u2)
+        mtype = tpacked & 3
+        is_diff = mtype == 0
+        is_spec = mtype == 1
+        new_d = _where3(is_diff, d_diff, _where3(is_spec, d_spec, d_diel))
+        scale_tp = is_diff | is_spec | ((mtype == 2) & refracted)
+        stp = live & scale_tp
+        tp = _where3(stp, (tp[0] * albedo[0], tp[1] * albedo[1],
+                           tp[2] * albedo[2]), tp)
+
+        # Next-segment origin, pre-offset (ops/bxdf.py offset_ray_origin):
+        mag = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(hit_p[0]),
+                                            jnp.abs(hit_p[1])),
+                                jnp.abs(hit_p[2]))
+        sgn = jnp.sign(_dot3(normal, new_d))
+        sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+        m_off = mag * np.float32(RAY_EPSILON) * sgn
+        o = _where3(live, _add3(hit_p, _scale3(normal, m_off)), o)
+        d = _where3(live, new_d, d)
+
+        # Roulette:
+        p_r = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
+        stop_r = (p_r == 0.0) | (u3 > p_r)
+        safe_p = jnp.where(p_r == 0.0, 1.0, p_r)
+        use_roulette = bounce > roulette_start_depth
+        rl = use_roulette & live & ~stop_r
+        tp = _where3(rl, (tp[0] / safe_p, tp[1] / safe_p, tp[2] / safe_p), tp)
+        killed = live & use_roulette & stop_r
+
+        escaped = active & ~found
+        bounce = bounce + 1
+        over = live & (bounce >= max_path_length)
+        terminated = escaped | killed | over
+
+        # ---- bank finished paths into the accumulator ---------------------
+        j_cur = k // spp
+        colorx = jnp.where(csel == 0, color[0],
+                           jnp.where(csel == 1, color[1], color[2]))
+        bank = (jsel == j_cur) & terminated
+        accum_ref[:] = accum_ref[:] + jnp.where(bank, colorx, 0.0)
+        ki_ref[3:4, :] = ki_ref[3:4, :] + terminated.astype(i32)
+
+        k = jnp.where(terminated, jnp.minimum(k + 1, K), k)
+        active = active & ~terminated
+        bounce = jnp.where(terminated, 0, bounce)
+        color = _where3(terminated, (jnp.zeros_like(color[0]),) * 3, color)
+
+        # ---- regenerate idle slots ----------------------------------------
+        can_spawn = ~active & (k < k_cap)
+        co, cd = camera_ray(k)
+        o = _where3(can_spawn, co, o)
+        d = _where3(can_spawn, cd, d)
+        tp = _where3(can_spawn, (jnp.ones_like(tp[0]),) * 3, tp)
+        active = active | can_spawn
+
+        ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :] = o
+        ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :] = d
+        sh_ref[0:3, :] = jnp.concatenate(tp, axis=0)
+        sh_ref[3:6, :] = jnp.concatenate(color, axis=0)
+        ki_ref[0:1, :] = k
+        ki_ref[1:2, :] = bounce
+        ki_ref[2:3, :] = active.astype(i32)
+
+        return it + 1, jnp.sum(active.astype(i32))
+
+    def cond(carry):
+        it, n_active = carry
+        return (it < max_iters) & (n_active > 0)
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.sum((k_cap > 0).astype(i32)))
+    )
+    done_ref[:] = ki_ref[3:4, :]
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper.
+# ---------------------------------------------------------------------------
+def _analytic_tables(scene):
+    """Pack spheres + discs (geometry and material) into the kernel's two
+    tiny tables: ap [P, 16] (per-prim rows) and apay [16, P] (transposed,
+    for the one-hot payload dot). Padding rows have kind == 0."""
+    sph = scene.spheres          # [S, 4] cx cy cz r (padded >= 1 row)
+    dsc = scene.discs            # [D, 7] nx ny nz cx cy cz r
+    S, D = sph.shape[0], dsc.shape[0]
+    P = -(-(S + D) // 8) * 8
+
+    def matp(geom_ids):
+        mid = scene.mat_id[jnp.clip(geom_ids, 0, scene.mat_id.shape[0] - 1)]
+        alb = scene.mat_albedo[mid]
+        ior = scene.mat_ior[mid]
+        tpk = (scene.mat_type[mid] + 4 * scene.mat_emissive[mid]).astype(
+            jnp.float32)
+        em = scene.mat_emission[mid]
+        return alb, ior, tpk, em
+
+    ap = jnp.zeros((P, 16), jnp.float32)
+    apay = jnp.zeros((16, P), jnp.float32)
+
+    s_kind = jnp.where(sph[:, 3] > 0.0, 1.0, 0.0)
+    ap = ap.at[:S, 0].set(s_kind)
+    ap = ap.at[:S, 1:4].set(sph[:, 0:3])
+    ap = ap.at[:S, 7].set(sph[:, 3] * sph[:, 3])
+    alb, ior, tpk, em = matp(scene.sphere_geom)
+    apay = apay.at[0:3, :S].set(alb.T)
+    apay = apay.at[3, :S].set(ior)
+    apay = apay.at[4, :S].set(tpk)
+    apay = apay.at[5:8, :S].set(em.T)
+    apay = apay.at[8:11, :S].set(sph[:, 0:3].T)
+    apay = apay.at[14, :S].set(s_kind)
+
+    d_kind = jnp.where(dsc[:, 6] > 0.0, 2.0, 0.0)
+    ap = ap.at[S:S + D, 0].set(d_kind)
+    ap = ap.at[S:S + D, 1:4].set(dsc[:, 3:6])
+    ap = ap.at[S:S + D, 4:7].set(dsc[:, 0:3])
+    ap = ap.at[S:S + D, 7].set(dsc[:, 6] * dsc[:, 6])
+    # Disc plane offset: same |c . n| convention as ops/intersect.py:
+    ap = ap.at[S:S + D, 8].set(
+        jnp.abs(jnp.sum(dsc[:, 0:3] * dsc[:, 3:6], axis=-1)))
+    alb, ior, tpk, em = matp(scene.disc_geom)
+    apay = apay.at[0:3, S:S + D].set(alb.T)
+    apay = apay.at[3, S:S + D].set(ior)
+    apay = apay.at[4, S:S + D].set(tpk)
+    apay = apay.at[5:8, S:S + D].set(em.T)
+    apay = apay.at[8:11, S:S + D].set(dsc[:, 3:6].T)
+    apay = apay.at[11:14, S:S + D].set(dsc[:, 0:3].T)
+    apay = apay.at[14, S:S + D].set(d_kind)
+    return ap, apay, P
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
+                     "br", "interpret"),
+)
+def megakernel_path_trace(
+    scene,
+    rows: jnp.ndarray,          # [slots * j_per_slot] f32 (padded stream)
+    cols: jnp.ndarray,
+    seed: jnp.ndarray,          # u32/i32 scalar
+    n_valid: jnp.ndarray,       # i32 scalar: real pixel count in the stream
+    *,
+    params,
+    slots: int,
+    j_per_slot: int,
+    spp: int,
+    max_iters: int,
+    br: int = BR,
+    interpret: bool = False,
+):
+    """In-kernel streaming path trace. Returns (accum [J, 3, R], done).
+
+    Drop-in for streaming.streaming_path_trace (no env) with the loop
+    fused into a single pallas_call; pixel p of the padded stream lives
+    at accum[p // R, :, p % R]."""
+    R = slots
+    J = j_per_slot
+    K = J * spp
+    assert R % br == 0, (R, br)
+    nrb = R // br
+
+    tables: BlockedSceneTables = scene.blocked
+    ap, apay, n_ap = _analytic_tables(scene)
+    rows2 = rows.reshape(J, R)
+    cols2 = cols.reshape(J, R)
+    sc = jnp.stack([
+        jnp.asarray(seed).astype(jnp.uint32).astype(jnp.int32),
+        jnp.asarray(n_valid).astype(jnp.int32),
+    ])
+
+    tan_theta = float(np.tan(params.fov_radians / 2.0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb,),
+        in_specs=[
+            pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
+            pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # p
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ap
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # apay
+        ],
+        out_specs=[
+            pl.BlockSpec((3 * J, br), lambda i, sc_: (0, i)),
+            pl.BlockSpec((1, br), lambda i, sc_: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, br), jnp.float32),    # best_t
+            pltpu.VMEM((8, br), jnp.float32),    # normal+albedo+id payload
+            pltpu.VMEM((8, br), jnp.float32),    # material payload bank 2
+            pltpu.VMEM((8, br), jnp.float32),    # ray o/d
+            pltpu.VMEM((8, br), jnp.float32),    # tp + colour
+            pltpu.VMEM((8, br), jnp.int32),      # k/bounce/active/done
+        ],
+    )
+    kern = functools.partial(
+        _mega_kernel, br=br, nb=tables.num_blocks, n_ap=n_ap,
+        R=R, J=J, spp=spp, K=K,
+        max_path_length=params.max_path_length,
+        roulette_start_depth=params.roulette_start_depth,
+        max_iters=max_iters,
+        tan_theta=tan_theta,
+        inv_w=1.0 / params.image_width,
+        inv_h=1.0 / params.image_height,
+        aspect=params.image_width / params.image_height,
+        aa=params.anti_alias_scale,
+    )
+    accum, done = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3 * J, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sc, rows2, cols2, tables.p, tables.nrm, ap, apay)
+    # [3J, R] rows are (j, channel)-major -> [J, 3, R] like the XLA loop:
+    accum = accum.reshape(J, 3, R)
+    return accum, jnp.sum(done).astype(jnp.uint32)

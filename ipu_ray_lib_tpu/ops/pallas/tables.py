@@ -21,11 +21,24 @@ Table layouts (f32 unless noted):
   nrm   [8, nb*3*TB]   block b columns = [N0^T | dN1^T | dN2^T]: shading
                        normal basis so the kernel can emit per-ray normals
                        (N0 + b1*dN1 + b2*dN2); geometric-normal meshes get
-                       dN1 = dN2 = 0. Segment 0's spare rows carry per-tri
-                       material data selected by the same one-hot dot:
-                       rows 3..5 = albedo, row 6 = mat_id*4 + mat_type,
-                       row 7 = ior (the streaming integrator reads these
-                       straight from the kernel output — no gathers)
+                       dN1 = dN2 = 0. The spare rows (3..7) of segments 0
+                       and 1 carry per-tri material data selected by the
+                       same one-hot dot (no gathers in the hot loop):
+                         seg0 rows 3..5 = albedo
+                         seg0 row  6    = mat_id // 256   (id_hi)
+                         seg0 row  7    = mat_id %  256   (id_lo)
+                         seg1 row  3    = mat_type + 4*emissive
+                         seg1 row  4    = ior
+                         seg1 rows 5..7 = emission rgb
+                       Precision contract: the one-hot selection dot runs
+                       at the MXU's default f32 precision, which rounds
+                       operands through bf16. Integer rows are exact only
+                       because every value is an integer <= 256 (hence the
+                       hi/lo split — exact for up to 65536 materials);
+                       albedo/ior/emission/normal rows are bf16-rounded
+                       (~0.4% rel), which is within normal texture
+                       quantisation for shading inputs. Never put ray
+                       geometry through these dots.
   baabb [nb, 8]        block AABB lo.xyz, hi.xyz (pad 2)
   saabb [ns, 8]        super AABB
   tri_geom/tri_prim [nb*TB] i32 (Morton order), padding -> -1
@@ -121,7 +134,9 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          tri_mat: np.ndarray | None = None,
                          mat_albedo: np.ndarray | None = None,
                          mat_ior: np.ndarray | None = None,
-                         mat_type: np.ndarray | None = None) -> BlockedSceneTables:
+                         mat_type: np.ndarray | None = None,
+                         mat_emission: np.ndarray | None = None,
+                         mat_emissive: np.ndarray | None = None) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
@@ -155,6 +170,15 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         mat_albedo = np.zeros((1, 3), np.float32)
         mat_ior = np.full(1, 1.52, np.float32)
         mat_type = np.zeros(1, np.int32)
+    if mat_emission is None:
+        mat_emission = np.zeros((len(mat_albedo), 3), np.float32)
+    if mat_emissive is None:
+        mat_emissive = np.zeros(len(mat_albedo), np.int32)
+    if len(mat_albedo) > 65536:
+        raise ValueError(
+            f"blocked tables support at most 65536 materials "
+            f"(id hi/lo rows must stay bf16-exact); got {len(mat_albedo)}"
+        )
     tri_mat = np.asarray(tri_mat, np.int32)[:T]
     if len(tri_mat) < T:
         tri_mat = np.pad(tri_mat, (0, T - len(tri_mat)))
@@ -201,11 +225,18 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     dN1 = np.where(hasn, vn1 - vn0, 0.0)
     dN2 = np.where(hasn, vn2 - vn0, 0.0)
 
-    # Per-tri material payload (selected via the w1 one-hot dot):
+    # Per-tri material payload (selected via the w1 one-hot dot; see the
+    # module docstring for the bf16-exactness contract):
     m_safe = np.clip(tri_mat, 0, len(mat_albedo) - 1)
     mat_alb = np.asarray(mat_albedo, np.float64)[m_safe]
-    mat_packed = (m_safe * 4 + np.asarray(mat_type, np.int64)[m_safe]).astype(np.float64)
+    mat_id_hi = (m_safe // 256).astype(np.float64)
+    mat_id_lo = (m_safe % 256).astype(np.float64)
+    mat_tp = (
+        np.asarray(mat_type, np.int64)[m_safe]
+        + 4 * np.asarray(mat_emissive, np.int64)[m_safe]
+    ).astype(np.float64)
     mat_iors = np.asarray(mat_ior, np.float64)[m_safe]
+    mat_em = np.asarray(mat_emission, np.float64)[m_safe]
 
     nb = max(1, -(-T // TB))
     ns = -(-nb // SB)
@@ -219,8 +250,11 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
     N0_p, dN1_p, dN2_p = padT(N0), padT(dN1), padT(dN2)
     mat_alb_p = padT(mat_alb)
-    mat_packed_p = padT(mat_packed)
+    mat_id_hi_p = padT(mat_id_hi)
+    mat_id_lo_p = padT(mat_id_lo)
+    mat_tp_p = padT(mat_tp)
     mat_ior_p = padT(mat_iors)
+    mat_em_p = padT(mat_em)
     p0_p = padT(p0)
     tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
     tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
@@ -234,8 +268,11 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         nrm[0:3, base + TB : base + 2 * TB] = dN1_p[sl].T
         nrm[0:3, base + 2 * TB : base + 3 * TB] = dN2_p[sl].T
         nrm[3:6, base : base + TB] = mat_alb_p[sl].T
-        nrm[6, base : base + TB] = mat_packed_p[sl]
-        nrm[7, base : base + TB] = mat_ior_p[sl]
+        nrm[6, base : base + TB] = mat_id_hi_p[sl]
+        nrm[7, base : base + TB] = mat_id_lo_p[sl]
+        nrm[3, base + TB : base + 2 * TB] = mat_tp_p[sl]
+        nrm[4, base + TB : base + 2 * TB] = mat_ior_p[sl]
+        nrm[5:8, base + TB : base + 2 * TB] = mat_em_p[sl].T
 
     # p: [nb*TB, 16]
     p = np.zeros((Tp, 16), np.float32)

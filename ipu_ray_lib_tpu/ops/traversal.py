@@ -304,10 +304,15 @@ def pallas_path_intersect(scene, origin, direction, t_min, t_max):
     albedo = payload[0:3].T                     # [R,3]
     # Round, don't truncate: the one-hot selection runs on the MXU whose
     # f32 accumulation can return 15.9999 for an exact 16.0:
-    packed = jnp.round(payload[3]).astype(jnp.int32)
-    mid = packed >> 2
-    mtype = packed & 3
-    ior = payload[4]
+    mid = (
+        jnp.round(payload[3]).astype(jnp.int32) * 256
+        + jnp.round(payload[4]).astype(jnp.int32)
+    )
+    tpacked = jnp.round(payload[5]).astype(jnp.int32)
+    mtype = tpacked & 3
+    emissive = (tpacked >> 2) != 0
+    ior = payload[6]
+    emission = payload[7:10].T                  # [R,3]
     normal = knormal
 
     sb, st, si = dense_spheres(scene.spheres, origin, direction, t_min,
@@ -336,6 +341,8 @@ def pallas_path_intersect(scene, origin, direction, t_min, t_max):
     albedo = jnp.where(use_o[..., None], scene.mat_albedo[mid_o], albedo)
     mtype = jnp.where(use_o, scene.mat_type[mid_o], mtype)
     ior = jnp.where(use_o, scene.mat_ior[mid_o], ior)
+    emission = jnp.where(use_o[..., None], scene.mat_emission[mid_o], emission)
+    emissive = jnp.where(use_o, scene.mat_emissive[mid_o] != 0, emissive)
 
     default_n = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 1.0], jnp.float32), normal.shape
@@ -344,6 +351,7 @@ def pallas_path_intersect(scene, origin, direction, t_min, t_max):
     return dict(
         t=jnp.where(found, hit_t, t_max), found=found, normal=normal,
         albedo=albedo, mat_id=mid, mat_type=mtype, ior=ior,
+        emission=emission, emissive=emissive & found,
     )
 
 

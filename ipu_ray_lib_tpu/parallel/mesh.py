@@ -106,6 +106,8 @@ def render_streaming_sharded(
     spp: int | None = None,
     chunk_slots: int = 1 << 17,
     tile: int = 32,
+    env_fn=None,
+    env_params=None,
 ):
     """Data-parallel streaming path render: the tile-ordered pixel stream
     is split across the mesh; every device runs the full regenerating
@@ -150,27 +152,34 @@ def render_streaming_sharded(
     cols_sh = cols_np.reshape(n_dev, R_local * J)
     max_iters = J * spp * params.max_path_length + 16
 
-    def per_shard(scene_rep, rows_s, cols_s):
+    def per_shard(scene_rep, rows_s, cols_s, env_p):
+        dev = jax.lax.axis_index(RAY_AXIS)
         seed = (
             jnp.uint32(params.rng_seed & 0xFFFFFFFF)
-            + jnp.uint32(0x9E3779B9) * jax.lax.axis_index(RAY_AXIS).astype(jnp.uint32)
+            + jnp.uint32(0x9E3779B9) * dev.astype(jnp.uint32)
+        )
+        # This device's slice covers padded-stream pixels
+        # [dev*R_local*J, (dev+1)*R_local*J); only those below n_pix are real:
+        n_valid = jnp.clip(
+            jnp.int32(n_pix) - dev.astype(jnp.int32) * jnp.int32(R_local * J),
+            0, R_local * J,
         )
         accum, done, _ = streaming_path_trace(
-            scene_rep, rows_s[0], cols_s[0], seed, None,
+            scene_rep, rows_s[0], cols_s[0], seed, env_p, n_valid,
             params=params, slots=R_local, j_per_slot=J, spp=spp,
-            max_iters=max_iters, has_env=False,
+            max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
         )
         return accum[None], done[None]
 
     shard_fn = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
         check_vma=False,
     )
     accum, done = jax.jit(shard_fn)(
-        scene, jnp.asarray(rows_sh), jnp.asarray(cols_sh)
+        scene, jnp.asarray(rows_sh), jnp.asarray(cols_sh), env_params
     )
     # accum [n_dev, J, 3, R_local] -> per-device pixel streams:
     a = _np.asarray(accum).transpose(0, 1, 3, 2).reshape(stream, 3) / spp

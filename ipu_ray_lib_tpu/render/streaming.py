@@ -87,6 +87,7 @@ def streaming_path_trace(
     cols: jnp.ndarray,          # [slots * j_per_slot] f32 pixel cols
     seed: jnp.ndarray,          # u32 scalar
     env_params,
+    n_valid: jnp.ndarray | None = None,  # i32 scalar: real (unpadded) pixel count
     *,
     params: SceneParams,
     slots: int,
@@ -97,7 +98,11 @@ def streaming_path_trace(
     env_fn=None,
 ):
     """Returns (accum [J, 3, slots] radiance sums, paths_done, iters).
-    Pixel p of the padded stream lives at accum[p // slots, :, p % slots]."""
+    Pixel p of the padded stream lives at accum[p // slots, :, p % slots].
+
+    ``n_valid`` marks the tail of the pixel stream as padding: slots never
+    spawn paths for pixels >= n_valid, so no work is wasted tracing pixel
+    (0, 0) stand-ins and ``paths_done`` counts real paths only."""
     R = slots
     J = j_per_slot
     K = J * spp  # paths per slot
@@ -112,6 +117,15 @@ def streaming_path_trace(
     def slot_pid(k):
         return slot_ids * jnp.uint32(K) + k.astype(jnp.uint32)
 
+    # Per-slot path budget: slot s serves pixels {s, s+R, ...}; rows with
+    # pixel index >= n_valid are padding and get no paths at all:
+    if n_valid is None:
+        n_valid = jnp.int32(R * J)
+    valid_j = jnp.clip(
+        -(-(n_valid - slot_ids.astype(jnp.int32)) // R), 0, J
+    )
+    k_cap = valid_j * spp                        # [R] i32, per-slot K
+
     k0 = jnp.zeros(R, jnp.int32)
     o0, d0 = _camera_ray(params, rows, cols, slot_pix(k0)[0], slot_pid(k0), aa, seed)
 
@@ -123,7 +137,7 @@ def streaming_path_trace(
         d=d0,
         tp=jnp.ones((R, 3), f32),
         color=jnp.zeros((R, 3), f32),
-        active=jnp.ones(R, bool),
+        active=k_cap > 0,
         accum=jnp.zeros((J, 3, R), f32),
         done=jnp.uint32(0),
     )
@@ -148,10 +162,11 @@ def streaming_path_trace(
             found = res["found"]
             hit_t = res["t"]
             hit_n = res["normal"]
-            mid = res["mat_id"]
             albedo = res["albedo"]
             ior = res["ior"]
             mtype = res["mat_type"]
+            emission = res["emission"]
+            emissive = res["emissive"]
         else:
             hit, hit_n = scene_intersect_with_normal(
                 scene, o, d, t_min, t_max, params.intersector
@@ -163,10 +178,9 @@ def streaming_path_trace(
             albedo = scene.mat_albedo[mid]
             ior = scene.mat_ior[mid]
             mtype = scene.mat_type[mid]
-
-        mid_safe = jnp.clip(mid, 0, scene.mat_emission.shape[0] - 1)
-        emission = scene.mat_emission[mid_safe]
-        emissive = scene.mat_emissive[mid_safe] != 0
+            mid_safe = jnp.clip(mid, 0, scene.mat_emission.shape[0] - 1)
+            emission = scene.mat_emission[mid_safe]
+            emissive = scene.mat_emissive[mid_safe] != 0
 
         live = active & found
         hit_p = o + d * hit_t[..., None]
@@ -228,8 +242,9 @@ def streaming_path_trace(
         bounce = jnp.where(terminated, 0, bounce)
         color = jnp.where(terminated[..., None], 0.0, color)
 
-        # Regenerate idle slots with their next path:
-        can_spawn = (~active) & (k < K)
+        # Regenerate idle slots with their next path (k_cap excludes
+        # padding rows, so dead-pixel paths are never spawned or counted):
+        can_spawn = (~active) & (k < k_cap)
         pix, _ = slot_pix(k)
         co, cd = _camera_ray(params, rows, cols, pix, slot_pid(k), aa, seed)
         o = jnp.where(can_spawn[..., None], co, o)
@@ -248,21 +263,9 @@ def streaming_path_trace(
     return out["accum"], out["done"], out["it"]
 
 
-def render_streaming(
-    scene: SceneArrays,
-    params: SceneParams,
-    chunk_slots: int = 1 << 17,
-    env_fn: Optional[Callable] = None,
-    env_params=None,
-    spp: int | None = None,
-    tile: int = 32,
-):
-    """Full-window streaming render; returns (rgb [H, W, 3] numpy, done)."""
-    spp = spp if spp is not None else params.samples_per_pixel
+def _pixel_stream(params, tile):
+    """Tile-ordered pixel stream (coherent slot neighbourhoods)."""
     w, h = params.window_w, params.window_h
-    n_pix = w * h
-
-    # Tile-ordered pixel stream (coherent slot neighbourhoods):
     rr, cc = np.meshgrid(
         np.arange(params.window_r, params.window_r + h),
         np.arange(params.window_c, params.window_c + w),
@@ -275,8 +278,49 @@ def render_streaming(
     )
     rows_np = rr.ravel()[order].astype(np.float32)
     cols_np = cc.ravel()[order].astype(np.float32)
+    return rows_np, cols_np, order
 
+
+def _pick_br(R: int) -> int:
+    """Largest kernel ray-block size (<= 1024) that tiles the slot pool."""
+    for br in (1024, 512, 256):
+        if R % br == 0:
+            return br
+    raise ValueError(f"slot pool {R} not a multiple of 256")
+
+
+def _use_megakernel(params, env_fn) -> bool:
+    """The in-kernel bounce loop covers the pallas intersector without an
+    environment light (NIF env scenes take the XLA-loop integrator)."""
+    return params.intersector == "pallas" and env_fn is None
+
+
+def render_streaming(
+    scene: SceneArrays,
+    params: SceneParams,
+    chunk_slots: int = 1 << 17,
+    env_fn: Optional[Callable] = None,
+    env_params=None,
+    spp: int | None = None,
+    tile: int = 32,
+):
+    """Full-window streaming render; returns (rgb [H, W, 3] numpy, done).
+
+    Dispatches to the Pallas megakernel (ops/pallas/megakernel.py — the
+    whole bounce loop in one kernel) when the scene uses the pallas
+    intersector and no environment light; otherwise runs the XLA-loop
+    integrator above."""
+    spp = spp if spp is not None else params.samples_per_pixel
+    w, h = params.window_w, params.window_h
+    n_pix = w * h
+    rows_np, cols_np, order = _pixel_stream(params, tile)
+
+    use_mega = _use_megakernel(params, env_fn)
     R = min(chunk_slots, n_pix)
+    if use_mega:
+        # Slot pool must tile into kernel ray blocks; surplus slots are
+        # marked dead through n_valid and cost nothing:
+        R = min(-(-R // 256) * 256, -(-n_pix // 256) * 256)
     J = -(-n_pix // R)
     pad = R * J - n_pix
     rows_np = np.pad(rows_np, (0, pad))
@@ -285,12 +329,26 @@ def render_streaming(
     # Drain bound: every path takes at most max_path_length segments.
     max_iters = J * spp * params.max_path_length + 16
 
-    accum, done, _iters = streaming_path_trace(
-        scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
-        jnp.uint32(params.rng_seed & 0xFFFFFFFF), env_params,
-        params=params, slots=R, j_per_slot=J, spp=spp,
-        max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
-    )
+    if use_mega:
+        import jax as _jax
+
+        from ..ops.pallas.megakernel import megakernel_path_trace
+
+        accum, done = megakernel_path_trace(
+            scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
+            jnp.uint32(params.rng_seed & 0xFFFFFFFF), jnp.int32(n_pix),
+            params=params, slots=R, j_per_slot=J, spp=spp,
+            max_iters=max_iters, br=_pick_br(R),
+            interpret=_jax.default_backend() != "tpu",
+        )
+    else:
+        accum, done, _iters = streaming_path_trace(
+            scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
+            jnp.uint32(params.rng_seed & 0xFFFFFFFF), env_params,
+            jnp.int32(n_pix),
+            params=params, slots=R, j_per_slot=J, spp=spp,
+            max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
+        )
     # accum[j, :, s] holds padded-stream pixel s + j*R:
     flat = np.asarray(accum).transpose(0, 2, 1).reshape(R * J, 3) / spp
     img = np.empty((n_pix, 3), np.float32)

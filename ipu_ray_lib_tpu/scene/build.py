@@ -239,6 +239,7 @@ def build_scene(
         tri_has_normals=tri_has_normals,
         tri_mat=tri_mat_ids,
         mat_albedo=mat_albedo, mat_ior=mat_ior, mat_type=mat_type,
+        mat_emission=mat_emission, mat_emissive=mat_emissive,
     )
     sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
     disc_geom = disc_gid0 + np.arange(max(len(scene.discs), 1), dtype=np.int32)

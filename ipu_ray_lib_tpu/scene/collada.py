@@ -25,10 +25,6 @@ def _ns_of(root) -> str:
     return m.group(1) if m else ""
 
 
-def _floats(text: str) -> np.ndarray:
-    return np.fromstring(text, sep=" ", dtype=np.float32) if hasattr(np, "fromstring") else None
-
-
 def _parse_floats(text: str) -> np.ndarray:
     return np.array(text.split(), dtype=np.float32)
 
