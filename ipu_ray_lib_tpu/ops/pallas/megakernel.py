@@ -187,7 +187,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
-                 tan_theta, inv_w, inv_h, aspect, aa):
+                 tan_theta, inv_w, inv_h, aspect, aa,
+                 _timing_no_dots=False):
     i = pl.program_id(0)
     f32 = jnp.float32
     i32 = jnp.int32
@@ -286,6 +287,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
             bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
                          axis=0, keepdims=True)
+            better = (bt < best_t) & (bt < _INF)
+            bt_ref[:] = jnp.where(better, bt, best_t)
+            if _timing_no_dots:
+                return 0
             onehot = (tri_lane == bi).astype(f32)
             nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]
             w1 = onehot
@@ -301,12 +306,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                       preferred_element_type=f32))
             m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd_,
                                          preferred_element_type=f32)
-            better = (bt < best_t) & (bt < _INF)
-            bt_ref[:] = jnp.where(better, bt, best_t)
             bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
             bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
             return 0
 
+        if _timing_no_dots:
+            # Plausible fixed material so path statistics stay realistic:
+            bn_ref[2:3, :] = jnp.ones((1, br), f32)      # normal (0,0,1)
+            bn_ref[3:6, :] = jnp.full((3, br), 0.6, f32)  # albedo
         jax.lax.fori_loop(0, nb, tri_block, 0)
 
         best_t = bt_ref[:]
@@ -526,7 +533,7 @@ def _analytic_tables(scene):
 @functools.partial(
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
-                     "br", "interpret"),
+                     "br", "interpret", "_timing_no_dots"),
 )
 def megakernel_path_trace(
     scene,
@@ -542,12 +549,11 @@ def megakernel_path_trace(
     max_iters: int,
     br: int = BR,
     interpret: bool = False,
+    _timing_no_dots: bool = False,
 ):
-    """In-kernel streaming path trace. Returns (accum [J, 3, R], done).
-
-    Drop-in for streaming.streaming_path_trace (no env) with the loop
-    fused into a single pallas_call; pixel p of the padded stream lives
-    at accum[p // R, :, p % R]."""
+    """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
+    spp-averaged radiance of padded-stream pixel p at rgb[p] — everything
+    but the tile-order unscramble happens on device."""
     R = slots
     J = j_per_slot
     K = J * spp
@@ -599,6 +605,7 @@ def megakernel_path_trace(
         inv_h=1.0 / params.image_height,
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
+        _timing_no_dots=_timing_no_dots,
     )
     accum, done = pl.pallas_call(
         kern,
@@ -609,6 +616,8 @@ def megakernel_path_trace(
         ],
         interpret=interpret,
     )(sc, rows2, cols2, tables.p, tables.nrm, ap, apay)
-    # [3J, R] rows are (j, channel)-major -> [J, 3, R] like the XLA loop:
-    accum = accum.reshape(J, 3, R)
-    return accum, jnp.sum(done).astype(jnp.uint32)
+    # [3J, R] rows are (j, channel)-major -> per-pixel [R*J, 3], averaged,
+    # on device (multi-second numpy work on slow hosts otherwise):
+    flat = accum.reshape(J, 3, R).transpose(0, 2, 1).reshape(R * J, 3)
+    flat = flat * np.float32(1.0 / spp)
+    return flat, jnp.sum(done).astype(jnp.uint32)

@@ -152,6 +152,12 @@ def render_streaming_sharded(
     cols_sh = cols_np.reshape(n_dev, R_local * J)
     max_iters = J * spp * params.max_path_length + 16
 
+    from ..render.streaming import _pick_br, _use_megakernel
+
+    use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
+    if use_mega:
+        from ..ops.pallas.megakernel import megakernel_path_trace
+
     def per_shard(scene_rep, rows_s, cols_s, env_p):
         dev = jax.lax.axis_index(RAY_AXIS)
         seed = (
@@ -164,11 +170,22 @@ def render_streaming_sharded(
             jnp.int32(n_pix) - dev.astype(jnp.int32) * jnp.int32(R_local * J),
             0, R_local * J,
         )
-        accum, done, _ = streaming_path_trace(
-            scene_rep, rows_s[0], cols_s[0], seed, env_p, n_valid,
-            params=params, slots=R_local, j_per_slot=J, spp=spp,
-            max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
-        )
+        if use_mega:
+            flat, done = megakernel_path_trace(
+                scene_rep, rows_s[0], cols_s[0], seed, n_valid,
+                params=params, slots=R_local, j_per_slot=J, spp=spp,
+                max_iters=max_iters, br=_pick_br(R_local, J),
+                interpret=jax.default_backend() != "tpu",
+            )
+            # Match the XLA integrator's [J, 3, R] accumulator contract:
+            accum = flat.reshape(J, R_local, 3).transpose(0, 2, 1) * spp
+        else:
+            accum, done, _ = streaming_path_trace(
+                scene_rep, rows_s[0], cols_s[0], seed, env_p, n_valid,
+                params=params, slots=R_local, j_per_slot=J, spp=spp,
+                max_iters=max_iters, has_env=env_fn is not None,
+                env_fn=env_fn,
+            )
         return accum[None], done[None]
 
     shard_fn = jax.shard_map(

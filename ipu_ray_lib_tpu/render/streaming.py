@@ -263,9 +263,18 @@ def streaming_path_trace(
     return out["accum"], out["done"], out["it"]
 
 
+_STREAM_CACHE: dict = {}
+
+
 def _pixel_stream(params, tile):
-    """Tile-ordered pixel stream (coherent slot neighbourhoods)."""
+    """Tile-ordered pixel stream (coherent slot neighbourhoods). Cached —
+    the lexsort over megapixel windows costs hundreds of ms per call
+    otherwise (host time the TPU spends idle)."""
     w, h = params.window_w, params.window_h
+    key = (w, h, params.window_c, params.window_r, tile)
+    hit = _STREAM_CACHE.get(key)
+    if hit is not None:
+        return hit
     rr, cc = np.meshgrid(
         np.arange(params.window_r, params.window_r + h),
         np.arange(params.window_c, params.window_c + w),
@@ -278,12 +287,37 @@ def _pixel_stream(params, tile):
     )
     rows_np = rr.ravel()[order].astype(np.float32)
     cols_np = cc.ravel()[order].astype(np.float32)
+    if len(_STREAM_CACHE) > 8:
+        _STREAM_CACHE.clear()
+    _STREAM_CACHE[key] = (rows_np, cols_np, order)
     return rows_np, cols_np, order
 
 
-def _pick_br(R: int) -> int:
-    """Largest kernel ray-block size (<= 1024) that tiles the slot pool."""
-    for br in (1024, 512, 256):
+_DEV_STREAM_CACHE: dict = {}
+
+
+def _device_stream(rows_np, cols_np, pad, key):
+    """Padded device-resident pixel stream, cached per window config (the
+    host->device upload of multi-MB coordinate arrays is per-window
+    constant work)."""
+    hit = _DEV_STREAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rows = jnp.asarray(np.pad(rows_np, (0, pad)))
+    cols = jnp.asarray(np.pad(cols_np, (0, pad)))
+    if len(_DEV_STREAM_CACHE) > 8:
+        _DEV_STREAM_CACHE.clear()
+    _DEV_STREAM_CACHE[key] = (rows, cols)
+    return rows, cols
+
+
+def _pick_br(R: int, J: int) -> int:
+    """Kernel ray-block size that tiles the slot pool. Measured on v5e
+    (experiments/mega_sweep.py): with deep slot queues (J >= 8) larger
+    blocks win (fewer grid steps); with shallow queues the per-block
+    drain tail favours smaller blocks."""
+    prefs = (2048, 1024, 512, 256) if J >= 8 else (512, 1024, 256, 2048)
+    for br in prefs:
         if R % br == 0:
             return br
     raise ValueError(f"slot pool {R} not a multiple of 256")
@@ -323,8 +357,11 @@ def render_streaming(
         R = min(-(-R // 256) * 256, -(-n_pix // 256) * 256)
     J = -(-n_pix // R)
     pad = R * J - n_pix
-    rows_np = np.pad(rows_np, (0, pad))
-    cols_np = np.pad(cols_np, (0, pad))
+    rows_d, cols_d = _device_stream(
+        rows_np, cols_np, pad,
+        (params.window_w, params.window_h, params.window_c, params.window_r,
+         tile, R, J),
+    )
 
     # Drain bound: every path takes at most max_path_length segments.
     max_iters = J * spp * params.max_path_length + 16
@@ -334,23 +371,24 @@ def render_streaming(
 
         from ..ops.pallas.megakernel import megakernel_path_trace
 
-        accum, done = megakernel_path_trace(
-            scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
+        flat_d, done = megakernel_path_trace(
+            scene, rows_d, cols_d,
             jnp.uint32(params.rng_seed & 0xFFFFFFFF), jnp.int32(n_pix),
             params=params, slots=R, j_per_slot=J, spp=spp,
-            max_iters=max_iters, br=_pick_br(R),
+            max_iters=max_iters, br=_pick_br(R, J),
             interpret=_jax.default_backend() != "tpu",
         )
+        flat = np.asarray(flat_d)
     else:
         accum, done, _iters = streaming_path_trace(
-            scene, jnp.asarray(rows_np), jnp.asarray(cols_np),
+            scene, rows_d, cols_d,
             jnp.uint32(params.rng_seed & 0xFFFFFFFF), env_params,
             jnp.int32(n_pix),
             params=params, slots=R, j_per_slot=J, spp=spp,
             max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
         )
-    # accum[j, :, s] holds padded-stream pixel s + j*R:
-    flat = np.asarray(accum).transpose(0, 2, 1).reshape(R * J, 3) / spp
+        # accum[j, :, s] holds padded-stream pixel s + j*R:
+        flat = np.asarray(accum).transpose(0, 2, 1).reshape(R * J, 3) / spp
     img = np.empty((n_pix, 3), np.float32)
     img[order] = flat[:n_pix]
     return img.reshape(h, w, 3), int(done)
