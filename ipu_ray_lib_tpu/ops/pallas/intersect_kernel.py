@@ -45,19 +45,35 @@ _INF = np.float32(np.inf)
 
 def block_cull_lists_bundle(tables: BlockedSceneTables, origins, dirs,
                             t_min, t_max, n_ray_blocks, br: int = BR):
-    """O(nrb x nb) conservative cull: per-ray-block *bundle* (interval
-    AABB of origins + directions) vs block AABBs. A block is kept if any
+    """Bundle cull against the triangle-block AABBs (see bundle_cull)."""
+    return bundle_cull(tables.baabb, origins, dirs, t_min, t_max,
+                       n_ray_blocks, br)
+
+
+def super_cull_lists_bundle(tables: BlockedSceneTables, origins, dirs,
+                            t_min, t_max, n_ray_blocks, br: int = BR):
+    """Bundle cull against the super AABBs (SB blocks per super) — the
+    coarse level used by the HBM-streamed kernel, where per-ray-block
+    lists must stay small enough for SMEM scalar prefetch."""
+    return bundle_cull(tables.saabb, origins, dirs, t_min, t_max,
+                       n_ray_blocks, br)
+
+
+def bundle_cull(aabb, origins, dirs, t_min, t_max, n_ray_blocks,
+                br: int = BR):
+    """O(nrb x n) conservative cull: per-ray-block *bundle* (interval
+    AABB of origins + directions) vs a set of AABBs. A box is kept if any
     ray in the bundle could possibly hit it:
 
         max_axis(min possible entry t)  <=  min_axis(max possible exit t)
 
     Mixed-sign direction axes contribute no constraint (conservative).
     Orders of magnitude cheaper than the exact per-ray cull — the whole
-    computation is [n_ray_blocks, num_blocks] sized.
+    computation is [n_ray_blocks, num_boxes] sized.
     """
-    nb = tables.num_blocks
-    blo = tables.baabb[:, 0:3]                      # [nb,3]
-    bhi = tables.baabb[:, 3:6]
+    nb = aabb.shape[0]
+    blo = aabb[:, 0:3]                              # [nb,3]
+    bhi = aabb[:, 3:6]
 
     # Bundle AABBs over *live* lanes only (dead rays carry t_max < 0):
     # as the wavefront dies off, bundles tighten and whole ray blocks

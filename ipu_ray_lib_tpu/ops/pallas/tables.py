@@ -58,6 +58,11 @@ SB = 8    # blocks per super
 
 class BlockedSceneTables(NamedTuple):
     p: jnp.ndarray        # [nb*TB, 16] f32
+    # 128-column copy of p for the HBM-streamed kernel: Mosaic DMA slices
+    # must be 128-aligned in the minor dimension, so the resident-VMEM
+    # kernel keeps the compact 16-column table and the HBM path pays the
+    # padding in (cheap) HBM bytes instead:
+    p_wide: jnp.ndarray   # [nb*TB, 128] f32
     nrm: jnp.ndarray      # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
     saabb: jnp.ndarray    # [ns, 8] f32
@@ -305,8 +310,12 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
             saabb[s, 0:3] = blk[valid, 0:3].min(axis=0)
             saabb[s, 3:6] = blk[valid, 3:6].max(axis=0)
 
+    p_wide = np.zeros((Tp, 128), np.float32)
+    p_wide[:, :16] = p
+
     return BlockedSceneTables(
         p=jnp.asarray(p),
+        p_wide=jnp.asarray(p_wide),
         nrm=jnp.asarray(nrm),
         baabb=jnp.asarray(baabb),
         saabb=jnp.asarray(saabb),

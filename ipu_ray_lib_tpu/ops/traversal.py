@@ -231,20 +231,36 @@ def dense_intersect(
     )
 
 
+def _pallas_tri_intersect(scene, origin, direction, t_min, t_max, hbm):
+    """Triangle closest-hit through the VMEM-resident kernel, or the
+    HBM-streamed kernel for scenes beyond VMEM (ops/pallas/intersect_hbm)."""
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
+    if hbm:
+        from .pallas.intersect_hbm import pallas_intersect_hbm
+
+        return pallas_intersect_hbm(
+            scene.blocked, origin, direction, t_min, t_max,
+            interpret=interpret,
+        )
+    from .pallas.intersect_kernel import pallas_intersect
+
+    return pallas_intersect(
+        scene.blocked, origin, direction, t_min, t_max, interpret=interpret
+    )
+
+
 def pallas_scene_intersect(scene, origin, direction, t_min, t_max,
-                           with_normal: bool = False):
+                           with_normal: bool = False, hbm: bool = False):
     """Closest-hit via the Pallas blocked kernel (triangles) + dense
     sphere/disc tests. Falls back to interpreter mode off-TPU.
     With ``with_normal`` returns (Hit, normal [R,3]) using the kernel's
     densely-selected shading normals (no per-lane gathers)."""
-    import jax as _jax
-
     from .dense import dense_discs, dense_spheres
-    from .pallas.intersect_kernel import pallas_intersect
 
-    interpret = _jax.default_backend() != "tpu"
-    best_t, tri, knormal, _payload = pallas_intersect(
-        scene.blocked, origin, direction, t_min, t_max, interpret=interpret
+    best_t, tri, knormal, _payload = _pallas_tri_intersect(
+        scene, origin, direction, t_min, t_max, hbm
     )
     tri_safe = jnp.clip(tri, 0, scene.blocked.tri_geom.shape[0] - 1)
     geom = jnp.where(tri >= 0, scene.blocked.tri_geom[tri_safe], INVALID_GEOM_ID)
@@ -286,19 +302,16 @@ def pallas_scene_intersect(scene, origin, direction, t_min, t_max,
     return hit, normal
 
 
-def pallas_path_intersect(scene, origin, direction, t_min, t_max):
+def pallas_path_intersect(scene, origin, direction, t_min, t_max,
+                          hbm: bool = False):
     """Streaming-integrator fast path: closest hit + shading normal +
     material payload (albedo, mat_id, type, ior) straight from the
     kernel's one-hot selection — zero per-lane gathers for triangle hits.
     Sphere/disc hits override via their (few) analytic lanes."""
-    import jax as _jax
-
     from .dense import dense_discs, dense_spheres
-    from .pallas.intersect_kernel import pallas_intersect
 
-    interpret = _jax.default_backend() != "tpu"
-    best_t, tri, knormal, payload = pallas_intersect(
-        scene.blocked, origin, direction, t_min, t_max, interpret=interpret
+    best_t, tri, knormal, payload = _pallas_tri_intersect(
+        scene, origin, direction, t_min, t_max, hbm
     )
     found = tri >= 0
     albedo = payload[0:3].T                     # [R,3]
@@ -358,21 +371,24 @@ def pallas_path_intersect(scene, origin, direction, t_min, t_max):
 def scene_intersect_with_normal(scene, origin, direction, t_min, t_max,
                                 method: str = "bvh"):
     """Closest hit + shading normal in one call; uses in-kernel normals
-    for the pallas path, hit_normal recomputation otherwise."""
-    if method == "pallas":
+    for the pallas paths, hit_normal recomputation otherwise."""
+    if method in ("pallas", "pallas-hbm"):
         return pallas_scene_intersect(scene, origin, direction, t_min, t_max,
-                                      with_normal=True)
+                                      with_normal=True,
+                                      hbm=method == "pallas-hbm")
     hit = scene_intersect(scene, origin, direction, t_min, t_max, method)
     return hit, hit_normal(scene, origin, direction, hit)
 
 
 def scene_intersect(scene, origin, direction, t_min, t_max, method: str = "bvh") -> Hit:
     """Closest-hit dispatch: 'bvh' (threaded traversal), 'dense' (MXU
-    brute force), or 'pallas' (blocked VMEM kernel)."""
+    brute force), 'pallas' (blocked VMEM kernel), or 'pallas-hbm'
+    (HBM-streamed tables for scenes beyond VMEM)."""
     if method == "dense":
         return dense_intersect(scene, origin, direction, t_min, t_max)
-    if method == "pallas":
-        return pallas_scene_intersect(scene, origin, direction, t_min, t_max)
+    if method in ("pallas", "pallas-hbm"):
+        return pallas_scene_intersect(scene, origin, direction, t_min, t_max,
+                                      hbm=method == "pallas-hbm")
     return bvh_intersect(scene, origin, direction, t_min, t_max)
 
 
@@ -381,8 +397,9 @@ def scene_occluded(scene, origin, direction, t_min, t_max, method: str = "bvh"):
     if method == "dense":
         hit = dense_intersect(scene, origin, direction, t_min, t_max)
         return hit.found & (hit.t < t_max)
-    if method == "pallas":
-        hit = pallas_scene_intersect(scene, origin, direction, t_min, t_max)
+    if method in ("pallas", "pallas-hbm"):
+        hit = pallas_scene_intersect(scene, origin, direction, t_min, t_max,
+                                     hbm=method == "pallas-hbm")
         return hit.found & (hit.t < t_max)
     return bvh_occluded(scene, origin, direction, t_min, t_max)
 

@@ -157,8 +157,9 @@ def streaming_path_trace(
         o = s["o"]
         d = s["d"]
         t_max = jnp.where(active, f32(jnp.inf), f32(-1.0))
-        if params.intersector == "pallas":
-            res = pallas_path_intersect(scene, o, d, t_min, t_max)
+        if params.intersector in ("pallas", "pallas-hbm"):
+            res = pallas_path_intersect(scene, o, d, t_min, t_max,
+                                        hbm=params.intersector == "pallas-hbm")
             found = res["found"]
             hit_t = res["t"]
             hit_n = res["normal"]

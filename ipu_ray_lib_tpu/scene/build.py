@@ -249,8 +249,10 @@ def build_scene(
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
-        if total_prims <= 65536 and on_tpu:
-            intersector = "pallas"
+        if on_tpu:
+            # The jnp threaded-BVH crashes the TPU worker at scale
+            # (PROGRESS.md finding 8) — never auto-select it on TPU.
+            intersector = "pallas" if total_prims <= 65536 else "pallas-hbm"
         elif total_prims <= 32768:
             intersector = "dense"
         else:

@@ -165,6 +165,52 @@ def make_cornell_box_scene(mesh_file: str | None = None, box_only: bool = False)
     return scene
 
 
+def make_stress_scene(grid: int = 512) -> SceneDescription:
+    """Large-scene stress test: a displaced heightfield of
+    ``2 * (grid-1)^2`` triangles under an overhead disc light. Exists to
+    exercise the HBM-streamed intersector (scenes beyond the 64k-prim
+    VMEM class — role of the reference's DRAM ray streaming,
+    src/IpuScene.cpp:375-391); no reference counterpart scene.
+
+    grid=512 -> 522,242 triangles."""
+    n = int(grid)
+    xs = np.linspace(-8.0, 8.0, n, dtype=np.float32)
+    zs = np.linspace(-16.0, -2.0, n, dtype=np.float32)
+    xg, zg = np.meshgrid(xs, zs, indexing="ij")
+    y = (
+        -2.0
+        + 0.6 * np.sin(1.3 * xg) * np.cos(0.9 * zg)
+        + 0.25 * np.sin(4.1 * xg + 1.7) * np.sin(3.3 * zg)
+    ).astype(np.float32)
+    verts = np.stack([xg, y, zg], axis=-1).reshape(-1, 3)
+
+    idx = np.arange(n * n, dtype=np.uint32).reshape(n, n)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[:-1, 1:].ravel()
+    d = idx[1:, 1:].ravel()
+    tris = np.concatenate(
+        [np.stack([a, b, c], axis=-1), np.stack([b, d, c], axis=-1)]
+    )
+
+    scene = SceneDescription()
+    scene.meshes = [HostMesh(triangles=tris, vertices=verts)]
+    scene.discs = np.array([[0, -1, 0, 0.0, 6.0, -9.0, 4.0]], np.float32)
+
+    zero = np.zeros(3, np.float32)
+    sand = np.array([0.8, 0.7, 0.55], np.float32)
+    light_r = np.array([0.78, 0.78, 0.78], np.float32)
+    light_e = np.array([18.0, 16.0, 14.0], np.float32)
+    scene.materials = [
+        Material(sand, zero, MaterialType.DIFFUSE),
+        Material(light_r, light_e, MaterialType.DIFFUSE),
+    ]
+    scene.mat_ids = [0, 1]
+    scene.camera = Camera(horizontal_fov=float(np.pi / 3))
+    scene.validate()
+    return scene
+
+
 def make_primitive_scene() -> SceneDescription:
     """Primitive-only 'spheres' scene for NIF/HDRI demos
     (ref: src/scene_utils.cpp:557-597)."""

@@ -69,6 +69,7 @@ def load_compiled_scene(path: str):
         vert_normals=host["normals"], tri_has_normals=tri_has_normals,
         tri_mat=tri_mat, mat_albedo=host["mat_albedo"],
         mat_ior=host["mat_ior"], mat_type=host["mat_type"],
+        mat_emission=host["mat_emission"], mat_emissive=host["mat_emissive"],
     )
 
     arrays = SceneArrays(

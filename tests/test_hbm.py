@@ -1,0 +1,81 @@
+"""HBM-streamed intersector (ops/pallas/intersect_hbm): equivalence with
+the VMEM-resident kernel, end-to-end renders, and the stress scene.
+
+The reference's counterpart capability is DRAM ray/scene streaming
+(src/IpuScene.cpp:375-391, 583-618); here the scene tables stream instead
+(rays stay resident), so the contract to test is "same image as the
+VMEM kernel, any scene size".
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ipu_ray_lib_tpu.ops.camera import generate_camera_rays, pixel_grid
+from ipu_ray_lib_tpu.scene.build import build_scene
+from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene, make_stress_scene
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene = make_cornell_box_scene(None, box_only=False)
+    return build_scene(scene, image_width=48, image_height=48,
+                       samples_per_pixel=2, intersector="pallas-hbm")
+
+
+def _rays(params, n):
+    rows, cols = pixel_grid(n, n, 0, 0)
+    return generate_camera_rays(rows, cols, n, n, params.fov_radians, 0.0, None)
+
+
+def test_hbm_matches_vmem_kernel(cornell):
+    from ipu_ray_lib_tpu.ops.pallas.intersect_hbm import pallas_intersect_hbm
+    from ipu_ray_lib_tpu.ops.pallas.intersect_kernel import pallas_intersect
+
+    arrays, params, _ = cornell
+    o, d = _rays(params, 48)
+    R = o.shape[0]
+    t_min = jnp.zeros(R)
+    t_max = jnp.full(R, jnp.inf)
+    t1, i1, n1, p1 = pallas_intersect(
+        arrays.blocked, o, d, t_min, t_max, interpret=True)
+    t2, i2, n2, p2 = pallas_intersect_hbm(
+        arrays.blocked, o, d, t_min, t_max, interpret=True, br=512)
+    assert np.allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    assert np.allclose(np.asarray(n1), np.asarray(n2), atol=1e-6)
+    assert np.allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_render_path_trace_hbm_matches_pallas(cornell):
+    """Same RNG streams + same acceptance tests => identical images."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    arrays, params, _ = cornell
+    img_hbm, done_hbm = render_streaming(arrays, params, chunk_slots=512, spp=2)
+    params_v = dataclasses.replace(params, intersector="pallas")
+    img_v, done_v = render_streaming(arrays, params_v, chunk_slots=512, spp=2)
+    assert done_hbm == done_v == 48 * 48 * 2
+    # pallas routes to the megakernel, pallas-hbm to the XLA loop; both
+    # share RNG streams and kernels' acceptance maths:
+    assert np.allclose(img_hbm, img_v, atol=2e-3)
+
+
+def test_stress_scene_renders():
+    """The large-scene generator builds and shadow-traces (tiny grid)."""
+    from ipu_ray_lib_tpu.render.renderer import render
+
+    scene = make_stress_scene(24)          # 1058 triangles
+    arrays, params, _ = build_scene(
+        scene, image_width=32, image_height=32, samples_per_pixel=1,
+        intersector="pallas-hbm", max_path_length=3,
+    )
+    out = render(arrays, params, mode="shadow-trace", chunk_size=1024)
+    assert out.hit_count > 100            # terrain fills the lower frame
+    pt = render(arrays, params, mode="path-trace", chunk_size=1024)
+    assert np.isfinite(pt.rgb).all()
+    assert pt.rgb.max() > 0

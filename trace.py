@@ -63,9 +63,10 @@ def add_options(p: argparse.ArgumentParser) -> None:
                    help="Report partial results chunk-by-chunk while rendering "
                         "(RayCallback analogue).")
     p.add_argument("--intersector", default="auto",
-                   choices=["auto", "bvh", "dense", "pallas"],
+                   choices=["auto", "bvh", "dense", "pallas", "pallas-hbm"],
                    help="Closest-hit engine: threaded-BVH wavefront, dense MXU, "
-                        "or the blocked Pallas kernel (auto picks per scene/backend).")
+                        "the blocked Pallas kernel, or the HBM-streamed kernel "
+                        "for scenes beyond VMEM (auto picks per scene/backend).")
     p.add_argument("--log-level", default="info",
                    choices=["trace", "debug", "info", "warn", "err", "critical", "off"])
 
