@@ -7,8 +7,11 @@ IPU Mk2 (~100M over 4 IPUs); the north star is >=100 Mpaths/s per TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_SIZE (1440), BENCH_SPP (16), BENCH_CHUNK (131072),
-BENCH_INTERSECTOR (auto), BENCH_SORT (0).
+Env knobs: BENCH_SIZE (1440), BENCH_SPP (64), BENCH_CHUNK (131072),
+BENCH_INTERSECTOR (auto), BENCH_REPS (3). The reference headline is
+1000 spp; spp-scaling is flat from 16 to 256 (PROGRESS.md bench table),
+so the default 64 keeps the run under a few minutes through the flaky
+device tunnel without flattering the number.
 """
 
 import json
@@ -21,7 +24,7 @@ BASELINE_MPATHS_PER_CHIP = 100.0  # north-star target (BASELINE.md)
 
 def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", 1440))
-    spp = int(os.environ.get("BENCH_SPP", 16))
+    spp = int(os.environ.get("BENCH_SPP", 64))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
     intersector = os.environ.get("BENCH_INTERSECTOR", "auto")
 

@@ -128,22 +128,42 @@ def render(
     partial results (src/RayCallback.cpp).
 
     Path tracing uses the regenerating streaming wavefront
-    (render/streaming.py) by default — the fastest integrator; pass
-    ``streaming=False`` for the per-sample wavefront (used by parity
-    tests and the progressive callback mode).
+    (render/streaming.py) by default — the fastest integrator — including
+    progressive mode, which renders decorrelated sample batches and
+    surfaces the running average per batch. Pass ``streaming=False`` for
+    the per-sample wavefront (kept for parity tests).
     """
-    if (
-        mode == "path-trace"
-        and streaming
-        and progress_callback is None
-    ):
+    if mode == "path-trace" and streaming:
         from .streaming import render_streaming
 
-        rgb_img, _done = render_streaming(
-            scene, params, chunk_slots=chunk_size,
-            env_fn=env_fn, env_params=env_params,
-        )
         h, w = params.window_h, params.window_w
+        if progress_callback is None:
+            rgb_img, _done = render_streaming(
+                scene, params, chunk_slots=chunk_size,
+                env_fn=env_fn, env_params=env_params,
+            )
+        else:
+            # Progressive readback straight from the streaming integrator
+            # (ref RayCallback.cpp:8-24 semantics): render sample batches
+            # with decorrelated seeds and surface the running average
+            # after each. Same per-sample rate as the one-shot path minus
+            # per-batch drain tails.
+            spp = params.samples_per_pixel
+            batch = max(1, min(16, spp))
+            acc = np.zeros((h, w, 3), np.float32)
+            s = bi = 0
+            while s < spp:
+                b = min(batch, spp - s)
+                img, _done = render_streaming(
+                    scene, params, chunk_slots=chunk_size,
+                    env_fn=env_fn, env_params=env_params, spp=b,
+                    seed=(params.rng_seed + 0x9E3779B9 * bi) & 0xFFFFFFFF,
+                )
+                acc += img * b
+                s += b
+                progress_callback(bi, acc / s)
+                bi += 1
+            rgb_img = acc / spp
         zi = np.full((h, w), -1, np.int32)
         zf = np.full((h, w), np.inf, np.float32)
         z3 = np.zeros((h, w, 3), np.float32)

@@ -338,6 +338,7 @@ def render_streaming(
     env_params=None,
     spp: int | None = None,
     tile: int = 32,
+    seed: int | None = None,
 ):
     """Full-window streaming render; returns (rgb [H, W, 3] numpy, done).
 
@@ -346,6 +347,30 @@ def render_streaming(
     intersector and no environment light; otherwise runs the XLA-loop
     integrator above."""
     spp = spp if spp is not None else params.samples_per_pixel
+    seed = params.rng_seed if seed is None else seed
+
+    # Bound single-dispatch device time: one megakernel call at very high
+    # spp runs minutes inside one XLA program and trips the TPU worker
+    # watchdog (observed crash at 1440^2 spp 256, ~160 s/call). Render in
+    # decorrelated batches instead — identical estimator, bounded calls:
+    SPP_BATCH = 64
+    if spp > SPP_BATCH:
+        acc = None
+        done = 0
+        s = bi = 0
+        while s < spp:
+            b = min(SPP_BATCH, spp - s)
+            img_b, done_b = render_streaming(
+                scene, params, chunk_slots=chunk_slots, env_fn=env_fn,
+                env_params=env_params, spp=b, tile=tile,
+                seed=(seed + 0x9E3779B9 * bi) & 0xFFFFFFFF,
+            )
+            acc = img_b * b if acc is None else acc + img_b * b
+            done += done_b
+            s += b
+            bi += 1
+        return acc / spp, done
+
     w, h = params.window_w, params.window_h
     n_pix = w * h
     rows_np, cols_np, order = _pixel_stream(params, tile)
@@ -374,7 +399,7 @@ def render_streaming(
 
         flat_d, done = megakernel_path_trace(
             scene, rows_d, cols_d,
-            jnp.uint32(params.rng_seed & 0xFFFFFFFF), jnp.int32(n_pix),
+            jnp.uint32(seed & 0xFFFFFFFF), jnp.int32(n_pix),
             params=params, slots=R, j_per_slot=J, spp=spp,
             max_iters=max_iters, br=_pick_br(R, J),
             interpret=_jax.default_backend() != "tpu",
@@ -383,7 +408,7 @@ def render_streaming(
     else:
         accum, done, _iters = streaming_path_trace(
             scene, rows_d, cols_d,
-            jnp.uint32(params.rng_seed & 0xFFFFFFFF), env_params,
+            jnp.uint32(seed & 0xFFFFFFFF), env_params,
             jnp.int32(n_pix),
             params=params, slots=R, j_per_slot=J, spp=spp,
             max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,

@@ -102,4 +102,36 @@ def test_streaming_sharded_matches_single(cornell_built):
     assert done1 == 32 * 32 * 16
     assert np.all(np.isfinite(img_sh))
     a, b = img_sh.mean(), img_1.mean()
-    assert abs(a - b) / max(b, 1e-9) < 0.15
+    assert abs(a - b) / max(b, 1e-9) < 0.1
+    # Distribution-level agreement, not just energy: a per-device RNG
+    # bug that inflates variance would pass a mean check, so compare
+    # pixel-value histograms and second moments too:
+    assert abs(img_sh.std() - img_1.std()) / max(img_1.std(), 1e-9) < 0.15
+    ha, _ = np.histogram(img_sh, bins=16, range=(0, 1.5))
+    hb, _ = np.histogram(img_1, bins=16, range=(0, 1.5))
+    assert np.abs(ha - hb).sum() / max(ha.sum(), 1) < 0.15
+    # Per-pixel agreement at MC-noise scale (same scene, different seeds):
+    rmse = float(np.sqrt(((img_sh - img_1) ** 2).mean()))
+    assert rmse < 0.25, rmse
+
+
+def test_streaming_sharded_megakernel_path(cornell_built):
+    """chunk_slots that tile into kernel ray blocks route each shard
+    through the megakernel (interpret mode here); result must agree with
+    the single-device megakernel render."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.parallel.mesh import render_streaming_sharded
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    arrays, params, _ = cornell_built
+    p = dataclasses.replace(params, window_w=48, window_h=48,
+                            window_c=40, window_r=40, samples_per_pixel=4,
+                            intersector="pallas")
+    mesh = make_ray_mesh()
+    img_sh, done = render_streaming_sharded(arrays, p, mesh, chunk_slots=256)
+    assert done == 48 * 48 * 4
+    img_1, done1 = render_streaming(arrays, p, chunk_slots=2048)
+    assert done1 == 48 * 48 * 4
+    assert np.isfinite(img_sh).all()
+    assert abs(img_sh.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
