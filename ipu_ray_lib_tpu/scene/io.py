@@ -15,7 +15,8 @@ Scenes are transformed into camera space (camera at origin looking down
 the fixed pinhole camera.
 
 Formats: .glb/.gltf natively; .dae (Collada) via
-:mod:`ipu_ray_lib_tpu.scene.collada`.
+:mod:`ipu_ray_lib_tpu.scene.collada`; .obj/.mtl via
+:mod:`ipu_ray_lib_tpu.scene.obj`.
 """
 
 from __future__ import annotations
@@ -34,8 +35,13 @@ def import_scene(filename: str, load_normals: bool = False) -> SceneDescription:
         from .collada import import_collada_scene
 
         return import_collada_scene(filename, load_normals)
+    if fn.endswith(".obj"):
+        from .obj import import_obj_scene
+
+        return import_obj_scene(filename, load_normals)
     raise ValueError(
-        f"Unsupported scene format: '{filename}' (.glb/.gltf/.dae supported)"
+        f"Unsupported scene format: '{filename}' "
+        f"(.glb/.gltf/.dae/.obj supported)"
     )
 
 
