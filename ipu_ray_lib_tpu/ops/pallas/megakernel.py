@@ -181,13 +181,17 @@ def _dielectric(d, n_in, ior, u1):
 # ---------------------------------------------------------------------------
 # The kernel.
 # ---------------------------------------------------------------------------
+_SLAB_SCALE = np.float32(1.0 + 6e-7)  # conservative tmax widening (ops/intersect.py)
+
+
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
-                 ap_ref, apay_ref,
+                 ap_ref, apay_ref, baabb_ref,
                  accum_ref, done_ref,
-                 bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
+                 bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref, cull_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
+                 use_cull=True,
                  _timing_no_dots=False):
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -240,6 +244,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     ki_ref[1:2, :] = jnp.zeros((1, br), i32)     # bounce
     ki_ref[2:3, :] = (k_cap > 0).astype(i32)     # active
     ki_ref[3:4, :] = jnp.zeros((1, br), i32)     # done count
+    ki_ref[4:5, :] = jnp.zeros((1, br), i32)     # blocks-walked counter
 
     def body(carry):
         it, _ = carry
@@ -252,62 +257,94 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 
         t_max = jnp.where(active, _INF, f32(-1.0))
 
-        # ---- closest hit: dense walk over triangle blocks ----------------
+        # ---- block culling: slab-test every block AABB against the live
+        # bundle, then skip blocks no live lane can touch. Coherent phases
+        # (camera spawns, drain tails with few live lanes) walk only a
+        # couple of blocks; incoherent steady state still drops the blocks
+        # behind every ray (ref: include/CompactBvh.hpp:80-139 — log-time
+        # culling is the capability this stands in for):
+        if use_cull:
+            inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+            tin = jnp.full((nb, br), f32(0.0))
+            tout = jnp.where(active, _BIG, f32(-1.0))
+            for a in range(3):
+                lo_a = baabb_ref[:, a:a + 1]
+                hi_a = baabb_ref[:, a + 3:a + 4]
+                t0 = (lo_a - o[a]) * inv[a]
+                t1 = (hi_a - o[a]) * inv[a]
+                tl = jnp.minimum(t0, t1)
+                th = jnp.maximum(t0, t1) * _SLAB_SCALE
+                tin = jnp.maximum(tin, tl)
+                tout = jnp.minimum(tout, th)
+            bhit = tin <= tout
+            anyv = jnp.max(bhit.astype(i32), axis=1, keepdims=True)
+            cull_ref[:] = anyv
+            # blocks-walked counter (diagnostics; negligible cost):
+            ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                anyv, axis=0, keepdims=True)
+
+        # ---- closest hit: culled walk over triangle blocks ----------------
         bt_ref[:] = t_max
         bn_ref[:] = jnp.zeros((8, br), f32)
         bm_ref[:] = jnp.zeros((8, br), f32)
 
         def tri_block(blk, _):
-            best_t = bt_ref[:]
-            pb = p_ref[pl.ds(blk * TB, TB), :]             # [TB, 16]
-            tnp0 = pb[:, 0:1]
-            g1p0 = pb[:, 1:2]
-            g2p0 = pb[:, 2:3]
+            def do_block():
+                best_t = bt_ref[:]
+                pb = p_ref[pl.ds(blk * TB, TB), :]             # [TB, 16]
+                tnp0 = pb[:, 0:1]
+                g1p0 = pb[:, 1:2]
+                g2p0 = pb[:, 2:3]
 
-            def tdot(c0, rr):
-                return (pb[:, c0:c0 + 1] * rr[0]
-                        + pb[:, c0 + 1:c0 + 2] * rr[1]
-                        + pb[:, c0 + 2:c0 + 3] * rr[2])
+                def tdot(c0, rr):
+                    return (pb[:, c0:c0 + 1] * rr[0]
+                            + pb[:, c0 + 1:c0 + 2] * rr[1]
+                            + pb[:, c0 + 2:c0 + 3] * rr[2])
 
-            on = tdot(3, o)
-            dn = tdot(3, d)
-            og1 = tdot(6, o)
-            dg1 = tdot(6, d)
-            og2 = tdot(9, o)
-            dg2 = tdot(9, d)
-            r = pl.reciprocal(dn, approx=True)
-            r = r * (2.0 - dn * r)
-            t = (tnp0 - on) * r
-            b1 = og1 + t * dg1 - g1p0
-            b2 = og2 + t * dg2 - g2p0
-            ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                  & (t > 0.0) & (t < best_t))
-            tm = jnp.where(ok, t, _INF)
-            bt = jnp.min(tm, axis=0, keepdims=True)
-            tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
-            bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
-                         axis=0, keepdims=True)
-            better = (bt < best_t) & (bt < _INF)
-            bt_ref[:] = jnp.where(better, bt, best_t)
-            if _timing_no_dots:
-                return 0
-            onehot = (tri_lane == bi).astype(f32)
-            nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]
-            w1 = onehot
-            w2 = onehot * jnp.where(ok, b1, 0.0)
-            w3 = onehot * jnp.where(ok, b2, 0.0)
-            nd_ = (((1,), (0,)), ((), ()))
-            n_cand = (
-                jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd_,
-                                    preferred_element_type=f32)
-                + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd_,
-                                      preferred_element_type=f32)
-                + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd_,
-                                      preferred_element_type=f32))
-            m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd_,
-                                         preferred_element_type=f32)
-            bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
-            bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+                on = tdot(3, o)
+                dn = tdot(3, d)
+                og1 = tdot(6, o)
+                dg1 = tdot(6, d)
+                og2 = tdot(9, o)
+                dg2 = tdot(9, d)
+                r = pl.reciprocal(dn, approx=True)
+                r = r * (2.0 - dn * r)
+                t = (tnp0 - on) * r
+                b1 = og1 + t * dg1 - g1p0
+                b2 = og2 + t * dg2 - g2p0
+                ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                      & (t > 0.0) & (t < best_t))
+                tm = jnp.where(ok, t, _INF)
+                bt = jnp.min(tm, axis=0, keepdims=True)
+                tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+                bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+                             axis=0, keepdims=True)
+                better = (bt < best_t) & (bt < _INF)
+                bt_ref[:] = jnp.where(better, bt, best_t)
+                if _timing_no_dots:
+                    return
+                onehot = (tri_lane == bi).astype(f32)
+                nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]
+                w1 = onehot
+                w2 = onehot * jnp.where(ok, b1, 0.0)
+                w3 = onehot * jnp.where(ok, b2, 0.0)
+                nd_ = (((1,), (0,)), ((), ()))
+                n_cand = (
+                    jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd_,
+                                        preferred_element_type=f32)
+                    + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd_,
+                                          preferred_element_type=f32)
+                    + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd_,
+                                          preferred_element_type=f32))
+                m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd_,
+                                             preferred_element_type=f32)
+                bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
+                bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+
+            if use_cull:
+                pl.when(cull_ref[blk, 0] > 0)(do_block)
+            else:
+                do_block()
             return 0
 
         if _timing_no_dots:
@@ -469,10 +506,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         it, n_active = carry
         return (it < max_iters) & (n_active > 0)
 
-    jax.lax.while_loop(
+    it_end, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.sum((k_cap > 0).astype(i32)))
     )
-    done_ref[:] = ki_ref[3:4, :]
+    done_ref[0:1, :] = ki_ref[3:4, :]
+    # Stats row: lane 0 = iterations, lane 1 = blocks walked (use_cull):
+    stats = jnp.where(lane == 0, it_end, 0)
+    stats = jnp.where(lane == 1, ki_ref[4:5, 0:1], stats)
+    done_ref[1:2, :] = stats
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +574,8 @@ def _analytic_tables(scene):
 @functools.partial(
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
-                     "br", "interpret", "_timing_no_dots"),
+                     "br", "interpret", "use_cull", "return_stats",
+                     "_timing_no_dots"),
 )
 def megakernel_path_trace(
     scene,
@@ -549,6 +591,8 @@ def megakernel_path_trace(
     max_iters: int,
     br: int = BR,
     interpret: bool = False,
+    use_cull: bool = True,
+    return_stats: bool = False,
     _timing_no_dots: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
@@ -580,10 +624,11 @@ def megakernel_path_trace(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ap
             pl.BlockSpec(memory_space=pltpu.VMEM),   # apay
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # baabb
         ],
         out_specs=[
             pl.BlockSpec((3 * J, br), lambda i, sc_: (0, i)),
-            pl.BlockSpec((1, br), lambda i, sc_: (0, i)),
+            pl.BlockSpec((2, br), lambda i, sc_: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, br), jnp.float32),    # best_t
@@ -592,6 +637,7 @@ def megakernel_path_trace(
             pltpu.VMEM((8, br), jnp.float32),    # ray o/d
             pltpu.VMEM((8, br), jnp.float32),    # tp + colour
             pltpu.VMEM((8, br), jnp.int32),      # k/bounce/active/done
+            pltpu.VMEM((tables.num_blocks, 1), jnp.int32),  # block cull flags
         ],
     )
     kern = functools.partial(
@@ -605,6 +651,7 @@ def megakernel_path_trace(
         inv_h=1.0 / params.image_height,
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
+        use_cull=use_cull and tables.num_blocks > 1,
         _timing_no_dots=_timing_no_dots,
     )
     accum, done = pl.pallas_call(
@@ -612,12 +659,17 @@ def megakernel_path_trace(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((3 * J, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((2, R), jnp.int32),
         ],
         interpret=interpret,
-    )(sc, rows2, cols2, tables.p, tables.nrm, ap, apay)
+    )(sc, rows2, cols2, tables.p, tables.nrm, ap, apay, tables.baabb)
     # [3J, R] rows are (j, channel)-major -> per-pixel [R*J, 3], averaged,
     # on device (multi-second numpy work on slow hosts otherwise):
     flat = accum.reshape(J, 3, R).transpose(0, 2, 1).reshape(R * J, 3)
     flat = flat * np.float32(1.0 / spp)
-    return flat, jnp.sum(done).astype(jnp.uint32)
+    n_done = jnp.sum(done[0]).astype(jnp.uint32)
+    if return_stats:
+        # Per grid step: lane 0 = iterations, lane 1 = blocks walked.
+        steps = done[1].reshape(nrb, br)
+        return flat, n_done, jnp.sum(steps[:, 0]), jnp.sum(steps[:, 1])
+    return flat, n_done
