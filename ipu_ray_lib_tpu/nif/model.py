@@ -189,4 +189,7 @@ def load_nif_env(assets_dir: str, rotation_degrees: float = 0.0):
     def env_fn(env_params, dirs):
         return NifModel.env_radiance(config, env_params, dirs)
 
+    # Expose the static structure so integrators that can fuse the MLP
+    # in-kernel (ops/pallas/megakernel.py pack_env_mlp) can do so:
+    env_fn.nif_config = config
     return env_fn, params

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.constants import PI_BY_2, PI_BY_4, RAY_EPSILON
-from .tables import TB, BlockedSceneTables
+from .tables import SB, TB, BlockedSceneTables
 
 BR = 1024          # ray slots per kernel block
 _INF = np.float32(np.inf)
@@ -152,6 +152,30 @@ def _sample_diffuse(n, u1, u2):
     return _add3(_add3(_scale3(v2, x), _scale3(v3, y)), _scale3(n, z))
 
 
+def _atan2(y, x):
+    """f32 atan2 from a degree-11 odd minimax polynomial (Mosaic has no
+    native arctan lowering). Max error ~1e-5 rad — far below one HDRI
+    texel of the NIF's equirect parameterisation."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    z = mn / jnp.maximum(mx, np.float32(1e-30))
+    z2 = z * z
+    a = np.float32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347, 0.99997726):
+        a = a * z2 + np.float32(c)
+    a = a * z
+    a = jnp.where(ay > ax, np.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0.0, np.float32(np.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _acos(x):
+    """arccos via atan2(sqrt(1-x^2), x); x pre-clipped to [-1, 1]."""
+    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    return _atan2(s, x)
+
+
 def _reflect(d, n):
     ct = _dot3(d, n)
     return _normalize3(_add3(d, _scale3(n, -2.0 * ct)))
@@ -182,16 +206,18 @@ def _dielectric(d, n_in, ior, u1):
 # The kernel.
 # ---------------------------------------------------------------------------
 _SLAB_SCALE = np.float32(1.0 + 6e-7)  # conservative tmax widening (ops/intersect.py)
+_SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
 
 
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
-                 ap_ref, apay_ref, baabb_ref,
+                 ap_ref, apay_ref, baabb_ref, wmlp_ref, econ_ref,
                  accum_ref, done_ref,
-                 bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref, cull_ref,
+                 bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
+                 cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
-                 use_cull=True,
+                 use_cull=True, sub=1, reflag=0, env_cfg=None, hbm=False,
                  _timing_no_dots=False):
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -256,16 +282,25 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         pid = slot * K + k
 
         t_max = jnp.where(active, _INF, f32(-1.0))
+        bt_ref[:] = t_max
+        bn_ref[:] = jnp.zeros((8, br), f32)
+        bm_ref[:] = jnp.zeros((8, br), f32)
 
-        # ---- block culling: slab-test every block AABB against the live
-        # bundle, then skip blocks no live lane can touch. Coherent phases
-        # (camera spawns, drain tails with few live lanes) walk only a
-        # couple of blocks; incoherent steady state still drops the blocks
-        # behind every ray (ref: include/CompactBvh.hpp:80-139 — log-time
-        # culling is the capability this stands in for):
+        # ---- block culling: slab-test every (sub-)block AABB against the
+        # live bundle once, vectorised, then drive scalar-predicated skips
+        # off the precomputed flags. (Evolving per-block tests against
+        # best_t — sorted walks, per-lane settle checks — were tried and
+        # LOSE: each data-dependent vector->scalar reduce serialises the
+        # pipeline; see PROGRESS.md finding 25.) This is the SIMD-width
+        # analogue of the reference's per-ray BVH culling
+        # (ref: include/CompactBvh.hpp:80-139):
+        nbs = nb * sub
         if use_cull:
-            inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
-            tin = jnp.full((nb, br), f32(0.0))
+            den = (jnp.where(d[0] == 0.0, f32(1e-30), d[0]),
+                   jnp.where(d[1] == 0.0, f32(1e-30), d[1]),
+                   jnp.where(d[2] == 0.0, f32(1e-30), d[2]))
+            inv = (1.0 / den[0], 1.0 / den[1], 1.0 / den[2])
+            tin = jnp.full((nbs, br), f32(0.0))
             tout = jnp.where(active, _BIG, f32(-1.0))
             for a in range(3):
                 lo_a = baabb_ref[:, a:a + 1]
@@ -279,79 +314,229 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             bhit = tin <= tout
             anyv = jnp.max(bhit.astype(i32), axis=1, keepdims=True)
             cull_ref[:] = anyv
-            # blocks-walked counter (diagnostics; negligible cost):
-            ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
-                anyv, axis=0, keepdims=True)
+            if reflag > 0:
+                # Conservative per-lane lower bound on any hit t in each
+                # block, kept for mid-walk flag refreshes:
+                tin_ref[:] = jnp.where(bhit, tin * _SLAB_LO, _INF)
 
-        # ---- closest hit: culled walk over triangle blocks ----------------
-        bt_ref[:] = t_max
-        bn_ref[:] = jnp.zeros((8, br), f32)
-        bm_ref[:] = jnp.zeros((8, br), f32)
+        TBW = TB // sub
 
-        def tri_block(blk, _):
-            def do_block():
-                best_t = bt_ref[:]
-                pb = p_ref[pl.ds(blk * TB, TB), :]             # [TB, 16]
-                tnp0 = pb[:, 0:1]
-                g1p0 = pb[:, 1:2]
-                g2p0 = pb[:, 2:3]
+        def do_block(blk):
+            best_t = bt_ref[:]
+            pb = p_ref[pl.ds(blk * TBW, TBW), :]           # [TBW, 16]
+            tnp0 = pb[:, 0:1]
+            g1p0 = pb[:, 1:2]
+            g2p0 = pb[:, 2:3]
 
-                def tdot(c0, rr):
-                    return (pb[:, c0:c0 + 1] * rr[0]
-                            + pb[:, c0 + 1:c0 + 2] * rr[1]
-                            + pb[:, c0 + 2:c0 + 3] * rr[2])
+            def tdot(c0, rr):
+                return (pb[:, c0:c0 + 1] * rr[0]
+                        + pb[:, c0 + 1:c0 + 2] * rr[1]
+                        + pb[:, c0 + 2:c0 + 3] * rr[2])
 
-                on = tdot(3, o)
-                dn = tdot(3, d)
-                og1 = tdot(6, o)
-                dg1 = tdot(6, d)
-                og2 = tdot(9, o)
-                dg2 = tdot(9, d)
-                r = pl.reciprocal(dn, approx=True)
-                r = r * (2.0 - dn * r)
-                t = (tnp0 - on) * r
-                b1 = og1 + t * dg1 - g1p0
-                b2 = og2 + t * dg2 - g2p0
-                ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                      & (t > 0.0) & (t < best_t))
-                tm = jnp.where(ok, t, _INF)
-                bt = jnp.min(tm, axis=0, keepdims=True)
-                tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
-                bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
-                             axis=0, keepdims=True)
-                better = (bt < best_t) & (bt < _INF)
-                bt_ref[:] = jnp.where(better, bt, best_t)
-                if _timing_no_dots:
-                    return
+            on = tdot(3, o)
+            dn = tdot(3, d)
+            og1 = tdot(6, o)
+            dg1 = tdot(6, d)
+            og2 = tdot(9, o)
+            dg2 = tdot(9, d)
+            r = pl.reciprocal(dn, approx=True)
+            r = r * (2.0 - dn * r)
+            t = (tnp0 - on) * r
+            b1 = og1 + t * dg1 - g1p0
+            b2 = og2 + t * dg2 - g2p0
+            ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                  & (t > 0.0) & (t < best_t))
+            tm = jnp.where(ok, t, _INF)
+            bt = jnp.min(tm, axis=0, keepdims=True)
+            tri_lane = jax.lax.broadcasted_iota(i32, (TBW, br), 0)
+            bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+                         axis=0, keepdims=True)
+            better = (bt < best_t) & (bt < _INF)
+            bt_ref[:] = jnp.where(better, bt, best_t)
+            if _timing_no_dots:
+                return
+            # Payload one-hot dots run at the parent 128-block width (lane-
+            # dim nrm slices must be 128-aligned in Mosaic). For sub > 1,
+            # reduce the winner's barycentrics to per-lane rows first and
+            # place the one-hot at its in-block row:
+            c0 = (blk // sub) * 3 * TB if sub > 1 else blk * 3 * TB
+            nd_ = (((1,), (0,)), ((), ()))
+            if sub == 1:
                 onehot = (tri_lane == bi).astype(f32)
-                nrm_blk = nrm_ref[:, pl.ds(blk * 3 * TB, 3 * TB)]
                 w1 = onehot
                 w2 = onehot * jnp.where(ok, b1, 0.0)
                 w3 = onehot * jnp.where(ok, b2, 0.0)
-                nd_ = (((1,), (0,)), ((), ()))
-                n_cand = (
-                    jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd_,
-                                        preferred_element_type=f32)
-                    + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd_,
-                                          preferred_element_type=f32)
-                    + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd_,
-                                          preferred_element_type=f32))
-                m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd_,
-                                             preferred_element_type=f32)
-                bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
-                bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
-
-            if use_cull:
-                pl.when(cull_ref[blk, 0] > 0)(do_block)
             else:
-                do_block()
-            return 0
+                sel = tri_lane == bi
+                b1w = jnp.sum(jnp.where(sel & ok, b1, 0.0), axis=0,
+                              keepdims=True)
+                b2w = jnp.sum(jnp.where(sel & ok, b2, 0.0), axis=0,
+                              keepdims=True)
+                tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+                row = (blk % sub) * TBW + bi          # [1, br]
+                w1 = (tri128 == row).astype(f32)
+                w2 = w1 * b1w
+                w3 = w1 * b2w
+            n_cand = (
+                jax.lax.dot_general(nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
+                                    preferred_element_type=f32)
+                + jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + TB, TB)], w2,
+                                      nd_, preferred_element_type=f32)
+                + jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + 2 * TB, TB)],
+                                      w3, nd_, preferred_element_type=f32))
+            m_cand = jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + TB, TB)],
+                                         w1, nd_, preferred_element_type=f32)
+            bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
+            bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
 
         if _timing_no_dots:
             # Plausible fixed material so path statistics stay realistic:
             bn_ref[2:3, :] = jnp.ones((1, br), f32)      # normal (0,0,1)
             bn_ref[3:6, :] = jnp.full((3, br), 0.6, f32)  # albedo
-        jax.lax.fori_loop(0, nb, tri_block, 0)
+
+        if hbm:
+            # ---- HBM-streamed walk: the scene lives in HBM; each flagged
+            # *super* (SB blocks, tables.py) streams its p/nrm slabs through
+            # a double-buffered VMEM window while the previous super's dense
+            # tests run. A scalar lookahead finds the next flagged super so
+            # the prefetch always targets real work. This fuses the
+            # reference's 2-stage DRAM pipeline (ref: src/IpuScene.cpp:
+            # 583-618) with the in-kernel bounce loop — unbounded scene
+            # size at megakernel iteration cost:
+            def dmas(slot, sup):
+                return (
+                    pltpu.make_async_copy(
+                        p_ref.at[pl.ds(sup * SB * TB, SB * TB), :],
+                        p_buf.at[slot], sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        nrm_ref.at[:, pl.ds(sup * SB * 3 * TB, SB * 3 * TB)],
+                        nrm_buf.at[slot], sems.at[slot, 1]),
+                )
+
+            def find_next(j0):
+                def fc(j):
+                    return ((j < nbs)
+                            & (cull_ref[jnp.minimum(j, nbs - 1), 0] == 0))
+                return jax.lax.while_loop(fc, lambda j: j + 1, j0)
+
+            cur0 = find_next(i32(0))
+
+            @pl.when(cur0 < nbs)
+            def _start0():
+                for dma in dmas(0, cur0):
+                    dma.start()
+
+            def wbody(c):
+                cur, cnt = c
+                slot = jnp.bitwise_and(cnt, 1)
+                if reflag > 0:
+                    # Periodic refresh of the remaining flags against the
+                    # converged best_t (finding 25): supers whose customers
+                    # all found nearer hits drop out of the walk. Visited
+                    # supers re-flagging is harmless — cur is monotonic:
+                    @pl.when(jnp.bitwise_and(cnt, i32(15)) == i32(15))
+                    def _refresh():
+                        rem = tin_ref[:] < bt_ref[:]
+                        cull_ref[:] = jnp.max(
+                            rem.astype(i32), axis=1, keepdims=True)
+                nxt = find_next(cur + 1)
+
+                @pl.when(nxt < nbs)
+                def _startn():
+                    for dma in dmas(1 - slot, nxt):
+                        dma.start()
+
+                for dma in dmas(slot, cur):
+                    dma.wait()
+
+                for b in range(SB):                        # static unroll
+                    best_t = bt_ref[:]
+                    pb = p_buf[slot, b * TB:(b + 1) * TB, 0:16]
+                    tnp0 = pb[:, 0:1]
+                    g1p0 = pb[:, 1:2]
+                    g2p0 = pb[:, 2:3]
+
+                    def tdot(c0_, rr, pb=pb):
+                        return (pb[:, c0_:c0_ + 1] * rr[0]
+                                + pb[:, c0_ + 1:c0_ + 2] * rr[1]
+                                + pb[:, c0_ + 2:c0_ + 3] * rr[2])
+
+                    on = tdot(3, o)
+                    dn = tdot(3, d)
+                    og1 = tdot(6, o)
+                    dg1 = tdot(6, d)
+                    og2 = tdot(9, o)
+                    dg2 = tdot(9, d)
+                    r = pl.reciprocal(dn, approx=True)
+                    r = r * (2.0 - dn * r)
+                    t = (tnp0 - on) * r
+                    b1 = og1 + t * dg1 - g1p0
+                    b2 = og2 + t * dg2 - g2p0
+                    ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                          & (t > 0.0) & (t < best_t))
+                    tm = jnp.where(ok, t, _INF)
+                    bt = jnp.min(tm, axis=0, keepdims=True)
+                    tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+                    bi = jnp.min(
+                        jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+                        axis=0, keepdims=True)
+                    better = (bt < best_t) & (bt < _INF)
+                    bt_ref[:] = jnp.where(better, bt, best_t)
+                    if not _timing_no_dots:
+                        onehot = (tri_lane == bi).astype(f32)
+                        w1 = onehot
+                        w2 = onehot * jnp.where(ok, b1, 0.0)
+                        w3 = onehot * jnp.where(ok, b2, 0.0)
+                        nd_ = (((1,), (0,)), ((), ()))
+                        nb0 = b * 3 * TB
+                        n_cand = (
+                            jax.lax.dot_general(
+                                nrm_buf[slot, :, nb0:nb0 + TB], w1, nd_,
+                                preferred_element_type=f32)
+                            + jax.lax.dot_general(
+                                nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB], w2,
+                                nd_, preferred_element_type=f32)
+                            + jax.lax.dot_general(
+                                nrm_buf[slot, :, nb0 + 2 * TB:nb0 + 3 * TB],
+                                w3, nd_, preferred_element_type=f32))
+                        m_cand = jax.lax.dot_general(
+                            nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB], w1, nd_,
+                            preferred_element_type=f32)
+                        bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
+                        bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+                return nxt, cnt + 1
+
+            _, n_sup = jax.lax.while_loop(
+                lambda c: c[0] < nbs, wbody, (cur0, i32(0)))
+            ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + n_sup
+        elif use_cull:
+            def walk_body(blk, _):
+                pl.when(cull_ref[blk, 0] > 0)(
+                    functools.partial(do_block, blk))
+                return 0
+
+            # Walk in reflag+1 segments; before each later segment, refresh
+            # the remaining flags against the now partially-converged
+            # best_t (one vectorised pass — cheap, unlike per-block
+            # evolving tests, PROGRESS.md finding 25). Blocks whose
+            # customers all found nearer hits drop out:
+            segs = reflag + 1
+            bounds = sorted({min(nbs, ((s * nbs // segs + 7) // 8) * 8)
+                             for s in range(1, segs)} | {0, nbs})
+            for s in range(len(bounds) - 1):
+                b0, b1_ = bounds[s], bounds[s + 1]
+                if s > 0:
+                    # strict <: INF entry bounds (no slab hit) must stay
+                    # unflagged even against INF best_t (no hit yet):
+                    rem = tin_ref[b0:nbs, :] < bt_ref[:]
+                    cull_ref[b0:nbs, :] = jnp.max(
+                        rem.astype(i32), axis=1, keepdims=True)
+                # blocks-walked counter (diagnostics; negligible cost):
+                ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                    cull_ref[b0:b1_, :], axis=0, keepdims=True)
+                jax.lax.fori_loop(b0, b1_, walk_body, 0)
+        else:
+            jax.lax.fori_loop(0, nbs, lambda blk, _: (do_block(blk), 0)[1], 0)
 
         best_t = bt_ref[:]
         normal = _normalize3((bn_ref[0:1, :], bn_ref[1:2, :], bn_ref[2:3, :]))
@@ -467,6 +652,79 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         killed = live & use_roulette & stop_r
 
         escaped = active & ~found
+
+        # ---- environment light (NIF MLP on the MXU, in-kernel) ------------
+        # Escaped lanes add throughput * env(direction). The whole Fourier-
+        # feature MLP runs in bf16 with f32 accumulation on [P, br] slabs —
+        # the in-kernel twin of nif/model.py NifModel.apply (ref:
+        # TraceCodelets.cpp:321-382 pre/post-process + IpuScene.cpp:506-537):
+        if env_cfg is not None:
+            P_, E_, layers_, log_tm = env_cfg
+            env_ref[:] = jnp.zeros((8, br), f32)
+            any_esc = jnp.max(escaped.astype(i32))
+
+            @pl.when(any_esc > 0)
+            def _env():
+                bf16 = jnp.bfloat16
+                rot = econ_ref[0:1, 0:1]
+                maxv = econ_ref[0:1, 1:2]
+                dy = jnp.clip(d[1], -1.0, 1.0)
+                theta = _acos(dy)
+                phi = _atan2(d[2], d[0]) + rot
+                two_pi = np.float32(2.0 * np.pi)
+                phi = jnp.where(phi < 0.0, phi + two_pi, phi)
+                phi = jnp.where(phi > two_pi, phi - two_pi, phi)
+                un = 2.0 * (theta * np.float32(1.0 / np.pi) - 1.0)
+                vn = 2.0 * (phi * np.float32(0.5 / np.pi) - 1.0)
+                # 2^e from an int iota (pallas kernels cannot capture
+                # host constants; f32 iota doesn't lower in Mosaic):
+                coeff = jnp.round(jnp.exp(
+                    np.float32(np.log(2.0))
+                    * jax.lax.broadcasted_iota(i32, (E_, 1), 0).astype(f32)))
+                pu = un * coeff                       # [E, br]
+                pv = vn * coeff
+                feats = jnp.concatenate(
+                    [jnp.sin(pu), jnp.sin(pv), jnp.cos(pu), jnp.cos(pv)],
+                    axis=0)                            # [4E, br]
+                ones = jnp.ones((1, br), f32)
+                x = jnp.concatenate(
+                    [feats, jnp.zeros((P_ - 4 * E_ - 1, br), f32), ones],
+                    axis=0)
+                ndm = (((1,), (0,)), ((), ()))
+                for l, (cin, cout, relu, concat) in enumerate(layers_):
+                    if concat:
+                        prev = cin - 4 * E_
+                        x = jnp.concatenate(
+                            [x[0:prev], feats,
+                             jnp.zeros((P_ - cin - 1, br), f32), ones],
+                            axis=0)
+                    w = wmlp_ref[pl.ds(l * P_, P_), :]
+                    y = jax.lax.dot_general(w, x.astype(bf16), ndm,
+                                            preferred_element_type=f32)
+                    if relu:
+                        y = jnp.maximum(y, 0.0)
+                    if l + 1 < len(layers_):
+                        x = jnp.concatenate(
+                            [y[0:cout],
+                             jnp.zeros((P_ - cout - 1, br), f32), ones],
+                            axis=0)
+                    else:
+                        x = y
+                bgr = (x[0:1] * maxv + econ_ref[0:1, 2:3],
+                       x[1:2] * maxv + econ_ref[0:1, 3:4],
+                       x[2:3] * maxv + econ_ref[0:1, 4:5])
+                if log_tm:
+                    bgr = (jnp.exp(bgr[0]), jnp.exp(bgr[1]), jnp.exp(bgr[2]))
+                env_ref[0:1, :] = bgr[2]               # BGR -> RGB
+                env_ref[1:2, :] = bgr[1]
+                env_ref[2:3, :] = bgr[0]
+
+            color = _add3(color, _where3(
+                escaped,
+                (tp[0] * env_ref[0:1, :], tp[1] * env_ref[1:2, :],
+                 tp[2] * env_ref[2:3, :]),
+                (jnp.zeros_like(tp[0]),) * 3))
+
         bounce = bounce + 1
         over = live & (bounce >= max_path_length)
         terminated = escaped | killed | over
@@ -519,6 +777,52 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 # ---------------------------------------------------------------------------
 # Host wrapper.
 # ---------------------------------------------------------------------------
+def pack_env_mlp(config, env_params):
+    """Pack a NIF env MLP (nif/model.py contract) for in-kernel evaluation.
+
+    Returns ``(env_cfg, wstack, econst)``:
+
+    * ``env_cfg`` — static, hashable: (P, E, layers, log_tone_map) where
+      ``layers`` is a tuple of (cin_total, cout, relu, concat) and P is the
+      128-padded feature width (incl. a constant-1 row at P-1 that carries
+      biases through the matmul — homogeneous coordinates);
+    * ``wstack`` — [L*P, P] bf16: layer l's transposed kernel at rows
+      [l*P, l*P+cout), columns [0, cin); bias in column P-1;
+    * ``econst`` — [1, 128] f32: rotation, decode max, decode mean (BGR).
+
+    The MLP runs in bf16 on the MXU with f32 accumulation — the same
+    compute contract as the XLA path (NifModel.apply) and the reference's
+    fp16 partials (ref src/IpuScene.cpp:255-262)."""
+    E = config.embedding_dimension
+    e4 = 4 * E
+    kernels = env_params["kernels"]
+    biases = env_params["biases"]
+    L = len(kernels)
+    cur = e4
+    layers = []
+    maxdim = e4
+    for i, k in enumerate(kernels):
+        cin = int(k.shape[0])
+        cout = int(k.shape[1])
+        layers.append((cin, cout, config.activations[i] == "relu",
+                       bool(config.concat_before[i])))
+        maxdim = max(maxdim, cin, cout)
+        cur = cout
+    P = -(-(maxdim + 1) // 128) * 128
+    wstack = jnp.zeros((L * P, P), jnp.float32)
+    for l, (k, b) in enumerate(zip(kernels, biases)):
+        cin, cout = int(k.shape[0]), int(k.shape[1])
+        wstack = wstack.at[l * P:l * P + cout, 0:cin].set(k.T)
+        wstack = wstack.at[l * P:l * P + cout, P - 1].set(b)
+    econst = jnp.zeros((1, 128), jnp.float32)
+    econst = econst.at[0, 0].set(
+        jnp.asarray(env_params.get("rotation", 0.0), jnp.float32))
+    econst = econst.at[0, 1].set(env_params["max"])
+    econst = econst.at[0, 2:5].set(env_params["mean"])
+    env_cfg = (P, E, tuple(layers), bool(config.log_tone_map))
+    return env_cfg, wstack.astype(jnp.bfloat16), econst
+
+
 def _analytic_tables(scene):
     """Pack spheres + discs (geometry and material) into the kernel's two
     tiny tables: ap [P, 16] (per-prim rows) and apay [16, P] (transposed,
@@ -574,8 +878,8 @@ def _analytic_tables(scene):
 @functools.partial(
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
-                     "br", "interpret", "use_cull", "return_stats",
-                     "_timing_no_dots"),
+                     "br", "interpret", "use_cull", "sub", "reflag",
+                     "env_cfg", "hbm", "return_stats", "_timing_no_dots"),
 )
 def megakernel_path_trace(
     scene,
@@ -592,6 +896,11 @@ def megakernel_path_trace(
     br: int = BR,
     interpret: bool = False,
     use_cull: bool = True,
+    sub: int = 1,
+    reflag: int = 3,
+    env_cfg=None,
+    env_weights=None,
+    hbm: bool = False,
     return_stats: bool = False,
     _timing_no_dots: bool = False,
 ):
@@ -614,17 +923,50 @@ def megakernel_path_trace(
     ])
 
     tan_theta = float(np.tan(params.fov_radians / 2.0))
+    if hbm:
+        # HBM-streamed walk: the cull slab pass runs over SUPER AABBs and
+        # the walk streams flagged supers' slabs (see kernel). Periodic
+        # flag refreshes need a [ns, br] entry-bound scratch — enable
+        # while it fits comfortably in VMEM:
+        cull_on, sub = True, 1
+        reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
+        nb_kern = tables.num_supers
+        baabb = tables.saabb
+        p_in, nrm_in = tables.p_wide, tables.nrm
+    else:
+        cull_on = use_cull and tables.num_blocks > 1
+        sub = sub if cull_on else 1
+        assert sub in (1, 2, 4), sub
+        nb_kern = tables.num_blocks
+        p_in, nrm_in = tables.p, tables.nrm
+        if sub == 1:
+            baabb = tables.baabb
+        elif sub == 4:
+            baabb = tables.baabb32
+        else:
+            b32 = tables.baabb32
+            baabb = jnp.concatenate([
+                jnp.minimum(b32[0::2, 0:3], b32[1::2, 0:3]),
+                jnp.maximum(b32[0::2, 3:6], b32[1::2, 3:6]),
+                jnp.zeros((b32.shape[0] // 2, 2), jnp.float32),
+            ], axis=1)
+    nbs_c = nb_kern * sub if cull_on else 1
+    reflag = reflag if cull_on else 0
+    reflag_on = reflag > 0
+    ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nrb,),
         in_specs=[
             pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
             pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # p
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nrm
+            pl.BlockSpec(memory_space=ms_scene),     # p (HBM when hbm)
+            pl.BlockSpec(memory_space=ms_scene),     # nrm
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ap
             pl.BlockSpec(memory_space=pltpu.VMEM),   # apay
             pl.BlockSpec(memory_space=pltpu.VMEM),   # baabb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wmlp (env MLP)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # econst
         ],
         out_specs=[
             pl.BlockSpec((3 * J, br), lambda i, sc_: (0, i)),
@@ -637,11 +979,23 @@ def megakernel_path_trace(
             pltpu.VMEM((8, br), jnp.float32),    # ray o/d
             pltpu.VMEM((8, br), jnp.float32),    # tp + colour
             pltpu.VMEM((8, br), jnp.int32),      # k/bounce/active/done
-            pltpu.VMEM((tables.num_blocks, 1), jnp.int32),  # block cull flags
+            pltpu.VMEM((nbs_c, 1), jnp.int32),   # (sub-)block cull flags
+            # per-lane entry bounds for mid-walk flag refreshes:
+            pltpu.VMEM((nbs_c if reflag_on else 1,
+                        br if reflag_on else 1), jnp.float32),
+            # env radiance staging (when an env MLP is fused in):
+            pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
+                       jnp.float32),
+            # HBM-streaming slab windows + DMA semaphores:
+            pltpu.VMEM((2, SB * TB, 128) if hbm else (1, 8, 128),
+                       jnp.float32),
+            pltpu.VMEM((2, 8, SB * 3 * TB) if hbm else (1, 8, 128),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kern = functools.partial(
-        _mega_kernel, br=br, nb=tables.num_blocks, n_ap=n_ap,
+        _mega_kernel, br=br, nb=nb_kern, n_ap=n_ap,
         R=R, J=J, spp=spp, K=K,
         max_path_length=params.max_path_length,
         roulette_start_depth=params.roulette_start_depth,
@@ -651,9 +1005,14 @@ def megakernel_path_trace(
         inv_h=1.0 / params.image_height,
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
-        use_cull=use_cull and tables.num_blocks > 1,
+        use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg, hbm=hbm,
         _timing_no_dots=_timing_no_dots,
     )
+    if env_cfg is not None:
+        wmlp, econst = env_weights
+    else:
+        wmlp = jnp.zeros((16, 128), jnp.bfloat16)
+        econst = jnp.zeros((1, 128), jnp.float32)
     accum, done = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -662,7 +1021,7 @@ def megakernel_path_trace(
             jax.ShapeDtypeStruct((2, R), jnp.int32),
         ],
         interpret=interpret,
-    )(sc, rows2, cols2, tables.p, tables.nrm, ap, apay, tables.baabb)
+    )(sc, rows2, cols2, p_in, nrm_in, ap, apay, baabb, wmlp, econst)
     # [3J, R] rows are (j, channel)-major -> per-pixel [R*J, 3], averaged,
     # on device (multi-second numpy work on slow hosts otherwise):
     flat = accum.reshape(J, 3, R).transpose(0, 2, 1).reshape(R * J, 3)

@@ -56,6 +56,12 @@ TB = 128  # triangles per block (lane width)
 SB = 8    # blocks per super
 
 
+SUBB = 32  # finest cull granularity (tris per sub-block AABB)
+# (sub-block culling measured neutral-to-slightly-positive on Cornell —
+# PROGRESS.md finding 25 — kept for larger VMEM scenes where block AABBs
+# are tighter relative to ray extents.)
+
+
 class BlockedSceneTables(NamedTuple):
     p: jnp.ndarray        # [nb*TB, 16] f32
     # 128-column copy of p for the HBM-streamed kernel: Mosaic DMA slices
@@ -65,6 +71,7 @@ class BlockedSceneTables(NamedTuple):
     p_wide: jnp.ndarray   # [nb*TB, 128] f32
     nrm: jnp.ndarray      # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
+    baabb32: jnp.ndarray  # [nb*TB/SUBB, 8] f32 sub-block AABBs (32 tris each)
     saabb: jnp.ndarray    # [ns, 8] f32
     tri_geom: jnp.ndarray  # [nb*TB] i32
     tri_prim: jnp.ndarray  # [nb*TB] i32
@@ -300,6 +307,15 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         if sl.start < T:
             baabb[b, 0:3] = tlo[sl].min(axis=0)
             baabb[b, 3:6] = thi[sl].max(axis=0)
+    nsb = nb * TB // SUBB
+    baabb32 = np.zeros((nsb, 8), np.float32)
+    baabb32[:, 0:3] = np.inf
+    baabb32[:, 3:6] = -np.inf
+    for b in range(nsb):
+        sl = slice(b * SUBB, min((b + 1) * SUBB, T))
+        if sl.start < T:
+            baabb32[b, 0:3] = tlo[sl].min(axis=0)
+            baabb32[b, 3:6] = thi[sl].max(axis=0)
     saabb = np.zeros((ns, 8), np.float32)
     saabb[:, 0:3] = np.inf
     saabb[:, 3:6] = -np.inf
@@ -318,6 +334,7 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         p_wide=jnp.asarray(p_wide),
         nrm=jnp.asarray(nrm),
         baabb=jnp.asarray(baabb),
+        baabb32=jnp.asarray(baabb32),
         saabb=jnp.asarray(saabb),
         tri_geom=jnp.asarray(tg),
         tri_prim=jnp.asarray(tp),

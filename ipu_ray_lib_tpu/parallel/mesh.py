@@ -155,8 +155,14 @@ def render_streaming_sharded(
     from ..render.streaming import _pick_br, _use_megakernel
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
+    env_cfg = env_weights = None
     if use_mega:
-        from ..ops.pallas.megakernel import megakernel_path_trace
+        from ..ops.pallas.megakernel import megakernel_path_trace, pack_env_mlp
+
+        if env_fn is not None:
+            env_cfg, wstack, econst = pack_env_mlp(
+                env_fn.nif_config, env_params)
+            env_weights = (wstack, econst)
 
     def per_shard(scene_rep, rows_s, cols_s, env_p):
         dev = jax.lax.axis_index(RAY_AXIS)
@@ -175,6 +181,8 @@ def render_streaming_sharded(
                 scene_rep, rows_s[0], cols_s[0], seed, n_valid,
                 params=params, slots=R_local, j_per_slot=J, spp=spp,
                 max_iters=max_iters, br=_pick_br(R_local, J),
+                env_cfg=env_cfg, env_weights=env_weights,
+                hbm=params.intersector == "pallas-hbm",
                 interpret=jax.default_backend() != "tpu",
             )
             # Match the XLA integrator's [J, 3, R] accumulator contract:

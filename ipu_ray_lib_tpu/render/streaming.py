@@ -325,9 +325,12 @@ def _pick_br(R: int, J: int) -> int:
 
 
 def _use_megakernel(params, env_fn) -> bool:
-    """The in-kernel bounce loop covers the pallas intersector without an
-    environment light (NIF env scenes take the XLA-loop integrator)."""
-    return params.intersector == "pallas" and env_fn is None
+    """The in-kernel bounce loop covers the pallas intersector; NIF
+    environment lights are fused into the kernel as an MXU MLP when the
+    env_fn exposes its structure (load_nif_env does). Opaque custom
+    env_fns fall back to the XLA-loop integrator."""
+    return params.intersector in ("pallas", "pallas-hbm") and (
+        env_fn is None or getattr(env_fn, "nif_config", None) is not None)
 
 
 def render_streaming(
@@ -349,28 +352,6 @@ def render_streaming(
     spp = spp if spp is not None else params.samples_per_pixel
     seed = params.rng_seed if seed is None else seed
 
-    # Bound single-dispatch device time: one megakernel call at very high
-    # spp runs minutes inside one XLA program and trips the TPU worker
-    # watchdog (observed crash at 1440^2 spp 256, ~160 s/call). Render in
-    # decorrelated batches instead — identical estimator, bounded calls:
-    SPP_BATCH = 64
-    if spp > SPP_BATCH:
-        acc = None
-        done = 0
-        s = bi = 0
-        while s < spp:
-            b = min(SPP_BATCH, spp - s)
-            img_b, done_b = render_streaming(
-                scene, params, chunk_slots=chunk_slots, env_fn=env_fn,
-                env_params=env_params, spp=b, tile=tile,
-                seed=(seed + 0x9E3779B9 * bi) & 0xFFFFFFFF,
-            )
-            acc = img_b * b if acc is None else acc + img_b * b
-            done += done_b
-            s += b
-            bi += 1
-        return acc / spp, done
-
     w, h = params.window_w, params.window_h
     n_pix = w * h
     rows_np, cols_np, order = _pixel_stream(params, tile)
@@ -389,32 +370,62 @@ def render_streaming(
          tile, R, J),
     )
 
-    # Drain bound: every path takes at most max_path_length segments.
-    max_iters = J * spp * params.max_path_length + 16
+    def run_batch(batch_seed, spp_b):
+        """One bounded-spp render; returns (flat [R*J, 3] spp-averaged
+        radiance, device-resident; done)."""
+        max_iters = J * spp_b * params.max_path_length + 16
+        if use_mega:
+            import jax as _jax
 
-    if use_mega:
-        import jax as _jax
+            from ..ops.pallas.megakernel import (
+                megakernel_path_trace,
+                pack_env_mlp,
+            )
 
-        from ..ops.pallas.megakernel import megakernel_path_trace
-
-        flat_d, done = megakernel_path_trace(
-            scene, rows_d, cols_d,
-            jnp.uint32(seed & 0xFFFFFFFF), jnp.int32(n_pix),
-            params=params, slots=R, j_per_slot=J, spp=spp,
-            max_iters=max_iters, br=_pick_br(R, J),
-            interpret=_jax.default_backend() != "tpu",
-        )
-        flat = np.asarray(flat_d)
-    else:
+            env_cfg = env_weights = None
+            if env_fn is not None:
+                env_cfg, wstack, econst = pack_env_mlp(
+                    env_fn.nif_config, env_params)
+                env_weights = (wstack, econst)
+            return megakernel_path_trace(
+                scene, rows_d, cols_d,
+                jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),
+                params=params, slots=R, j_per_slot=J, spp=spp_b,
+                max_iters=max_iters, br=_pick_br(R, J),
+                env_cfg=env_cfg, env_weights=env_weights,
+                hbm=params.intersector == "pallas-hbm",
+                interpret=_jax.default_backend() != "tpu",
+            )
         accum, done, _iters = streaming_path_trace(
             scene, rows_d, cols_d,
-            jnp.uint32(seed & 0xFFFFFFFF), env_params,
+            jnp.uint32(batch_seed & 0xFFFFFFFF), env_params,
             jnp.int32(n_pix),
-            params=params, slots=R, j_per_slot=J, spp=spp,
+            params=params, slots=R, j_per_slot=J, spp=spp_b,
             max_iters=max_iters, has_env=env_fn is not None, env_fn=env_fn,
         )
         # accum[j, :, s] holds padded-stream pixel s + j*R:
-        flat = np.asarray(accum).transpose(0, 2, 1).reshape(R * J, 3) / spp
+        flat_d = accum.transpose(0, 2, 1).reshape(R * J, 3) / spp_b
+        return flat_d, done
+
+    # Bound single-dispatch device time: one megakernel call at very high
+    # spp runs minutes inside one XLA program and trips the TPU worker
+    # watchdog (observed crash at 1440^2 spp 256, ~160 s/call). Render in
+    # decorrelated batches — identical estimator, bounded calls — and
+    # accumulate ON DEVICE so the multi-MB image crosses the (slow) host
+    # link exactly once:
+    SPP_BATCH = 64
+    flat_acc = None
+    done = 0
+    s = bi = 0
+    while s < spp:
+        b = min(SPP_BATCH, spp - s)
+        flat_b, done_b = run_batch((seed + 0x9E3779B9 * bi) & 0xFFFFFFFF, b)
+        wgt = np.float32(b / spp)
+        flat_acc = flat_b * wgt if flat_acc is None else flat_acc + flat_b * wgt
+        done += int(done_b)
+        s += b
+        bi += 1
+    flat = np.asarray(flat_acc)
     img = np.empty((n_pix, 3), np.float32)
     img[order] = flat[:n_pix]
-    return img.reshape(h, w, 3), int(done)
+    return img.reshape(h, w, 3), done

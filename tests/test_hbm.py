@@ -60,8 +60,8 @@ def test_render_path_trace_hbm_matches_pallas(cornell):
     params_v = dataclasses.replace(params, intersector="pallas")
     img_v, done_v = render_streaming(arrays, params_v, chunk_slots=512, spp=2)
     assert done_hbm == done_v == 48 * 48 * 2
-    # pallas routes to the megakernel, pallas-hbm to the XLA loop; both
-    # share RNG streams and kernels' acceptance maths:
+    # pallas routes to the VMEM megakernel, pallas-hbm to the HBM-streamed
+    # megakernel; both share RNG streams and acceptance maths:
     assert np.allclose(img_hbm, img_v, atol=2e-3)
 
 

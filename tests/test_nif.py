@@ -151,3 +151,43 @@ def test_path_trace_with_env_light(tmp_path):
     assert np.all(np.isfinite(out.rgb))
     # With a bright uniform env, the image must be clearly lit:
     assert out.rgb.mean() > 0.1
+
+
+def test_megakernel_env_matches_xla_loop(tmp_path):
+    """The in-kernel fused env MLP (ops/pallas/megakernel.py pack_env_mlp)
+    must reproduce the XLA-loop integrator's env lighting: same NIF, same
+    RNG streams, same estimator — differences bounded by bf16 matmul
+    accumulation order and the kernel's polynomial atan2."""
+    from ipu_ray_lib_tpu.render import streaming as S
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_primitive_scene
+
+    h, w = 8, 16
+    rng = np.random.default_rng(3)
+    img = (0.3 + rng.random((h, w, 3))).astype(np.float32)
+    model, meta = train_nif(img, embedding_dimension=3, layer_count=3,
+                            layer_size=16, steps=300, batch_size=128, seed=2)
+    out_dir = str(tmp_path / "env_assets")
+    save_nif_assets(model, meta, out_dir)
+    env_fn, env_params = load_nif_env(out_dir, rotation_degrees=30.0)
+    assert env_fn.nif_config is not None
+
+    scene = make_primitive_scene()
+    arrays, params, _ = build_scene(
+        scene, image_width=32, image_height=24, samples_per_pixel=4,
+        max_path_length=4, intersector="pallas",
+    )
+    assert S._use_megakernel(params, env_fn)
+    img_mk, done_mk = S.render_streaming(
+        arrays, params, env_fn=env_fn, env_params=env_params, spp=4)
+    orig = S._use_megakernel
+    S._use_megakernel = lambda p, e: False
+    try:
+        img_xla, done_xla = S.render_streaming(
+            arrays, params, env_fn=env_fn, env_params=env_params, spp=4)
+    finally:
+        S._use_megakernel = orig
+    assert done_mk == done_xla == 32 * 24 * 4
+    assert np.all(np.isfinite(img_mk))
+    assert float(np.abs(img_mk - img_xla).max()) < 5e-3
+    assert img_mk.mean() > 0.05  # actually lit by the env
