@@ -39,9 +39,17 @@ def import_scene(filename: str, load_normals: bool = False) -> SceneDescription:
         from .obj import import_obj_scene
 
         return import_obj_scene(filename, load_normals)
+    if fn.endswith(".ply"):
+        from .ply import import_ply_scene
+
+        return import_ply_scene(filename, load_normals)
+    if fn.endswith(".stl"):
+        from .stl import import_stl_scene
+
+        return import_stl_scene(filename, load_normals)
     raise ValueError(
         f"Unsupported scene format: '{filename}' "
-        f"(.glb/.gltf/.dae/.obj supported)"
+        f"(.glb/.gltf/.dae/.obj/.ply/.stl supported)"
     )
 
 

@@ -142,3 +142,94 @@ def test_obj_import(tmp_path):
                                     samples_per_pixel=1, intersector="dense")
     out = render(arrays, params, mode="shadow-trace", chunk_size=256)
     assert out.hit_count > 0
+
+
+def test_ply_import(tmp_path):
+    """PLY import: ASCII and binary little-endian, quads fan-triangulated."""
+    import struct
+
+    import numpy as np
+
+    ascii_ply = tmp_path / "quad.ply"
+    ascii_ply.write_text(
+        "ply\nformat ascii 1.0\ncomment a quad\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 -5 0 0 1\n1 0 -5 0 0 1\n1 1 -5 0 0 1\n0 1 -5 0 0 1\n"
+        "4 0 1 2 3\n"
+    )
+    from ipu_ray_lib_tpu.scene.io import import_scene
+
+    scene = import_scene(str(ascii_ply), load_normals=True)
+    assert len(scene.meshes) == 1
+    assert len(scene.meshes[0].triangles) == 2
+    assert scene.meshes[0].has_normals
+
+    bin_ply = tmp_path / "tri.ply"
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 3\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    verts = np.asarray([[0, 0, -5], [1, 0, -5], [0, 1, -5]], "<f4")
+    face = struct.pack("<B3i", 3, 0, 1, 2)
+    bin_ply.write_bytes(header + verts.tobytes() + face)
+    scene2 = import_scene(str(bin_ply))
+    assert len(scene2.meshes[0].triangles) == 1
+    np.testing.assert_allclose(scene2.meshes[0].vertices, verts)
+
+    from ipu_ray_lib_tpu.render.renderer import render
+    from ipu_ray_lib_tpu.scene.build import build_scene
+
+    arrays, params, _ = build_scene(scene, image_width=16, image_height=16,
+                                    samples_per_pixel=1, intersector="dense")
+    out = render(arrays, params, mode="shadow-trace", chunk_size=256)
+    assert out.hit_count > 0
+
+
+def test_stl_import(tmp_path):
+    """STL import: binary with vertex welding, and ASCII."""
+    import struct
+
+    import numpy as np
+
+    tri1 = [[0, 0, -5], [1, 0, -5], [1, 1, -5]]
+    tri2 = [[0, 0, -5], [1, 1, -5], [0, 1, -5]]   # shares an edge
+    rec = b""
+    for tri in (tri1, tri2):
+        rec += struct.pack("<3f", 0, 0, 1)
+        for v in tri:
+            rec += struct.pack("<3f", *v)
+        rec += struct.pack("<H", 0)
+    stl = tmp_path / "mesh.stl"
+    stl.write_bytes(b"\x00" * 80 + struct.pack("<I", 2) + rec)
+
+    from ipu_ray_lib_tpu.scene.io import import_scene
+
+    scene = import_scene(str(stl))
+    assert len(scene.meshes[0].triangles) == 2
+    assert len(scene.meshes[0].vertices) == 4     # welded shared edge
+
+    ascii_stl = tmp_path / "mesh_a.stl"
+    ascii_stl.write_text(
+        "solid a\nfacet normal 0 0 1\nouter loop\n"
+        "vertex 0 0 -5\nvertex 1 0 -5\nvertex 1 1 -5\n"
+        "endloop\nendfacet\nendsolid a\n"
+    )
+    scene2 = import_scene(str(ascii_stl))
+    assert len(scene2.meshes[0].triangles) == 1
+
+    from ipu_ray_lib_tpu.render.renderer import render
+    from ipu_ray_lib_tpu.scene.build import build_scene
+
+    arrays, params, _ = build_scene(scene, image_width=16, image_height=16,
+                                    samples_per_pixel=1, intersector="dense")
+    out = render(arrays, params, mode="shadow-trace", chunk_size=256)
+    assert out.hit_count > 0
