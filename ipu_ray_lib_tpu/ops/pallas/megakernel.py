@@ -210,10 +210,10 @@ _SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
 
 
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
-                 ap_ref, apay_ref, baabb_ref, wmlp_ref, econ_ref,
+                 ap_ref, apay_ref, baabb_ref, bfine_ref, wmlp_ref, econ_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
-                 cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems,
+                 cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems, bflag_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
@@ -449,7 +449,35 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 for dma in dmas(slot, cur):
                     dma.wait()
 
+                # Block-level refinement inside the flagged super: one
+                # vectorised [SB, br] slab pass against the member block
+                # AABBs + the *current* best_t, one lane-reduce, then
+                # scalar-gated dense tests (skips blocks the bundle passes
+                # beside, and blocks whose customers already settled):
+                blo = [bfine_ref[pl.ds(cur * SB, SB), a:a + 1]
+                       for a in range(3)]
+                bhi = [bfine_ref[pl.ds(cur * SB, SB), a + 3:a + 4]
+                       for a in range(3)]
+                tin_s = jnp.zeros((SB, br), f32)
+                tout_s = jnp.where(active, _BIG, f32(-1.0))
+                for a in range(3):
+                    t0_ = (blo[a] - o[a]) * inv[a]
+                    t1_ = (bhi[a] - o[a]) * inv[a]
+                    tin_s = jnp.maximum(tin_s, jnp.minimum(t0_, t1_))
+                    tout_s = jnp.minimum(
+                        tout_s, jnp.maximum(t0_, t1_) * _SLAB_SCALE)
+                needed = (tin_s <= tout_s) & (tin_s * _SLAB_LO < bt_ref[:])
+                bflag_ref[:] = jnp.max(needed.astype(i32), axis=1,
+                                       keepdims=True)
+
                 for b in range(SB):                        # static unroll
+                    @pl.when(bflag_ref[b, 0] > 0)
+                    def _dense(b=b):
+                        _hbm_dense_block(slot, b)
+
+                return nxt, cnt + 1
+
+            def _hbm_dense_block(slot, b):
                     best_t = bt_ref[:]
                     pb = p_buf[slot, b * TB:(b + 1) * TB, 0:16]
                     tnp0 = pb[:, 0:1]
@@ -504,7 +532,6 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                             preferred_element_type=f32)
                         bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
                         bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
-                return nxt, cnt + 1
 
             _, n_sup = jax.lax.while_loop(
                 lambda c: c[0] < nbs, wbody, (cur0, i32(0)))
@@ -964,7 +991,8 @@ def megakernel_path_trace(
             pl.BlockSpec(memory_space=ms_scene),     # nrm
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ap
             pl.BlockSpec(memory_space=pltpu.VMEM),   # apay
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # baabb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # baabb (supers when hbm)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bfine (hbm block AABBs)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wmlp (env MLP)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # econst
         ],
@@ -992,6 +1020,7 @@ def megakernel_path_trace(
             pltpu.VMEM((2, 8, SB * 3 * TB) if hbm else (1, 8, 128),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((SB, 1), jnp.int32),      # in-super block flags
         ],
     )
     kern = functools.partial(
@@ -1013,6 +1042,7 @@ def megakernel_path_trace(
     else:
         wmlp = jnp.zeros((16, 128), jnp.bfloat16)
         econst = jnp.zeros((1, 128), jnp.float32)
+    bfine = tables.baabb if hbm else jnp.zeros((8, 8), jnp.float32)
     accum, done = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1021,7 +1051,7 @@ def megakernel_path_trace(
             jax.ShapeDtypeStruct((2, R), jnp.int32),
         ],
         interpret=interpret,
-    )(sc, rows2, cols2, p_in, nrm_in, ap, apay, baabb, wmlp, econst)
+    )(sc, rows2, cols2, p_in, nrm_in, ap, apay, baabb, bfine, wmlp, econst)
     # [3J, R] rows are (j, channel)-major -> per-pixel [R*J, 3], averaged,
     # on device (multi-second numpy work on slow hosts otherwise):
     flat = accum.reshape(J, 3, R).transpose(0, 2, 1).reshape(R * J, 3)

@@ -31,6 +31,7 @@ RNG contract in distribution.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -313,12 +314,11 @@ def _device_stream(rows_np, cols_np, pad, key):
 
 
 def _pick_br(R: int, J: int) -> int:
-    """Kernel ray-block size that tiles the slot pool. Measured on v5e
-    (experiments/mega_sweep.py): with deep slot queues (J >= 8) larger
-    blocks win (fewer grid steps); with shallow queues the per-block
-    drain tail favours smaller blocks."""
-    prefs = (2048, 1024, 512, 256) if J >= 8 else (512, 1024, 256, 2048)
-    for br in prefs:
+    """Kernel ray-block size that tiles the slot pool. With in-kernel
+    culling, 1024 wins or ties at every measured config (smaller bundles
+    cull tighter; 2048's fewer grid steps no longer compensate —
+    experiments/cull_sweep.py and PROGRESS.md finding 25)."""
+    for br in (1024, 512, 2048, 256):
         if R % br == 0:
             return br
     raise ValueError(f"slot pool {R} not a multiple of 256")
@@ -425,7 +425,13 @@ def render_streaming(
         done += int(done_b)
         s += b
         bi += 1
-    flat = np.asarray(flat_acc)
+    # Optional half-precision readback: large frames are host-link bound
+    # (a 4k² f32 image is 201 MB; the dev tunnel moves ~13 MB/s). f16
+    # holds ~3 significant digits — plenty for display/preview:
+    if os.environ.get("RAY_READBACK_F16", "0") == "1":
+        flat = np.asarray(flat_acc.astype(jnp.float16)).astype(np.float32)
+    else:
+        flat = np.asarray(flat_acc)
     img = np.empty((n_pix, 3), np.float32)
     img[order] = flat[:n_pix]
     return img.reshape(h, w, 3), done
