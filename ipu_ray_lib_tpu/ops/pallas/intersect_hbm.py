@@ -113,8 +113,8 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
             t = (tnp0 - on) * r
             b1 = og1 + t * dg1 - g1p0
             b2 = og2 + t * dg2 - g2p0
-            ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                  & (t > t_min) & (t < best_t))
+            ok = ((jnp.minimum(b1, b2) >= 0.0) & (b1 + b2 <= 1.0)
+                  & (t > t_min))
             tm = jnp.where(ok, t, _INF)
             bt = jnp.min(tm, axis=0, keepdims=True)
             lane = jax.lax.broadcasted_iota(jnp.int32, (TB, br), 0)

@@ -18,6 +18,27 @@ paths of each slot). TPU grid steps run sequentially on the core, so this
 is a tiled loop over the slot pool — per-block drain imbalance just
 serialises, exactly like the XLA while_loop did.
 
+Intersection walk (per iteration):
+
+* **VMEM mode** (default; scenes ≤64k prims): one vectorised slab pass of
+  every (sub-)block AABB against the live bundle sets per-block flags; a
+  ``pl.when``-gated walk runs the dense [TB, BR] tests only for flagged
+  blocks, with ``reflag`` mid-walk refreshes against the converging
+  best_t (PROGRESS.md findings 24-25 — evolving per-block tests lose to
+  vector→scalar serialisation; precomputed flags win).
+* **HBM mode** (``hbm=True``; unbounded scenes): tables stay in HBM;
+  the slab pass runs over SUPER AABBs, flagged supers stream their p/nrm
+  slabs through double-buffered ``make_async_copy`` windows (a scalar
+  lookahead prefetches the *next flagged* super during the current one's
+  tests — the reference's 2-stage DRAM pipeline, ref IpuScene.cpp:
+  583-618), and a per-super block-level slab+best_t pass gates each
+  member block (findings 27/29).
+
+Environment light (``env_cfg``): the NIF Fourier-feature MLP runs
+in-kernel as bf16 [P, BR] MXU slabs with biases folded into a
+homogeneous constant-1 row and atan2/arccos as f32 polynomials, gated by
+a per-iteration any-escaped test (finding 26; pack_env_mlp below).
+
 Layouts: lane-major everywhere — rays ride the 128-wide lane dimension,
 state components are sublane rows ([rows, BR]); see PROGRESS.md finding 10
 for why (a [R, .., 3] layout tile-pads 42x).
@@ -344,8 +365,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             t = (tnp0 - on) * r
             b1 = og1 + t * dg1 - g1p0
             b2 = og2 + t * dg2 - g2p0
-            ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                  & (t > 0.0) & (t < best_t))
+            ok = ((jnp.minimum(b1, b2) >= 0.0) & (b1 + b2 <= 1.0)
+                  & (t > 0.0))
             tm = jnp.where(ok, t, _INF)
             bt = jnp.min(tm, axis=0, keepdims=True)
             tri_lane = jax.lax.broadcasted_iota(i32, (TBW, br), 0)
@@ -500,8 +521,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     t = (tnp0 - on) * r
                     b1 = og1 + t * dg1 - g1p0
                     b2 = og2 + t * dg2 - g2p0
-                    ok = ((b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                          & (t > 0.0) & (t < best_t))
+                    ok = ((jnp.minimum(b1, b2) >= 0.0)
+                          & (b1 + b2 <= 1.0) & (t > 0.0))
                     tm = jnp.where(ok, t, _INF)
                     bt = jnp.min(tm, axis=0, keepdims=True)
                     tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)

@@ -191,3 +191,66 @@ def test_megakernel_env_matches_xla_loop(tmp_path):
     assert np.all(np.isfinite(img_mk))
     assert float(np.abs(img_mk - img_xla).max()) < 5e-3
     assert img_mk.mean() > 0.05  # actually lit by the env
+
+
+def test_pack_env_mlp_layout():
+    """pack_env_mlp: transposed kernels, bias in the homogeneous column,
+    decode constants in econst — applying the packed form by hand must
+    reproduce NifModel.apply."""
+    from ipu_ray_lib_tpu.nif.model import NifConfig
+    from ipu_ray_lib_tpu.ops.pallas.megakernel import pack_env_mlp
+
+    rng = np.random.default_rng(11)
+    E = 2
+    config = NifConfig(
+        embedding_dimension=E,
+        activations=("relu", "linear"),
+        concat_before=(False, True),
+        log_tone_map=True,
+    )
+    k0 = rng.normal(size=(4 * E, 16)).astype(np.float32)
+    k1 = rng.normal(size=(16 + 4 * E, 3)).astype(np.float32)
+    b0 = rng.normal(size=16).astype(np.float32)
+    b1 = rng.normal(size=3).astype(np.float32)
+    params = {
+        "kernels": (jnp.asarray(k0), jnp.asarray(k1)),
+        "biases": (jnp.asarray(b0), jnp.asarray(b1)),
+        "max": jnp.float32(2.5),
+        "mean": jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
+        "rotation": jnp.float32(0.5),
+    }
+    env_cfg, wstack, econst = pack_env_mlp(config, params)
+    P, E_, layers, log_tm = env_cfg
+    assert P == 128 and E_ == E and log_tm
+    assert layers == ((4 * E, 16, True, False), (16 + 4 * E, 3, False, True))
+    assert wstack.shape == (2 * P, P) and wstack.dtype == jnp.bfloat16
+    w = np.asarray(wstack, np.float32)
+    np.testing.assert_allclose(w[0:16, 0:4 * E], k0.T, rtol=8e-3, atol=8e-3)
+    np.testing.assert_allclose(w[0:16, P - 1], b0, rtol=8e-3, atol=8e-3)
+    np.testing.assert_allclose(w[P:P + 3, 0:16 + 4 * E], k1.T, rtol=8e-3,
+                               atol=8e-3)
+    e = np.asarray(econst)
+    assert e[0, 0] == np.float32(0.5) and e[0, 1] == np.float32(2.5)
+    np.testing.assert_allclose(e[0, 2:5], [0.1, 0.2, 0.3])
+
+    # Hand-apply the packed form (f32) on a feature vector and compare
+    # to the unpacked math:
+    feats = rng.normal(size=(4 * E,)).astype(np.float32)
+    x = np.zeros(P, np.float32)
+    x[:4 * E] = feats
+    x[P - 1] = 1.0
+    wf = np.zeros_like(w)
+    # rebuild f32 wstack without the bf16 cast for the check:
+    wf[0:16, 0:4 * E] = k0.T
+    wf[0:16, P - 1] = b0
+    wf[P:P + 3, 0:16 + 4 * E] = k1.T
+    wf[P:P + 3, P - 1] = b1
+    y = np.maximum(wf[0:P] @ x, 0.0)
+    x2 = np.zeros(P, np.float32)
+    x2[:16] = y[:16]
+    x2[16:16 + 4 * E] = feats
+    x2[P - 1] = 1.0
+    out = (wf[P:2 * P] @ x2)[:3]
+    want = np.maximum(feats @ k0 + b0, 0.0)
+    want = np.concatenate([want, feats]) @ k1 + b1
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)

@@ -97,3 +97,23 @@ def test_megakernel_rng_matches_ops_rng():
     b1, b2 = _normal2(pids_i, jnp.full_like(pids_i, 0xCA3))
     assert np.allclose(np.asarray(a1), np.asarray(b1)[0], atol=1e-6)
     assert np.allclose(np.asarray(a2), np.asarray(b2)[0], atol=1e-6)
+
+
+def test_kernel_atan2_acos_polynomials():
+    """The megakernel's polynomial atan2/arccos (used for equirect env
+    UVs) must be accurate to ~1e-5 rad over the full circle."""
+    import jax.numpy as jnp
+
+    from ipu_ray_lib_tpu.ops.pallas.megakernel import _acos, _atan2
+
+    rng = np.random.default_rng(7)
+    ang = rng.uniform(-np.pi, np.pi, 4096).astype(np.float32)
+    r = rng.uniform(0.1, 10.0, 4096).astype(np.float32)
+    y, x = r * np.sin(ang), r * np.cos(ang)
+    got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    assert np.abs(got - want).max() < 3e-5
+
+    c = rng.uniform(-1.0, 1.0, 4096).astype(np.float32)
+    got = np.asarray(_acos(jnp.asarray(c)))
+    assert np.abs(got - np.arccos(c)).max() < 5e-5
