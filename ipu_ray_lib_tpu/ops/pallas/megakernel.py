@@ -231,7 +231,8 @@ _SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
 
 
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
-                 ap_ref, apay_ref, baabb_ref, bfine_ref, wmlp_ref, econ_ref,
+                 ap_ref, apay_ref, baabb_ref, bfine_ref, wmlp_ref, ebias_ref,
+                 econ_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems, bflag_ref,
@@ -734,28 +735,25 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 feats = jnp.concatenate(
                     [jnp.sin(pu), jnp.sin(pv), jnp.cos(pu), jnp.cos(pv)],
                     axis=0)                            # [4E, br]
-                ones = jnp.ones((1, br), f32)
                 x = jnp.concatenate(
-                    [feats, jnp.zeros((P_ - 4 * E_ - 1, br), f32), ones],
-                    axis=0)
+                    [feats, jnp.zeros((P_ - 4 * E_, br), f32)], axis=0)
                 ndm = (((1,), (0,)), ((), ()))
                 for l, (cin, cout, relu, concat) in enumerate(layers_):
                     if concat:
                         prev = cin - 4 * E_
                         x = jnp.concatenate(
                             [x[0:prev], feats,
-                             jnp.zeros((P_ - cin - 1, br), f32), ones],
-                            axis=0)
+                             jnp.zeros((P_ - cin, br), f32)], axis=0)
                     w = wmlp_ref[pl.ds(l * P_, P_), :]
                     y = jax.lax.dot_general(w, x.astype(bf16), ndm,
                                             preferred_element_type=f32)
+                    y = y + ebias_ref[:, l:l + 1]
                     if relu:
                         y = jnp.maximum(y, 0.0)
                     if l + 1 < len(layers_):
                         x = jnp.concatenate(
                             [y[0:cout],
-                             jnp.zeros((P_ - cout - 1, br), f32), ones],
-                            axis=0)
+                             jnp.zeros((P_ - cout, br), f32)], axis=0)
                     else:
                         x = y
                 bgr = (x[0:1] * maxv + econ_ref[0:1, 2:3],
@@ -828,17 +826,19 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 def pack_env_mlp(config, env_params):
     """Pack a NIF env MLP (nif/model.py contract) for in-kernel evaluation.
 
-    Returns ``(env_cfg, wstack, econst)``:
+    Returns ``(env_cfg, (wstack, ebias, econst))``:
 
     * ``env_cfg`` — static, hashable: (P, E, layers, log_tone_map) where
       ``layers`` is a tuple of (cin_total, cout, relu, concat) and P is the
-      128-padded feature width (incl. a constant-1 row at P-1 that carries
-      biases through the matmul — homogeneous coordinates);
+      128-padded feature width;
     * ``wstack`` — [L*P, P] bf16: layer l's transposed kernel at rows
-      [l*P, l*P+cout), columns [0, cin); bias in column P-1;
+      [l*P, l*P+cout), columns [0, cin);
+    * ``ebias`` — [P, L] f32: layer l's bias in column l (added in f32
+      after the matmul, matching NifModel.apply exactly — folding biases
+      through the bf16 matmul would quantise them);
     * ``econst`` — [1, 128] f32: rotation, decode max, decode mean (BGR).
 
-    The MLP runs in bf16 on the MXU with f32 accumulation — the same
+    The matmuls run in bf16 on the MXU with f32 accumulation — the same
     compute contract as the XLA path (NifModel.apply) and the reference's
     fp16 partials (ref src/IpuScene.cpp:255-262)."""
     E = config.embedding_dimension
@@ -846,7 +846,6 @@ def pack_env_mlp(config, env_params):
     kernels = env_params["kernels"]
     biases = env_params["biases"]
     L = len(kernels)
-    cur = e4
     layers = []
     maxdim = e4
     for i, k in enumerate(kernels):
@@ -855,20 +854,20 @@ def pack_env_mlp(config, env_params):
         layers.append((cin, cout, config.activations[i] == "relu",
                        bool(config.concat_before[i])))
         maxdim = max(maxdim, cin, cout)
-        cur = cout
     P = -(-(maxdim + 1) // 128) * 128
     wstack = jnp.zeros((L * P, P), jnp.float32)
+    ebias = jnp.zeros((P, L), jnp.float32)
     for l, (k, b) in enumerate(zip(kernels, biases)):
         cin, cout = int(k.shape[0]), int(k.shape[1])
         wstack = wstack.at[l * P:l * P + cout, 0:cin].set(k.T)
-        wstack = wstack.at[l * P:l * P + cout, P - 1].set(b)
+        ebias = ebias.at[0:cout, l].set(b)
     econst = jnp.zeros((1, 128), jnp.float32)
     econst = econst.at[0, 0].set(
         jnp.asarray(env_params.get("rotation", 0.0), jnp.float32))
     econst = econst.at[0, 1].set(env_params["max"])
     econst = econst.at[0, 2:5].set(env_params["mean"])
     env_cfg = (P, E, tuple(layers), bool(config.log_tone_map))
-    return env_cfg, wstack.astype(jnp.bfloat16), econst
+    return env_cfg, (wstack.astype(jnp.bfloat16), ebias, econst)
 
 
 def _analytic_tables(scene):
@@ -1015,6 +1014,7 @@ def megakernel_path_trace(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # baabb (supers when hbm)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bfine (hbm block AABBs)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wmlp (env MLP)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ebias
             pl.BlockSpec(memory_space=pltpu.VMEM),   # econst
         ],
         out_specs=[
@@ -1059,9 +1059,10 @@ def megakernel_path_trace(
         _timing_no_dots=_timing_no_dots,
     )
     if env_cfg is not None:
-        wmlp, econst = env_weights
+        wmlp, ebias, econst = env_weights
     else:
         wmlp = jnp.zeros((16, 128), jnp.bfloat16)
+        ebias = jnp.zeros((8, 1), jnp.float32)
         econst = jnp.zeros((1, 128), jnp.float32)
     bfine = tables.baabb if hbm else jnp.zeros((8, 8), jnp.float32)
     accum, done = pl.pallas_call(
@@ -1072,7 +1073,8 @@ def megakernel_path_trace(
             jax.ShapeDtypeStruct((2, R), jnp.int32),
         ],
         interpret=interpret,
-    )(sc, rows2, cols2, p_in, nrm_in, ap, apay, baabb, bfine, wmlp, econst)
+    )(sc, rows2, cols2, p_in, nrm_in, ap, apay, baabb, bfine, wmlp, ebias,
+      econst)
     # [3J, R] rows are (j, channel)-major -> per-pixel [R*J, 3], averaged,
     # on device (multi-second numpy work on slow hosts otherwise):
     flat = accum.reshape(J, 3, R).transpose(0, 2, 1).reshape(R * J, 3)

@@ -271,20 +271,25 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
     tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
 
-    # nrm: [8, nb*3*TB]
-    nrm = np.zeros((8, nb * 3 * TB), np.float32)
-    for b in range(nb):
-        sl = slice(b * TB, (b + 1) * TB)
-        base = b * 3 * TB
-        nrm[0:3, base : base + TB] = N0_p[sl].T
-        nrm[0:3, base + TB : base + 2 * TB] = dN1_p[sl].T
-        nrm[0:3, base + 2 * TB : base + 3 * TB] = dN2_p[sl].T
-        nrm[3:6, base : base + TB] = mat_alb_p[sl].T
-        nrm[6, base : base + TB] = mat_id_hi_p[sl]
-        nrm[7, base : base + TB] = mat_id_lo_p[sl]
-        nrm[3, base + TB : base + 2 * TB] = mat_tp_p[sl]
-        nrm[4, base + TB : base + 2 * TB] = mat_ior_p[sl]
-        nrm[5:8, base + TB : base + 2 * TB] = mat_em_p[sl].T
+    # nrm: [8, nb*3*TB] — assembled through a [8, nb, 3, TB] view so the
+    # per-block layout is pure vectorised numpy (the python-loop version
+    # took minutes at multi-million-triangle scenes):
+    nrm = np.zeros((8, nb, 3, TB), np.float32)
+
+    def blocked(a):  # [Tp, ...] -> [nb, TB, ...] -> [.., nb, TB]
+        a = a.reshape(nb, TB, -1)
+        return np.moveaxis(a, 2, 0).astype(np.float32)
+
+    nrm[0:3, :, 0] = blocked(N0_p)
+    nrm[0:3, :, 1] = blocked(dN1_p)
+    nrm[0:3, :, 2] = blocked(dN2_p)
+    nrm[3:6, :, 0] = blocked(mat_alb_p)
+    nrm[6, :, 0] = mat_id_hi_p.reshape(nb, TB)
+    nrm[7, :, 0] = mat_id_lo_p.reshape(nb, TB)
+    nrm[3, :, 1] = mat_tp_p.reshape(nb, TB)
+    nrm[4, :, 1] = mat_ior_p.reshape(nb, TB)
+    nrm[5:8, :, 1] = blocked(mat_em_p)
+    nrm = nrm.reshape(8, nb * 3 * TB)
 
     # p: [nb*TB, 16]
     p = np.zeros((Tp, 16), np.float32)
@@ -295,36 +300,26 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     p[:, 6:9] = g1_p
     p[:, 9:12] = g2_p
 
-    # Block/super AABBs over real triangles (empty blocks get inverted
-    # boxes that can never be hit):
-    tlo = np.minimum(np.minimum(p0, p1), p2)
-    thi = np.maximum(np.maximum(p0, p1), p2)
-    baabb = np.zeros((nb, 8), np.float32)
-    baabb[:, 0:3] = np.inf
-    baabb[:, 3:6] = -np.inf
-    for b in range(nb):
-        sl = slice(b * TB, min((b + 1) * TB, T))
-        if sl.start < T:
-            baabb[b, 0:3] = tlo[sl].min(axis=0)
-            baabb[b, 3:6] = thi[sl].max(axis=0)
-    nsb = nb * TB // SUBB
-    baabb32 = np.zeros((nsb, 8), np.float32)
-    baabb32[:, 0:3] = np.inf
-    baabb32[:, 3:6] = -np.inf
-    for b in range(nsb):
-        sl = slice(b * SUBB, min((b + 1) * SUBB, T))
-        if sl.start < T:
-            baabb32[b, 0:3] = tlo[sl].min(axis=0)
-            baabb32[b, 3:6] = thi[sl].max(axis=0)
-    saabb = np.zeros((ns, 8), np.float32)
-    saabb[:, 0:3] = np.inf
-    saabb[:, 3:6] = -np.inf
-    for s in range(ns):
-        blk = baabb[s * SB : (s + 1) * SB]
-        valid = blk[:, 0] <= blk[:, 3]
-        if valid.any():
-            saabb[s, 0:3] = blk[valid, 0:3].min(axis=0)
-            saabb[s, 3:6] = blk[valid, 3:6].max(axis=0)
+    # Block/super/sub-block AABBs over real triangles, vectorised via
+    # padded grouped reductions (padding rows get inverted boxes that can
+    # never be hit):
+    tlo = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+    thi = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+    tlo_p = np.full((Tp, 3), np.inf, np.float32)
+    thi_p = np.full((Tp, 3), -np.inf, np.float32)
+    tlo_p[:T] = tlo
+    thi_p[:T] = thi
+
+    def group_aabb(lo, hi, g):
+        n = lo.shape[0] // g
+        out = np.zeros((n, 8), np.float32)
+        out[:, 0:3] = lo.reshape(n, g, 3).min(axis=1)
+        out[:, 3:6] = hi.reshape(n, g, 3).max(axis=1)
+        return out
+
+    baabb = group_aabb(tlo_p, thi_p, TB)
+    baabb32 = group_aabb(tlo_p, thi_p, SUBB)
+    saabb = group_aabb(tlo_p, thi_p, SB * TB)
 
     p_wide = np.zeros((Tp, 128), np.float32)
     p_wide[:, :16] = p

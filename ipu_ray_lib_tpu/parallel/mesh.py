@@ -160,9 +160,8 @@ def render_streaming_sharded(
         from ..ops.pallas.megakernel import megakernel_path_trace, pack_env_mlp
 
         if env_fn is not None:
-            env_cfg, wstack, econst = pack_env_mlp(
+            env_cfg, env_weights = pack_env_mlp(
                 env_fn.nif_config, env_params)
-            env_weights = (wstack, econst)
 
     def per_shard(scene_rep, rows_s, cols_s, env_p):
         dev = jax.lax.axis_index(RAY_AXIS)

@@ -118,10 +118,14 @@ def render(
     env_params=None,
     progress_callback: Optional[Callable[[int, np.ndarray], None]] = None,
     streaming: bool = True,
+    aovs: Optional[tuple] = None,
 ) -> RenderOutput:
     """Render the scene's crop window. ``mode`` is 'shadow-trace' or
     'path-trace'. ``env_fn(env_params, dirs) -> rgb`` is an optional
     environment light (the NIF hook) applied to escaped rays.
+
+    ``aovs`` limits which shadow-trace AOV fields are read back from the
+    device (None = all); un-requested fields come back zero-filled.
 
     ``progress_callback(chunk_index, rgb_chunk)`` fires as each chunk
     completes — the analogue of the reference's RayCallback streaming
@@ -236,17 +240,26 @@ def render(
             progress_callback(ci, chunk_rgb)
 
     n_errors = 0
+    want = lambda f: aovs is None or f in aovs
     for ci, sl, res, err in pending:
         if err is not None:
             n_errors += int(np.asarray(err).sum())
         if mode == "shadow-trace":
-            rgb[sl] = np.asarray(res.rgb)
-            t[sl] = np.asarray(res.t)
+            # geom_id always transfers (every AOV needs the found mask);
+            # the rest only when requested — full-AOV readback is host-
+            # link-bound (6 fields x 4 B x pixels):
             g = np.asarray(res.geom_id)
             geom[sl] = np.where(g == INVALID_GEOM_ID, -1, g)
-            prim[sl] = np.asarray(res.prim_id)
-            normal[sl] = np.asarray(res.normal)
-            hit_p[sl] = np.asarray(res.hit_p)
+            if want("rgb"):
+                rgb[sl] = np.asarray(res.rgb)
+            if want("t"):
+                t[sl] = np.asarray(res.t)
+            if want("prim_id"):
+                prim[sl] = np.asarray(res.prim_id)
+            if want("normal"):
+                normal[sl] = np.asarray(res.normal)
+            if want("hit_p"):
+                hit_p[sl] = np.asarray(res.hit_p)
         else:
             rgb[sl] = np.asarray(res)
     if n_errors:

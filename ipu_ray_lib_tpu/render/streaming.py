@@ -384,9 +384,8 @@ def render_streaming(
 
             env_cfg = env_weights = None
             if env_fn is not None:
-                env_cfg, wstack, econst = pack_env_mlp(
+                env_cfg, env_weights = pack_env_mlp(
                     env_fn.nif_config, env_params)
-                env_weights = (wstack, econst)
             return megakernel_path_trace(
                 scene, rows_d, cols_d,
                 jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),

@@ -219,16 +219,19 @@ def test_pack_env_mlp_layout():
         "mean": jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
         "rotation": jnp.float32(0.5),
     }
-    env_cfg, wstack, econst = pack_env_mlp(config, params)
+    env_cfg, (wstack, ebias, econst) = pack_env_mlp(config, params)
     P, E_, layers, log_tm = env_cfg
     assert P == 128 and E_ == E and log_tm
     assert layers == ((4 * E, 16, True, False), (16 + 4 * E, 3, False, True))
     assert wstack.shape == (2 * P, P) and wstack.dtype == jnp.bfloat16
     w = np.asarray(wstack, np.float32)
     np.testing.assert_allclose(w[0:16, 0:4 * E], k0.T, rtol=8e-3, atol=8e-3)
-    np.testing.assert_allclose(w[0:16, P - 1], b0, rtol=8e-3, atol=8e-3)
     np.testing.assert_allclose(w[P:P + 3, 0:16 + 4 * E], k1.T, rtol=8e-3,
                                atol=8e-3)
+    # Biases exact (f32, not folded through the bf16 matmul):
+    be = np.asarray(ebias)
+    np.testing.assert_array_equal(be[0:16, 0], b0)
+    np.testing.assert_array_equal(be[0:3, 1], b1)
     e = np.asarray(econst)
     assert e[0, 0] == np.float32(0.5) and e[0, 1] == np.float32(2.5)
     np.testing.assert_allclose(e[0, 2:5], [0.1, 0.2, 0.3])
@@ -238,19 +241,15 @@ def test_pack_env_mlp_layout():
     feats = rng.normal(size=(4 * E,)).astype(np.float32)
     x = np.zeros(P, np.float32)
     x[:4 * E] = feats
-    x[P - 1] = 1.0
     wf = np.zeros_like(w)
     # rebuild f32 wstack without the bf16 cast for the check:
     wf[0:16, 0:4 * E] = k0.T
-    wf[0:16, P - 1] = b0
     wf[P:P + 3, 0:16 + 4 * E] = k1.T
-    wf[P:P + 3, P - 1] = b1
-    y = np.maximum(wf[0:P] @ x, 0.0)
+    y = np.maximum(wf[0:P] @ x + be[:, 0], 0.0)
     x2 = np.zeros(P, np.float32)
     x2[:16] = y[:16]
     x2[16:16 + 4 * E] = feats
-    x2[P - 1] = 1.0
-    out = (wf[P:2 * P] @ x2)[:3]
+    out = (wf[P:2 * P] @ x2 + be[:, 1])[:3]
     want = np.maximum(feats @ k0 + b0, 0.0)
     want = np.concatenate([want, feats]) @ k1 + b1
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)

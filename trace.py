@@ -271,10 +271,16 @@ def main(argv=None) -> int:
         out = _render_sharded(arrays, params, min(want_dev, n_dev), env_fn, env_params)
         log.info("Sharded render over %d devices", min(want_dev, n_dev))
     else:
+        # Read back only the AOV fields this visualise mode needs — the
+        # full 6-field set is host-link bound at large resolutions:
+        needed = {
+            "rgb": ("rgb",), "normal": ("normal",), "tfar": ("t",),
+            "hitpoint": ("hit_p",), "id": ("prim_id",), "color": (),
+        }[args.visualise]
         out = render(
             arrays, params, mode=args.render_mode,
             chunk_size=args.chunk_size, env_fn=env_fn, env_params=env_params,
-            progress_callback=cb,
+            progress_callback=cb, aovs=needed,
         )
     dt = time.time() - t0
     spp = args.samples if args.render_mode == "path-trace" else 1
