@@ -228,9 +228,10 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
         t = (tnp0 - on) * r
         b1 = og1 + t * dg1 - g1p0
         b2 = og2 + t * dg2 - g2p0
+        # t < best_t is deliberately absent: the block winner is taken by
+        # min-t and `better` re-checks before any update (megakernel.py):
         ok = (
-            (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-            & (t > t_min) & (t < best_t)
+            (jnp.minimum(b1, b2) >= 0.0) & (b1 + b2 <= 1.0) & (t > t_min)
         )
         tm = jnp.where(ok, t, _INF)
         bt = jnp.min(tm, axis=0, keepdims=True)            # [1, br]

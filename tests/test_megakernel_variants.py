@@ -1,0 +1,55 @@
+"""Walk-variant parity for the megakernel (interpret mode).
+
+Every intersection-walk configuration — culled (default), mid-walk
+reflag counts, sub-block granularity, the dense fallback, and the
+HBM-streamed super walk — must produce *bitwise-identical* images: they
+all run the same acceptance maths over the same triangles, only skipping
+work that provably cannot produce the winner (the conservative-cull
+contract of ops/pallas/megakernel.py)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+
+def _render(arrays, params, **kw):
+    from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
+    from ipu_ray_lib_tpu.render import streaming as S
+
+    orig = MK.megakernel_path_trace
+    MK.megakernel_path_trace = functools.partial(orig, **kw) if kw else orig
+    try:
+        return S.render_streaming(arrays, params, spp=1)
+    finally:
+        MK.megakernel_path_trace = orig
+
+
+@pytest.fixture(scope="module")
+def mega_scene():
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
+
+    scene = make_cornell_box_scene(mesh_file=None, box_only=False)
+    arrays, params, _ = build_scene(
+        scene, image_width=48, image_height=32, samples_per_pixel=1,
+        intersector="pallas",
+    )
+    base, done = _render(arrays, params)
+    assert done == 48 * 32
+    return arrays, params, base
+
+
+@pytest.mark.parametrize("kw", [
+    dict(use_cull=False),
+    dict(reflag=0),
+    dict(reflag=1),
+    dict(sub=2),
+    dict(sub=4),
+    dict(hbm=True),
+])
+def test_walk_variants_bitwise_identical(mega_scene, kw):
+    arrays, params, base = mega_scene
+    img, done = _render(arrays, params, **kw)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
