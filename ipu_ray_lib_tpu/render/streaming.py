@@ -346,9 +346,10 @@ def render_streaming(
     """Full-window streaming render; returns (rgb [H, W, 3] numpy, done).
 
     Dispatches to the Pallas megakernel (ops/pallas/megakernel.py — the
-    whole bounce loop in one kernel) when the scene uses the pallas
-    intersector and no environment light; otherwise runs the XLA-loop
-    integrator above."""
+    whole bounce loop in one kernel, with NIF env lights fused in and an
+    HBM-streamed walk for >VMEM scenes) for the pallas/pallas-hbm
+    intersectors; opaque custom env_fns and other intersectors run the
+    XLA-loop integrator above."""
     spp = spp if spp is not None else params.samples_per_pixel
     seed = params.rng_seed if seed is None else seed
 
@@ -370,22 +371,19 @@ def render_streaming(
          tile, R, J),
     )
 
+    env_cfg = env_weights = None
+    if use_mega and env_fn is not None:
+        from ..ops.pallas.megakernel import pack_env_mlp
+
+        env_cfg, env_weights = pack_env_mlp(env_fn.nif_config, env_params)
+
     def run_batch(batch_seed, spp_b):
         """One bounded-spp render; returns (flat [R*J, 3] spp-averaged
         radiance, device-resident; done)."""
         max_iters = J * spp_b * params.max_path_length + 16
         if use_mega:
-            import jax as _jax
+            from ..ops.pallas.megakernel import megakernel_path_trace
 
-            from ..ops.pallas.megakernel import (
-                megakernel_path_trace,
-                pack_env_mlp,
-            )
-
-            env_cfg = env_weights = None
-            if env_fn is not None:
-                env_cfg, env_weights = pack_env_mlp(
-                    env_fn.nif_config, env_params)
             return megakernel_path_trace(
                 scene, rows_d, cols_d,
                 jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),
@@ -393,7 +391,7 @@ def render_streaming(
                 max_iters=max_iters, br=_pick_br(R, J),
                 env_cfg=env_cfg, env_weights=env_weights,
                 hbm=params.intersector == "pallas-hbm",
-                interpret=_jax.default_backend() != "tpu",
+                interpret=jax.default_backend() != "tpu",
             )
         accum, done, _iters = streaming_path_trace(
             scene, rows_d, cols_d,
