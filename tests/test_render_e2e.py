@@ -152,3 +152,21 @@ def test_streaming_matches_per_sample_energy(cornell_scene):
                  streaming=False)
     a, b = img.mean(), out.rgb.mean()
     assert abs(a - b) / max(b, 1e-9) < 0.12
+
+
+def test_readback_f16_option(cornell_built, monkeypatch):
+    """RAY_READBACK_F16=1 must return the same image at half precision."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    arrays, params, _ = cornell_built
+    p = dataclasses.replace(params, window_w=32, window_h=24,
+                            samples_per_pixel=2, intersector="pallas")
+    img32, done = render_streaming(arrays, p, spp=2)
+    monkeypatch.setenv("RAY_READBACK_F16", "1")
+    img16, done16 = render_streaming(arrays, p, spp=2)
+    assert done16 == done
+    assert img16.dtype == np.float32            # converted back for callers
+    # f16 holds ~3 significant digits:
+    np.testing.assert_allclose(img16, img32, rtol=2e-3, atol=2e-3)
