@@ -126,13 +126,17 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
             w2 = onehot * jnp.where(ok, b1, 0.0)
             w3 = onehot * jnp.where(ok, b2, 0.0)
             nd = (((1,), (0,)), ((), ()))
-            n_cand = (
-                jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd,
+            # w2/w3 interpolation restricted to rows 0-2 (material rows
+            # ride segments 1/2 — see intersect_kernel.py):
+            n_cand = jax.lax.dot_general(
+                nrm_blk[:, 0:TB], w1, nd, preferred_element_type=jnp.float32)
+            n_interp = (
+                jax.lax.dot_general(nrm_blk[0:3, TB:2 * TB], w2, nd,
                                     preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd,
-                                      preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd,
+                + jax.lax.dot_general(nrm_blk[0:3, 2 * TB:3 * TB], w3, nd,
                                       preferred_element_type=jnp.float32))
+            n_cand = jnp.concatenate([n_cand[0:3] + n_interp, n_cand[3:8]],
+                                     axis=0)
             m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd,
                                          preferred_element_type=jnp.float32)
             bi_glob = bi + (sup * SB + b) * TB

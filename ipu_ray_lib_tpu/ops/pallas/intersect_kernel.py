@@ -252,11 +252,20 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
         w2 = onehot * jnp.where(ok, b1, 0.0)
         w3 = onehot * jnp.where(ok, b2, 0.0)
         nd = (((1,), (0,)), ((), ()))
-        n_cand = (
-            jax.lax.dot_general(nrm_blk[:, 0:TB], w1, nd, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w2, nd, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(nrm_blk[:, 2 * TB:3 * TB], w3, nd, preferred_element_type=jnp.float32)
-        )                                                   # [8, br]
+        # w2/w3 (barycentric interpolation weights) must touch ONLY the
+        # normal rows 0-2: segments 1/2 carry material payload in their
+        # spare rows, and b1/b2-weighted leakage into the albedo/id rows
+        # was a real radiometry bug (test_megakernel_matches_dense_streaming):
+        n_cand = jax.lax.dot_general(
+            nrm_blk[:, 0:TB], w1, nd, preferred_element_type=jnp.float32)
+        n_interp = (
+            jax.lax.dot_general(nrm_blk[0:3, TB:2 * TB], w2, nd,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(nrm_blk[0:3, 2 * TB:3 * TB], w3, nd,
+                                  preferred_element_type=jnp.float32)
+        )
+        n_cand = jnp.concatenate([n_cand[0:3] + n_interp, n_cand[3:8]],
+                                 axis=0)                    # [8, br]
         # Second material payload bank: segment 1's spare rows selected by
         # the clean w1 one-hot (rows 0..2 come out as dN1 — ignored):
         m_cand = jax.lax.dot_general(

@@ -35,9 +35,9 @@ Intersection walk (per iteration):
   member block (findings 27/29).
 
 Environment light (``env_cfg``): the NIF Fourier-feature MLP runs
-in-kernel as bf16 [P, BR] MXU slabs with biases folded into a
-homogeneous constant-1 row and atan2/arccos as f32 polynomials, gated by
-a per-iteration any-escaped test (finding 26; pack_env_mlp below).
+in-kernel as bf16 [P, BR] MXU slabs with exact f32 biases added after
+each matmul and atan2/arccos as f32 polynomials, gated by a
+per-iteration any-escaped test (finding 26; pack_env_mlp below).
 
 Layouts: lane-major everywhere — rays ride the 128-wide lane dimension,
 state components are sublane rows ([rows, BR]); see PROGRESS.md finding 10
@@ -399,13 +399,20 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 w1 = (tri128 == row).astype(f32)
                 w2 = w1 * b1w
                 w3 = w1 * b2w
-            n_cand = (
-                jax.lax.dot_general(nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
-                                    preferred_element_type=f32)
-                + jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + TB, TB)], w2,
-                                      nd_, preferred_element_type=f32)
-                + jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + 2 * TB, TB)],
+            # Normal interpolation (w2/w3 barycentric weights) must touch
+            # ONLY rows 0-2: segment 1/2's spare rows carry material data
+            # whose b1/b2-weighted leakage into the albedo/id rows was a
+            # real radiometry bug (tests/test_render_e2e.py
+            # test_megakernel_matches_dense_streaming caught it):
+            n_cand = jax.lax.dot_general(nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
+                                         preferred_element_type=f32)
+            n_interp = (
+                jax.lax.dot_general(nrm_ref[0:3, pl.ds(c0 + TB, TB)], w2,
+                                    nd_, preferred_element_type=f32)
+                + jax.lax.dot_general(nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)],
                                       w3, nd_, preferred_element_type=f32))
+            n_cand = jnp.concatenate(
+                [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
             m_cand = jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + TB, TB)],
                                          w1, nd_, preferred_element_type=f32)
             bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
@@ -539,16 +546,21 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         w3 = onehot * jnp.where(ok, b2, 0.0)
                         nd_ = (((1,), (0,)), ((), ()))
                         nb0 = b * 3 * TB
-                        n_cand = (
+                        # w2/w3 interpolation restricted to rows 0-2
+                        # (material rows ride segments 1/2 — see do_block):
+                        n_cand = jax.lax.dot_general(
+                            nrm_buf[slot, :, nb0:nb0 + TB], w1, nd_,
+                            preferred_element_type=f32)
+                        n_interp = (
                             jax.lax.dot_general(
-                                nrm_buf[slot, :, nb0:nb0 + TB], w1, nd_,
-                                preferred_element_type=f32)
+                                nrm_buf[slot, 0:3, nb0 + TB:nb0 + 2 * TB],
+                                w2, nd_, preferred_element_type=f32)
                             + jax.lax.dot_general(
-                                nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB], w2,
-                                nd_, preferred_element_type=f32)
-                            + jax.lax.dot_general(
-                                nrm_buf[slot, :, nb0 + 2 * TB:nb0 + 3 * TB],
+                                nrm_buf[slot, 0:3,
+                                        nb0 + 2 * TB:nb0 + 3 * TB],
                                 w3, nd_, preferred_element_type=f32))
+                        n_cand = jnp.concatenate(
+                            [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
                         m_cand = jax.lax.dot_general(
                             nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB], w1, nd_,
                             preferred_element_type=f32)

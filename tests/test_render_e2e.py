@@ -170,3 +170,30 @@ def test_readback_f16_option(cornell_built, monkeypatch):
     assert img16.dtype == np.float32            # converted back for callers
     # f16 holds ~3 significant digits:
     np.testing.assert_allclose(img16, img32, rtol=2e-3, atol=2e-3)
+
+
+def test_megakernel_matches_dense_streaming(cornell_scene):
+    """Cross-intersector radiometry: the megakernel (pallas) and the
+    XLA-loop integrator over the dense-MXU intersector share RNG streams
+    and estimator, so with identical seeds they trace the *same* paths up
+    to fp differences at decision boundaries — images must agree closely,
+    not just in distribution."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+    from ipu_ray_lib_tpu.scene.build import build_scene
+
+    imgs = {}
+    for intersector in ("pallas", "dense"):
+        arrays, params, _ = build_scene(
+            cornell_scene, image_width=48, image_height=32,
+            samples_per_pixel=8, intersector=intersector,
+        )
+        imgs[intersector], done = render_streaming(arrays, params, spp=8)
+        assert done == 48 * 32 * 8
+    a, b = imgs["pallas"], imgs["dense"]
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.02
+    # The overwhelming majority of pixels must agree to fp-noise level;
+    # a handful may diverge where a roulette/hit decision flipped:
+    d = np.abs(a - b).max(axis=-1)
+    assert float(np.quantile(d, 0.99)) < 2e-2, float(np.quantile(d, 0.99))
