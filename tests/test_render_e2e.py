@@ -197,3 +197,22 @@ def test_megakernel_matches_dense_streaming(cornell_scene):
     # a handful may diverge where a roulette/hit decision flipped:
     d = np.abs(a - b).max(axis=-1)
     assert float(np.quantile(d, 0.99)) < 2e-2, float(np.quantile(d, 0.99))
+
+
+def test_shadow_pallas_matches_oracle(cornell_scene, oracle_out):
+    """The pallas-kernel shadow path (payload albedo/normals through the
+    one-hot selection) must match the f64 oracle AOVs too — the original
+    oracle tests only exercised the dense intersector, which let the
+    payload-leakage bug (PROGRESS.md finding 30) hide."""
+    arrays, params, _ = build_scene(
+        cornell_scene, image_width=SIZE, image_height=SIZE,
+        intersector="pallas",
+    )
+    out = render(arrays, params, mode="shadow-trace", chunk_size=SIZE * SIZE)
+    ours = out.geom_id >= 0
+    ref = oracle_out["geom"] >= 0
+    assert (ours == ref).mean() > 0.995
+    both = ours & ref
+    assert mse(out.rgb[both], oracle_out["rgb"][both]) < 2e-3
+    dots = np.abs(np.sum(out.normal * oracle_out["normal"], axis=-1))[both]
+    assert np.quantile(dots, 0.01) > 0.999
