@@ -39,6 +39,12 @@ Table layouts (f32 unless noted):
                        (~0.4% rel), which is within normal texture
                        quantisation for shading inputs. Never put ray
                        geometry through these dots.
+                       Selection contract: ONLY rows 0-2 (the normal
+                       basis) may be dotted with the barycentric-weighted
+                       w2/w3 one-hots; rows 3-7 must use the plain w1
+                       one-hot — b1/b2-weighted leakage of seg1's
+                       material rows into albedo/id was a real radiometry
+                       bug (PROGRESS.md finding 30).
   baabb [nb, 8]        block AABB lo.xyz, hi.xyz (pad 2)
   saabb [ns, 8]        super AABB
   tri_geom/tri_prim [nb*TB] i32 (Morton order), padding -> -1
