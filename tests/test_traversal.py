@@ -93,3 +93,55 @@ def test_occlusion_matches_oracle(cornell_scene, cornell_built):
     occ_ref = oracle_occluded(cornell_scene, sorig[found], sdir[found], (dist - 0.02)[found])
     agree = occ[found] == occ_ref
     assert agree.mean() > 0.995
+
+
+def test_pallas_interpolated_normals_match_dense():
+    """Vertex-normal interpolation through the one-hot w2/w3 dots (the
+    rows-0-2-only contract, PROGRESS.md finding 30) must reproduce the
+    dense path's barycentric interpolation."""
+    import numpy as np
+
+    from ipu_ray_lib_tpu.ops.traversal import (
+        pallas_path_intersect,
+        scene_intersect_with_normal,
+    )
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.types import HostMesh, Material, SceneDescription
+
+    # A 2-triangle quad at z=-5 with deliberately tilted vertex normals so
+    # interpolation differs measurably from the geometric normal:
+    verts = np.array([[-1, -1, -5], [1, -1, -5], [1, 1, -5], [-1, 1, -5]],
+                     np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+    normals = np.array([[0.6, 0, 0.8], [-0.6, 0, 0.8],
+                        [0, 0.6, 0.8], [0, -0.6, 0.8]], np.float32)
+    scene = SceneDescription()
+    scene.meshes.append(HostMesh(triangles=tris, vertices=verts,
+                                 normals=normals))
+    scene.materials = [Material(np.array([0.7, 0.7, 0.7], np.float32))]
+    scene.mat_ids = [0]
+    scene.validate()
+    arrays, params, _ = build_scene(scene, image_width=8, image_height=8,
+                                    samples_per_pixel=1, intersector="pallas")
+
+    rng = np.random.default_rng(5)
+    R = 256
+    targets = np.stack([rng.uniform(-0.9, 0.9, R), rng.uniform(-0.9, 0.9, R),
+                        np.full(R, -5.0)], axis=-1).astype(np.float32)
+    o = np.zeros((R, 3), np.float32)
+    d = targets / np.linalg.norm(targets, axis=-1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    tmin = jnp.zeros(R)
+    tmax = jnp.full(R, jnp.inf)
+
+    res = pallas_path_intersect(arrays, o_j, d_j, tmin, tmax)
+    hit, hn = scene_intersect_with_normal(arrays, o_j, d_j, tmin, tmax,
+                                          "dense")
+    m = np.asarray(res["found"]) & np.asarray(hit.found)
+    assert m.sum() > 200
+    n_p = np.asarray(res["normal"])[m]
+    n_d = np.asarray(hn)[m]
+    # Interpolated normals really vary across the quad:
+    assert n_p.std(axis=0).max() > 0.05
+    dots = np.sum(n_p * n_d, axis=-1)
+    assert dots.min() > 0.9999, float(dots.min())
