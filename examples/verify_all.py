@@ -105,6 +105,24 @@ def main():
         print(f"## Path histogram ({name}): L1 distance {dist:.4f} "
               f"(different seeds; small = distributions match)")
 
+    # ---- 2b. Cross-intersector radiometry --------------------------------
+    # Same RNG streams + same estimator through two INDEPENDENT
+    # intersection implementations (megakernel payload path vs dense-MXU
+    # tables): images must agree per pixel, not just in distribution.
+    # This is the check that caught the payload-leakage radiometry bug
+    # (PROGRESS.md finding 30):
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    imgs = {}
+    for its in ("pallas", "dense"):
+        ai, pi, _ = build_scene(scene, image_width=size, image_height=size,
+                                samples_per_pixel=spp, intersector=its)
+        imgs[its], _done = render_streaming(ai, pi, spp=spp)
+    dmax = np.abs(imgs["pallas"] - imgs["dense"]).max(axis=-1)
+    print(f"## Cross-intersector (pallas vs dense): mean "
+          f"{imgs['pallas'].mean():.5f} vs {imgs['dense'].mean():.5f}, "
+          f"q99 pixel diff {np.quantile(dmax, 0.99):.2e}")
+
     # ---- 3. Collada import + render smoke --------------------------------
     if os.path.exists("assets/hdri_test.dae"):
         from ipu_ray_lib_tpu.scene.collada import import_collada_scene
