@@ -239,7 +239,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
-                 use_cull=True, sub=1, reflag=0, env_cfg=None, hbm=False,
+                 use_cull=True, sub=1, reflag=0, env_cfg=None, env_every=1,
+                 hbm=False,
                  _timing_no_dots=False):
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -293,6 +294,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     ki_ref[2:3, :] = (k_cap > 0).astype(i32)     # active
     ki_ref[3:4, :] = jnp.zeros((1, br), i32)     # done count
     ki_ref[4:5, :] = jnp.zeros((1, br), i32)     # blocks-walked counter
+    ki_ref[5:6, :] = jnp.zeros((1, br), i32)     # pending-env (deferred flush)
 
     def body(carry):
         it, _ = carry
@@ -713,18 +715,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         killed = live & use_roulette & stop_r
 
         escaped = active & ~found
+        bounce = bounce + 1
+        over = live & (bounce >= max_path_length)
 
         # ---- environment light (NIF MLP on the MXU, in-kernel) ------------
         # Escaped lanes add throughput * env(direction). The whole Fourier-
         # feature MLP runs in bf16 with f32 accumulation on [P, br] slabs —
         # the in-kernel twin of nif/model.py NifModel.apply (ref:
-        # TraceCodelets.cpp:321-382 pre/post-process + IpuScene.cpp:506-537):
+        # TraceCodelets.cpp:321-382 pre/post-process + IpuScene.cpp:506-537).
+        # With env_every > 1, escaped lanes PARK in a pending state and the
+        # MLP flushes them in batches — its [P, br] cost is per-call, not
+        # per-lane, so deferring amortises it env_every-fold on interior
+        # scenes where escapes trickle:
         if env_cfg is not None:
             P_, E_, layers_, log_tm = env_cfg
             env_ref[:] = jnp.zeros((8, br), f32)
-            any_esc = jnp.max(escaped.astype(i32))
 
-            @pl.when(any_esc > 0)
             def _env():
                 bf16 = jnp.bfloat16
                 rot = econ_ref[0:1, 0:1]
@@ -777,15 +783,31 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 env_ref[1:2, :] = bgr[1]
                 env_ref[2:3, :] = bgr[0]
 
+            if env_every == 1:
+                pl.when(jnp.max(escaped.astype(i32)) > 0)(_env)
+                env_mask = escaped
+                terminated = escaped | killed | over
+            else:
+                pending = (ki_ref[5:6, :] != 0) | escaped
+                survivors = live & ~killed & ~over
+                flush = (
+                    (jax.lax.rem(it, i32(env_every)) == i32(env_every - 1))
+                    | (jnp.sum(survivors.astype(i32)) == 0)
+                )
+                pl.when(flush & (jnp.max(pending.astype(i32)) > 0))(_env)
+                env_mask = pending & flush
+                terminated = killed | over | env_mask
+                pending_hold = pending & ~env_mask
+                ki_ref[5:6, :] = pending_hold.astype(i32)
+                # Parked lanes leave the tracing pool until their flush:
+                active = active & ~escaped
             color = _add3(color, _where3(
-                escaped,
+                env_mask,
                 (tp[0] * env_ref[0:1, :], tp[1] * env_ref[1:2, :],
                  tp[2] * env_ref[2:3, :]),
                 (jnp.zeros_like(tp[0]),) * 3))
-
-        bounce = bounce + 1
-        over = live & (bounce >= max_path_length)
-        terminated = escaped | killed | over
+        else:
+            terminated = escaped | killed | over
 
         # ---- bank finished paths into the accumulator ---------------------
         j_cur = k // spp
@@ -802,6 +824,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 
         # ---- regenerate idle slots ----------------------------------------
         can_spawn = ~active & (k < k_cap)
+        if env_cfg is not None and env_every > 1:
+            can_spawn = can_spawn & ~pending_hold
         co, cd = camera_ray(k)
         o = _where3(can_spawn, co, o)
         d = _where3(can_spawn, cd, d)
@@ -816,7 +840,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         ki_ref[1:2, :] = bounce
         ki_ref[2:3, :] = active.astype(i32)
 
-        return it + 1, jnp.sum(active.astype(i32))
+        alive = active
+        if env_cfg is not None and env_every > 1:
+            alive = alive | pending_hold
+        return it + 1, jnp.sum(alive.astype(i32))
 
     def cond(carry):
         it, n_active = carry
@@ -938,7 +965,8 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "reflag",
-                     "env_cfg", "hbm", "return_stats", "_timing_no_dots"),
+                     "env_cfg", "env_every", "hbm", "return_stats",
+                     "_timing_no_dots"),
 )
 def megakernel_path_trace(
     scene,
@@ -959,6 +987,7 @@ def megakernel_path_trace(
     reflag: int = 3,
     env_cfg=None,
     env_weights=None,
+    env_every: int = 1,
     hbm: bool = False,
     return_stats: bool = False,
     _timing_no_dots: bool = False,
@@ -1056,6 +1085,9 @@ def megakernel_path_trace(
             pltpu.VMEM((SB, 1), jnp.int32),      # in-super block flags
         ],
     )
+    if env_cfg is not None and env_every > 1:
+        # Parked lanes wait up to env_every-1 iterations per escape:
+        max_iters = max_iters + K * env_every + env_every
     kern = functools.partial(
         _mega_kernel, br=br, nb=nb_kern, n_ap=n_ap,
         R=R, J=J, spp=spp, K=K,
@@ -1067,7 +1099,8 @@ def megakernel_path_trace(
         inv_h=1.0 / params.image_height,
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
-        use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg, hbm=hbm,
+        use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg,
+        env_every=env_every if env_cfg is not None else 1, hbm=hbm,
         _timing_no_dots=_timing_no_dots,
     )
     if env_cfg is not None:

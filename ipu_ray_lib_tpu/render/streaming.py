@@ -372,10 +372,17 @@ def render_streaming(
     )
 
     env_cfg = env_weights = None
+    env_every = 1
     if use_mega and env_fn is not None:
         from ..ops.pallas.megakernel import pack_env_mlp
 
         env_cfg, env_weights = pack_env_mlp(env_fn.nif_config, env_params)
+        # Interior (triangle-heavy) scenes trickle escapes, so deferring
+        # the fixed-cost [P, br] MLP flush amortises it; sky-dominated
+        # primitive scenes escape every iteration and prefer immediate
+        # flushes (no parked-lane idling):
+        default_every = 4 if scene.blocked.p.shape[0] > 1024 else 1
+        env_every = int(os.environ.get("RAY_ENV_EVERY", default_every))
 
     def run_batch(batch_seed, spp_b):
         """One bounded-spp render; returns (flat [R*J, 3] spp-averaged
@@ -390,6 +397,7 @@ def render_streaming(
                 params=params, slots=R, j_per_slot=J, spp=spp_b,
                 max_iters=max_iters, br=_pick_br(R, J),
                 env_cfg=env_cfg, env_weights=env_weights,
+                env_every=env_every,
                 hbm=params.intersector == "pallas-hbm",
                 interpret=jax.default_backend() != "tpu",
             )

@@ -53,3 +53,39 @@ def test_walk_variants_bitwise_identical(mega_scene, kw):
     img, done = _render(arrays, params, **kw)
     assert done == 48 * 32
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
+
+
+def test_deferred_env_flush_identical(tmp_path):
+    """env_every > 1 parks escaped lanes and batch-flushes the fused env
+    MLP — pure scheduling, identical estimator: images must match the
+    immediate-flush mode exactly."""
+    import os
+
+    import numpy as np
+
+    from ipu_ray_lib_tpu.nif.model import load_nif_env
+    from ipu_ray_lib_tpu.nif.train import save_nif_assets, train_nif
+    from ipu_ray_lib_tpu.render import streaming as S
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
+
+    img = np.full((8, 16, 3), 0.5, np.float32)
+    model, meta = train_nif(img, embedding_dimension=2, layer_count=2,
+                            layer_size=8, steps=150, batch_size=128, seed=2)
+    out_dir = str(tmp_path / "env")
+    save_nif_assets(model, meta, out_dir)
+    env_fn, env_params = load_nif_env(out_dir)
+
+    scene = make_cornell_box_scene(None, box_only=False)
+    arrays, params, _ = build_scene(scene, image_width=48, image_height=32,
+                                    samples_per_pixel=2, intersector="pallas")
+    imgs = {}
+    for ek in ("1", "5"):
+        os.environ["RAY_ENV_EVERY"] = ek
+        try:
+            imgs[ek], done = S.render_streaming(
+                arrays, params, env_fn=env_fn, env_params=env_params, spp=2)
+        finally:
+            del os.environ["RAY_ENV_EVERY"]
+        assert done == 48 * 32 * 2
+    np.testing.assert_array_equal(imgs["1"], imgs["5"])
