@@ -36,8 +36,11 @@ Intersection walk (per iteration):
 
 Environment light (``env_cfg``): the NIF Fourier-feature MLP runs
 in-kernel as bf16 [P, BR] MXU slabs with exact f32 biases added after
-each matmul and atan2/arccos as f32 polynomials, gated by a
-per-iteration any-escaped test (finding 26; pack_env_mlp below).
+each matmul and atan2/arccos as f32 polynomials (finding 26;
+pack_env_mlp below). With ``env_every > 1`` escaped lanes park in a
+pending state and the MLP flushes them in batches — its [P, BR] cost is
+per-call, so deferring amortises it on interior scenes (bitwise-
+identical scheduling change, tested).
 
 Layouts: lane-major everywhere — rays ride the 128-wide lane dimension,
 state components are sublane rows ([rows, BR]); see PROGRESS.md finding 10

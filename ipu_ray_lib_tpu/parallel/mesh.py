@@ -162,6 +162,9 @@ def render_streaming_sharded(
         if env_fn is not None:
             env_cfg, env_weights = pack_env_mlp(
                 env_fn.nif_config, env_params)
+            env_every = 4 if scene.blocked.p.shape[0] > 1024 else 1
+        else:
+            env_every = 1
 
     def per_shard(scene_rep, rows_s, cols_s, env_p):
         dev = jax.lax.axis_index(RAY_AXIS)
@@ -181,6 +184,7 @@ def render_streaming_sharded(
                 params=params, slots=R_local, j_per_slot=J, spp=spp,
                 max_iters=max_iters, br=_pick_br(R_local, J),
                 env_cfg=env_cfg, env_weights=env_weights,
+                env_every=env_every if env_cfg is not None else 1,
                 hbm=params.intersector == "pallas-hbm",
                 interpret=jax.default_backend() != "tpu",
             )
