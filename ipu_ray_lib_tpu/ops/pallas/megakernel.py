@@ -338,7 +338,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 th = jnp.maximum(t0, t1) * _SLAB_SCALE
                 tin = jnp.maximum(tin, tl)
                 tout = jnp.minimum(tout, th)
-            bhit = tin <= tout
+            # Fully-empty padding blocks carry inverted AABBs (lo=+inf,
+            # hi=-inf) whose slab interval degenerates to (-inf, +inf)
+            # under this formulation — mask them out by the finite-lo
+            # test so they never flag (they cannot produce hits, only
+            # wasted walks):
+            bhit = (tin <= tout) & (baabb_ref[:, 0:1] < _BIG)
             anyv = jnp.max(bhit.astype(i32), axis=1, keepdims=True)
             cull_ref[:] = anyv
             if reflag > 0:
@@ -500,7 +505,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     tin_s = jnp.maximum(tin_s, jnp.minimum(t0_, t1_))
                     tout_s = jnp.minimum(
                         tout_s, jnp.maximum(t0_, t1_) * _SLAB_SCALE)
-                needed = (tin_s <= tout_s) & (tin_s * _SLAB_LO < bt_ref[:])
+                # Same inverted-pad-box mask as the VMEM cull: member
+                # blocks past the last real triangle must never flag:
+                needed = ((tin_s <= tout_s)
+                          & (tin_s * _SLAB_LO < bt_ref[:])
+                          & (blo[0] < _BIG))
                 bflag_ref[:] = jnp.max(needed.astype(i32), axis=1,
                                        keepdims=True)
 
@@ -884,6 +893,13 @@ def pack_env_mlp(config, env_params):
     compute contract as the XLA path (NifModel.apply) and the reference's
     fp16 partials (ref src/IpuScene.cpp:255-262)."""
     E = config.embedding_dimension
+    # The kernel reconstructs the 2^e Fourier coefficients as
+    # round(exp(ln2 * iota)) — exact only while f32 exp error stays under
+    # 0.5 absolute, which holds to ~2^20 (the reference's NIFs use E=12):
+    if E > 20:
+        raise ValueError(
+            f"in-kernel env MLP supports embedding_dimension <= 20 "
+            f"(f32 exp reconstruction of 2^e); got {E}")
     e4 = 4 * E
     kernels = env_params["kernels"]
     biases = env_params["biases"]
@@ -1029,6 +1045,16 @@ def megakernel_path_trace(
         sub = sub if cull_on else 1
         assert sub in (1, 2, 4), sub
         nb_kern = tables.num_blocks
+        if cull_on and reflag > 0 and nb_kern * sub * br * 4 > (4 << 20):
+            # The reflag entry-bound scratch is [nb*sub, br] f32; near the
+            # 64k-tri VMEM ceiling with sub > 1 it can reach 8 MB on top
+            # of the resident tables and fail to compile. Degrade the same
+            # way the hbm branch does (cap 4 MB): drop sub-block
+            # granularity first, then reflag itself:
+            if nb_kern * br * 4 <= (4 << 20):
+                sub = 1
+            else:
+                reflag = 0
         p_in, nrm_in = tables.p, tables.nrm
         if sub == 1:
             baabb = tables.baabb

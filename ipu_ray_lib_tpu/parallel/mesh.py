@@ -160,9 +160,11 @@ def render_streaming_sharded(
         from ..ops.pallas.megakernel import megakernel_path_trace, pack_env_mlp
 
         if env_fn is not None:
+            from ..render.streaming import env_flush_cadence
+
             env_cfg, env_weights = pack_env_mlp(
                 env_fn.nif_config, env_params)
-            env_every = 4 if scene.blocked.p.shape[0] > 1024 else 1
+            env_every = env_flush_cadence(scene)
         else:
             env_every = 1
 

@@ -324,6 +324,22 @@ def _pick_br(R: int, J: int) -> int:
     raise ValueError(f"slot pool {R} not a multiple of 256")
 
 
+def env_flush_cadence(scene) -> int:
+    """Deferred env-flush cadence for the fused NIF MLP (megakernel
+    ``env_every``). Interior (triangle-heavy) scenes trickle escapes, so
+    deferring the fixed-cost [P, br] MLP flush amortises it; sky-dominated
+    primitive scenes escape every iteration and prefer immediate flushes.
+    ``RAY_ENV_EVERY`` overrides; garbage or non-positive values fall back
+    to the heuristic (the kernel's deferred branch divides by the cadence,
+    so values < 1 must never reach it)."""
+    default = 4 if scene.blocked.p.shape[0] > 1024 else 1
+    try:
+        v = int(os.environ.get("RAY_ENV_EVERY", default))
+    except (TypeError, ValueError):
+        return default
+    return max(1, v) if v > 0 else default
+
+
 def _use_megakernel(params, env_fn) -> bool:
     """The in-kernel bounce loop covers the pallas intersector; NIF
     environment lights are fused into the kernel as an MXU MLP when the
@@ -342,8 +358,13 @@ def render_streaming(
     spp: int | None = None,
     tile: int = 32,
     seed: int | None = None,
+    stats_out: dict | None = None,
 ):
     """Full-window streaming render; returns (rgb [H, W, 3] numpy, done).
+
+    ``stats_out``: pass a dict to collect kernel walk telemetry (megakernel
+    paths only): total bundle-iterations and blocks walked, summed over all
+    spp batches — the falsifiable counters behind any throughput claim.
 
     Dispatches to the Pallas megakernel (ops/pallas/megakernel.py — the
     whole bounce loop in one kernel, with NIF env lights fused in and an
@@ -377,12 +398,7 @@ def render_streaming(
         from ..ops.pallas.megakernel import pack_env_mlp
 
         env_cfg, env_weights = pack_env_mlp(env_fn.nif_config, env_params)
-        # Interior (triangle-heavy) scenes trickle escapes, so deferring
-        # the fixed-cost [P, br] MLP flush amortises it; sky-dominated
-        # primitive scenes escape every iteration and prefer immediate
-        # flushes (no parked-lane idling):
-        default_every = 4 if scene.blocked.p.shape[0] > 1024 else 1
-        env_every = int(os.environ.get("RAY_ENV_EVERY", default_every))
+        env_every = env_flush_cadence(scene)
 
     def run_batch(batch_seed, spp_b):
         """One bounded-spp render; returns (flat [R*J, 3] spp-averaged
@@ -391,7 +407,7 @@ def render_streaming(
         if use_mega:
             from ..ops.pallas.megakernel import megakernel_path_trace
 
-            return megakernel_path_trace(
+            out = megakernel_path_trace(
                 scene, rows_d, cols_d,
                 jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),
                 params=params, slots=R, j_per_slot=J, spp=spp_b,
@@ -399,8 +415,17 @@ def render_streaming(
                 env_cfg=env_cfg, env_weights=env_weights,
                 env_every=env_every,
                 hbm=params.intersector == "pallas-hbm",
+                return_stats=stats_out is not None,
                 interpret=jax.default_backend() != "tpu",
             )
+            if stats_out is not None:
+                flat_d, done, iters, blocks = out
+                stats_out["iters"] = stats_out.get("iters", 0) + int(iters)
+                stats_out["blocks_walked"] = (
+                    stats_out.get("blocks_walked", 0) + int(blocks))
+                stats_out["br"] = _pick_br(R, J)
+                return flat_d, done
+            return out
         accum, done, _iters = streaming_path_trace(
             scene, rows_d, cols_d,
             jnp.uint32(batch_seed & 0xFFFFFFFF), env_params,

@@ -89,3 +89,17 @@ def test_deferred_env_flush_identical(tmp_path):
             del os.environ["RAY_ENV_EVERY"]
         assert done == 48 * 32 * 2
     np.testing.assert_array_equal(imgs["1"], imgs["5"])
+
+
+def test_env_flush_cadence_robust(mega_scene, monkeypatch):
+    """RAY_ENV_EVERY parsing must clamp to >= 1 and survive garbage —
+    a 0/negative cadence would reach the kernel's rem(it, cadence)."""
+    from ipu_ray_lib_tpu.render.streaming import env_flush_cadence
+
+    arrays, _, _ = mega_scene
+    default = env_flush_cadence(arrays)
+    for bad in ("", "zero", "0", "-3"):
+        monkeypatch.setenv("RAY_ENV_EVERY", bad)
+        assert env_flush_cadence(arrays) == default, bad
+    monkeypatch.setenv("RAY_ENV_EVERY", "7")
+    assert env_flush_cadence(arrays) == 7
