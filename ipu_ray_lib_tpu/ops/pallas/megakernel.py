@@ -244,7 +244,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, reflag=0, env_cfg=None, env_every=1,
                  hbm=False,
-                 _timing_no_dots=False):
+                 _timing_no_dots=False, _count_oracle=False):
     i = pl.program_id(0)
     f32 = jnp.float32
     i32 = jnp.int32
@@ -298,6 +298,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     ki_ref[3:4, :] = jnp.zeros((1, br), i32)     # done count
     ki_ref[4:5, :] = jnp.zeros((1, br), i32)     # blocks-walked counter
     ki_ref[5:6, :] = jnp.zeros((1, br), i32)     # pending-env (deferred flush)
+    ki_ref[6:7, :] = jnp.zeros((1, br), i32)     # oracle-need counter (diag)
 
     def body(carry):
         it, _ = carry
@@ -674,6 +675,17 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             n_ap_v = _where3(kind_sel > 1.5, n_dsc, n_sph)
             normal = _where3(ap_better, n_ap_v, normal)
 
+        if _count_oracle and reflag > 0 and not hbm:
+            # Diagnostic: the "true-need union" — blocks a perfect cull
+            # (converged best_t known up front) would still have to walk.
+            # tin_ref rows hold tin * _SLAB_LO where the slab hit, INF
+            # elsewhere, so one compare against the final best_t gives the
+            # unavoidable per-bundle block count:
+            need = jnp.max((tin_ref[:] < best_t).astype(i32), axis=1,
+                           keepdims=True)
+            ki_ref[6:7, 0:1] = ki_ref[6:7, 0:1] + jnp.sum(
+                need, axis=0, keepdims=True)
+
         found = (best_t < _BIG) & (best_t > 0.0)
         live = active & found
 
@@ -865,9 +877,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         cond, body, (jnp.int32(0), jnp.sum((k_cap > 0).astype(i32)))
     )
     done_ref[0:1, :] = ki_ref[3:4, :]
-    # Stats row: lane 0 = iterations, lane 1 = blocks walked (use_cull):
+    # Stats row: lane 0 = iterations, lane 1 = blocks walked (use_cull),
+    # lane 2 = oracle true-need blocks (when _count_oracle):
     stats = jnp.where(lane == 0, it_end, 0)
     stats = jnp.where(lane == 1, ki_ref[4:5, 0:1], stats)
+    stats = jnp.where(lane == 2, ki_ref[6:7, 0:1], stats)
     done_ref[1:2, :] = stats
 
 
@@ -985,7 +999,7 @@ def _analytic_tables(scene):
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "reflag",
                      "env_cfg", "env_every", "hbm", "return_stats",
-                     "_timing_no_dots"),
+                     "_timing_no_dots", "_count_oracle"),
 )
 def megakernel_path_trace(
     scene,
@@ -1010,6 +1024,7 @@ def megakernel_path_trace(
     hbm: bool = False,
     return_stats: bool = False,
     _timing_no_dots: bool = False,
+    _count_oracle: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
     spp-averaged radiance of padded-stream pixel p at rgb[p] — everything
@@ -1130,7 +1145,7 @@ def megakernel_path_trace(
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1, hbm=hbm,
-        _timing_no_dots=_timing_no_dots,
+        _timing_no_dots=_timing_no_dots, _count_oracle=_count_oracle,
     )
     if env_cfg is not None:
         wmlp, ebias, econst = env_weights
@@ -1155,7 +1170,11 @@ def megakernel_path_trace(
     flat = flat * np.float32(1.0 / spp)
     n_done = jnp.sum(done[0]).astype(jnp.uint32)
     if return_stats:
-        # Per grid step: lane 0 = iterations, lane 1 = blocks walked.
+        # Per grid step: lane 0 = iterations, lane 1 = blocks walked,
+        # lane 2 = oracle true-need blocks (when _count_oracle).
         steps = done[1].reshape(nrb, br)
+        if _count_oracle:
+            return (flat, n_done, jnp.sum(steps[:, 0]),
+                    jnp.sum(steps[:, 1]), jnp.sum(steps[:, 2]))
         return flat, n_done, jnp.sum(steps[:, 0]), jnp.sum(steps[:, 1])
     return flat, n_done
