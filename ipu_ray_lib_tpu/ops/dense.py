@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import MACHINE_EPSILON
+from ..utils.constants import MACHINE_EPSILON, WATERTIGHT_EPS_SCALE
 
 TRI_BLOCK = 512
 
@@ -51,6 +51,9 @@ class DenseTables(NamedTuple):
     g2p0: jnp.ndarray   # [T]
     tri_geom: jnp.ndarray  # [T] i32 geomID owning the triangle
     tri_prim: jnp.ndarray  # [T] i32 primID within that geometry
+    # Watertight acceptance-bound terms (constants.WATERTIGHT_EPS_SCALE):
+    tS: jnp.ndarray     # [T]   |g1p0| + |g2p0|
+    tG: jnp.ndarray     # [T]   ||g1||_1 + ||g2||_1
 
 
 def build_dense_tables(tri_v: np.ndarray, verts: np.ndarray,
@@ -96,6 +99,10 @@ def build_dense_tables(tri_v: np.ndarray, verts: np.ndarray,
         g2p0=jnp.asarray(pad0(np.sum(g2 * p0, axis=-1))),
         tri_geom=jnp.asarray(padi(np.asarray(tri_geom))),
         tri_prim=jnp.asarray(padi(np.asarray(tri_prim))),
+        tS=jnp.asarray(pad0(np.abs(np.sum(g1 * p0, axis=-1))
+                            + np.abs(np.sum(g2 * p0, axis=-1)))),
+        tG=jnp.asarray(pad0(np.abs(g1).sum(axis=-1)
+                            + np.abs(g2).sum(axis=-1))),
     )
 
 
@@ -126,11 +133,20 @@ def _tri_block_best(dt: DenseTables, blk: int, origins, dirs, t_min, best):
     b1 = og1 + t * dg1 - g1p0[None, :]
     b2 = og2 + t * dg2 - g2p0[None, :]
 
+    # Watertight widened acceptance (utils/constants.py
+    # WATERTIGHT_EPS_SCALE; ref src/Mesh.cpp:8-104 contract):
+    tS = jax.lax.dynamic_slice_in_dim(dt.tS, blk * TRI_BLOCK, TRI_BLOCK, 0)
+    tG = jax.lax.dynamic_slice_in_dim(dt.tG, blk * TRI_BLOCK, TRI_BLOCK, 0)
+    o_mag = jnp.max(jnp.abs(origins), axis=-1, keepdims=True)   # [R, 1]
+    et = (jnp.abs(tnp0[None, :]) + jnp.abs(on)) / jnp.abs(
+        jnp.where(dn == 0.0, 1.0, dn))
+    eps = WATERTIGHT_EPS_SCALE * (tS[None, :]
+                                  + tG[None, :] * (o_mag + et))
     ok = (
         (dn != 0.0)
-        & (b1 >= 0.0)
-        & (b2 >= 0.0)
-        & (b1 + b2 <= 1.0)
+        & (b1 >= -eps)
+        & (b2 >= -eps)
+        & (b1 + b2 <= 1.0 + eps)
         & (t > t_min[:, None])
         & (t < best_t[:, None])
     )

@@ -126,7 +126,30 @@ def intersect_triangle_watertight(
     e1 = p2x * p0y - p2y * p0x
     e2 = p0x * p1y - p0y * p1x
 
-    mixed_sign = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0))
+    # Conservative sign classification: an edge function within its own
+    # rounding bound of zero counts as zero. Strict signs alone (PBRT
+    # f32 without the double fallback) measurably leak rays that pass
+    # within ~ulps of a VERTEX: the ring's near-zero edge functions
+    # round independently, so every incident triangle can see a wrong
+    # strict sign (tests/test_watertight.py caught 120/1684 such rays).
+    # The reference resolves exact zeros in double behind
+    # ALLOW_DOUBLE_FALLBACK (ref src/Mesh.cpp:38-51, README.md:109-120);
+    # with no f64 on TPU, widening by the delta_e bound is the
+    # conservative f32 analogue — near-boundary rays accept in at least
+    # one (possibly several, benign for closest-hit) incident triangle:
+    max_xt0 = jnp.maximum(jnp.maximum(jnp.abs(p0x), jnp.abs(p1x)),
+                          jnp.abs(p2x))
+    max_yt0 = jnp.maximum(jnp.maximum(jnp.abs(p0y), jnp.abs(p1y)),
+                          jnp.abs(p2y))
+    max_zt0 = jnp.maximum(jnp.maximum(jnp.abs(p0t[..., 2]),
+                                      jnp.abs(p1t[..., 2])),
+                          jnp.abs(p2t[..., 2]))
+    dx0 = _GAMMA5 * (max_xt0 + max_zt0)
+    dy0 = _GAMMA5 * (max_yt0 + max_zt0)
+    de = 2.0 * (_GAMMA2 * max_xt0 * max_yt0
+                + dy0 * max_xt0 + dx0 * max_yt0)
+    mixed_sign = (((e0 < -de) | (e1 < -de) | (e2 < -de))
+                  & ((e0 > de) | (e1 > de) | (e2 > de)))
     det = e0 + e1 + e2
 
     p0z = p0t[..., 2] * sz

@@ -36,8 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.constants import WATERTIGHT_EPS_SCALE
 from .intersect_kernel import super_cull_lists_bundle
 from .tables import SB, TB, BlockedSceneTables
+
+_WT = WATERTIGHT_EPS_SCALE
 
 BR = 1024
 RB_PER_CALL = 32       # ray blocks per pallas_call (bounds SMEM lists)
@@ -64,9 +67,11 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
 
     def dmas(slot, j):
         sup = list_ref[i, j]
+        # p8 layout: one super = a dense [TB, SB*16] slab (block b at
+        # columns [b*16, (b+1)*16) — tables.py p8 contract):
         return (
             pltpu.make_async_copy(
-                p_hbm.at[pl.ds(sup * SB * TB, SB * TB), :], p_buf.at[slot],
+                p_hbm.at[pl.ds(sup * TB, TB), :], p_buf.at[slot],
                 sems.at[slot, 0]),
             pltpu.make_async_copy(
                 nrm_hbm.at[:, pl.ds(sup * SB * 3 * TB, SB * 3 * TB)],
@@ -92,7 +97,7 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
         sup = list_ref[i, j]
         for b in range(SB):                                # static unroll
             best_t = bt_ref[:]
-            pb = p_buf[slot, b * TB:(b + 1) * TB, :]       # [TB, 16]
+            pb = p_buf[slot, :, b * 16:(b + 1) * 16]       # [TB, 16]
             tnp0 = pb[:, 0:1]
             g1p0 = pb[:, 1:2]
             g2p0 = pb[:, 2:3]
@@ -113,7 +118,14 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
             t = (tnp0 - on) * r
             b1 = og1 + t * dg1 - g1p0
             b2 = og2 + t * dg2 - g2p0
-            ok = ((jnp.minimum(b1, b2) >= 0.0) & (b1 + b2 <= 1.0)
+            # Watertight widened acceptance (utils/constants.py
+            # WATERTIGHT_EPS_SCALE; ref src/Mesh.cpp:8-104 contract):
+            o_mag = jnp.maximum(jnp.maximum(jnp.abs(o_rows[0]),
+                                            jnp.abs(o_rows[1])),
+                                jnp.abs(o_rows[2]))
+            et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
+            eps = _WT * (pb[:, 12:13] + pb[:, 13:14] * (o_mag + et))
+            ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
                   & (t > t_min))
             tm = jnp.where(ok, t, _INF)
             bt = jnp.min(tm, axis=0, keepdims=True)
@@ -196,7 +208,7 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, SB * TB, 128), jnp.float32),    # p slabs (wide)
+            pltpu.VMEM((2, TB, SB * 16), jnp.float32),     # p slabs (packed)
             pltpu.VMEM((2, 8, SB * 3 * TB), jnp.float32),  # nrm slabs
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((1, br), jnp.float32),
@@ -216,7 +228,7 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, order, dists, rays, tables.p_wide, tables.nrm)
+    )(counts, order, dists, rays, tables.p8, tables.nrm)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "br"))

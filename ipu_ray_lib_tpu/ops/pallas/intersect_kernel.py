@@ -35,8 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.constants import gamma
+from ...utils.constants import WATERTIGHT_EPS_SCALE, gamma
 from .tables import TB, BlockedSceneTables
+
+_WT = WATERTIGHT_EPS_SCALE
 
 BR = 1024  # rays per block (lane-major)
 _SLAB_SCALE = np.float32(1.0 + 2.0 * gamma(3))
@@ -228,10 +230,18 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
         t = (tnp0 - on) * r
         b1 = og1 + t * dg1 - g1p0
         b2 = og2 + t * dg2 - g2p0
+        # Watertight widened acceptance (utils/constants.py
+        # WATERTIGHT_EPS_SCALE; ref src/Mesh.cpp:8-104 contract):
+        o_mag = jnp.maximum(jnp.maximum(jnp.abs(o_rows[0]),
+                                        jnp.abs(o_rows[1])),
+                            jnp.abs(o_rows[2]))
+        et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
+        eps = _WT * (pb[:, 12:13] + pb[:, 13:14] * (o_mag + et))
         # t < best_t is deliberately absent: the block winner is taken by
         # min-t and `better` re-checks before any update (megakernel.py):
         ok = (
-            (jnp.minimum(b1, b2) >= 0.0) & (b1 + b2 <= 1.0) & (t > t_min)
+            (jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
+            & (t > t_min)
         )
         tm = jnp.where(ok, t, _INF)
         bt = jnp.min(tm, axis=0, keepdims=True)            # [1, br]

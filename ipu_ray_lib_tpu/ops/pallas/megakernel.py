@@ -69,12 +69,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.constants import PI_BY_2, PI_BY_4, RAY_EPSILON
+from ...utils.constants import (PI_BY_2, PI_BY_4, RAY_EPSILON,
+                                WATERTIGHT_EPS_SCALE)
 from .tables import SB, TB, BlockedSceneTables
 
 BR = 1024          # ray slots per kernel block
 _INF = np.float32(np.inf)
 _BIG = np.float32(1e37)
+
+# VMEM scenes with more blocks than this walk two-level (super cull +
+# per-super member refinement) instead of flat per-block gates — the
+# flat walk pays a scalar flag read + pl.when gate per block per
+# iteration (tests monkeypatch this down to cover the path):
+TWO_LEVEL_MIN_BLOCKS = 128
 
 # ---------------------------------------------------------------------------
 # In-kernel counter RNG (int32 twin of ops/rng.py — same bit streams).
@@ -231,6 +238,7 @@ def _dielectric(d, n_in, ior, u1):
 # ---------------------------------------------------------------------------
 _SLAB_SCALE = np.float32(1.0 + 6e-7)  # conservative tmax widening (ops/intersect.py)
 _SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
+_WT = WATERTIGHT_EPS_SCALE
 
 
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
@@ -243,7 +251,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, reflag=0, env_cfg=None, env_every=1,
-                 hbm=False,
+                 hbm=False, two_level=False,
                  _timing_no_dots=False, _count_oracle=False):
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -304,6 +312,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         it, _ = carry
         o = (ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :])
         d = (ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :])
+        # Per-lane |o|_inf for the watertight acceptance bound (see
+        # utils/constants.py WATERTIGHT_EPS_SCALE):
+        o_mag = jnp.maximum(jnp.maximum(jnp.abs(o[0]), jnp.abs(o[1])),
+                            jnp.abs(o[2]))
         active = ki_ref[2:3, :] != 0
         k = ki_ref[0:1, :]
         bounce = ki_ref[1:2, :]
@@ -377,7 +389,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             t = (tnp0 - on) * r
             b1 = og1 + t * dg1 - g1p0
             b2 = og2 + t * dg2 - g2p0
-            ok = ((jnp.minimum(b1, b2) >= 0.0) & (b1 + b2 <= 1.0)
+            # Watertight acceptance: widen the barycentric band by the
+            # rigorous per-pair rounding bound so a true shared-edge
+            # point always passes in at least one incident triangle
+            # (constants.py WATERTIGHT_EPS_SCALE derivation; ref
+            # src/Mesh.cpp:8-104 contract):
+            et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
+            eps = _WT * (pb[:, 12:13] + pb[:, 13:14] * (o_mag + et))
+            ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
                   & (t > 0.0))
             tm = jnp.where(ok, t, _INF)
             bt = jnp.min(tm, axis=0, keepdims=True)
@@ -444,9 +463,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # 583-618) with the in-kernel bounce loop — unbounded scene
             # size at megakernel iteration cost:
             def dmas(slot, sup):
+                # p8 layout: one super = a dense [TB, SB*16] slab (block b
+                # at columns [b*16, (b+1)*16) — tables.py p8 contract):
                 return (
                     pltpu.make_async_copy(
-                        p_ref.at[pl.ds(sup * SB * TB, SB * TB), :],
+                        p_ref.at[pl.ds(sup * TB, TB), :],
                         p_buf.at[slot], sems.at[slot, 0]),
                     pltpu.make_async_copy(
                         nrm_ref.at[:, pl.ds(sup * SB * 3 * TB, SB * 3 * TB)],
@@ -523,7 +544,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 
             def _hbm_dense_block(slot, b):
                     best_t = bt_ref[:]
-                    pb = p_buf[slot, b * TB:(b + 1) * TB, 0:16]
+                    pb = p_buf[slot, :, b * 16:(b + 1) * 16]   # [TB, 16]
                     tnp0 = pb[:, 0:1]
                     g1p0 = pb[:, 1:2]
                     g2p0 = pb[:, 2:3]
@@ -544,8 +565,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     t = (tnp0 - on) * r
                     b1 = og1 + t * dg1 - g1p0
                     b2 = og2 + t * dg2 - g2p0
-                    ok = ((jnp.minimum(b1, b2) >= 0.0)
-                          & (b1 + b2 <= 1.0) & (t > 0.0))
+                    # Watertight widened acceptance (see do_block):
+                    et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
+                    eps = _WT * (pb[:, 12:13]
+                                 + pb[:, 13:14] * (o_mag + et))
+                    ok = ((jnp.minimum(b1, b2) >= -eps)
+                          & (b1 + b2 <= 1.0 + eps) & (t > 0.0))
                     tm = jnp.where(ok, t, _INF)
                     bt = jnp.min(tm, axis=0, keepdims=True)
                     tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
@@ -585,6 +610,56 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             _, n_sup = jax.lax.while_loop(
                 lambda c: c[0] < nbs, wbody, (cur0, i32(0)))
             ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + n_sup
+        elif use_cull and two_level:
+            # ---- two-level VMEM walk (VERDICT r2 #5): at hundreds of
+            # blocks, the flat walk pays a scalar flag-read + pl.when gate
+            # per block per iteration (~512 gates at the 64k-tri VMEM
+            # ceiling) plus a [nb, br] slab pass. Here the cull slab pass
+            # ran over SUPER AABBs (nbs == num_supers, baabb_ref == saabb);
+            # flagged supers refine their SB member blocks against the
+            # member AABBs *and the current best_t* in one vectorised
+            # [SB, br] pass — the HBM walk's in-super refinement (finding
+            # 29) without the DMA:
+            def super_body(s, _):
+                @pl.when(cull_ref[s, 0] > 0)
+                def _sup(s=s):
+                    blo = [bfine_ref[pl.ds(s * SB, SB), a:a + 1]
+                           for a in range(3)]
+                    bhi = [bfine_ref[pl.ds(s * SB, SB), a + 3:a + 4]
+                           for a in range(3)]
+                    tin_s = jnp.zeros((SB, br), f32)
+                    tout_s = jnp.where(active, _BIG, f32(-1.0))
+                    for a in range(3):
+                        t0_ = (blo[a] - o[a]) * inv[a]
+                        t1_ = (bhi[a] - o[a]) * inv[a]
+                        tin_s = jnp.maximum(tin_s, jnp.minimum(t0_, t1_))
+                        tout_s = jnp.minimum(
+                            tout_s, jnp.maximum(t0_, t1_) * _SLAB_SCALE)
+                    needed = ((tin_s <= tout_s)
+                              & (tin_s * _SLAB_LO < bt_ref[:])
+                              & (blo[0] < _BIG))
+                    bflag_ref[:] = jnp.max(needed.astype(i32), axis=1,
+                                           keepdims=True)
+                    ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                        bflag_ref[:], axis=0, keepdims=True)
+                    for b in range(SB):                    # static unroll
+                        @pl.when(bflag_ref[b, 0] > 0)
+                        def _dense(b=b):
+                            do_block(s * SB + b)
+                return 0
+
+            # Mid-walk refreshes of the SUPER flags against the
+            # converging best_t (same segment scheme as the flat walk):
+            segs = reflag + 1
+            bounds = sorted({min(nbs, ((sg * nbs // segs + 7) // 8) * 8)
+                             for sg in range(1, segs)} | {0, nbs})
+            for sg in range(len(bounds) - 1):
+                b0, b1_ = bounds[sg], bounds[sg + 1]
+                if sg > 0:
+                    rem = tin_ref[b0:nbs, :] < bt_ref[:]
+                    cull_ref[b0:nbs, :] = jnp.max(
+                        rem.astype(i32), axis=1, keepdims=True)
+                jax.lax.fori_loop(b0, b1_, super_body, 0)
         elif use_cull:
             def walk_body(blk, _):
                 pl.when(cull_ref[blk, 0] > 0)(
@@ -1050,17 +1125,25 @@ def megakernel_path_trace(
         # the walk streams flagged supers' slabs (see kernel). Periodic
         # flag refreshes need a [ns, br] entry-bound scratch — enable
         # while it fits comfortably in VMEM:
-        cull_on, sub = True, 1
+        cull_on, sub, two_level = True, 1, False
         reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
         nb_kern = tables.num_supers
         baabb = tables.saabb
-        p_in, nrm_in = tables.p_wide, tables.nrm
+        p_in, nrm_in = tables.p8, tables.nrm
     else:
         cull_on = use_cull and tables.num_blocks > 1
         sub = sub if cull_on else 1
         assert sub in (1, 2, 4), sub
-        nb_kern = tables.num_blocks
-        if cull_on and reflag > 0 and nb_kern * sub * br * 4 > (4 << 20):
+        # Two-level walk for big VMEM scenes: the flat walk's per-block
+        # scalar gate + [nb, br] slab pass dominate iterations at
+        # hundreds of blocks; cull at SUPER granularity and refine member
+        # blocks per flagged super instead (VERDICT r2 #5):
+        two_level = (cull_on and sub == 1
+                     and tables.num_blocks > TWO_LEVEL_MIN_BLOCKS
+                     and tables.num_supers > 1)
+        nb_kern = tables.num_supers if two_level else tables.num_blocks
+        if (cull_on and not two_level and reflag > 0
+                and nb_kern * sub * br * 4 > (4 << 20)):
             # The reflag entry-bound scratch is [nb*sub, br] f32; near the
             # 64k-tri VMEM ceiling with sub > 1 it can reach 8 MB on top
             # of the resident tables and fail to compile. Degrade the same
@@ -1071,7 +1154,9 @@ def megakernel_path_trace(
             else:
                 reflag = 0
         p_in, nrm_in = tables.p, tables.nrm
-        if sub == 1:
+        if two_level:
+            baabb = tables.saabb
+        elif sub == 1:
             baabb = tables.baabb
         elif sub == 4:
             baabb = tables.baabb32
@@ -1120,8 +1205,9 @@ def megakernel_path_trace(
             # env radiance staging (when an env MLP is fused in):
             pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
                        jnp.float32),
-            # HBM-streaming slab windows + DMA semaphores:
-            pltpu.VMEM((2, SB * TB, 128) if hbm else (1, 8, 128),
+            # HBM-streaming slab windows + DMA semaphores (p8 packing:
+            # one super = [TB, SB*16] — 64 KB per slot, was 512 KB wide):
+            pltpu.VMEM((2, TB, SB * 16) if hbm else (1, 8, 128),
                        jnp.float32),
             pltpu.VMEM((2, 8, SB * 3 * TB) if hbm else (1, 8, 128),
                        jnp.float32),
@@ -1145,6 +1231,7 @@ def megakernel_path_trace(
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1, hbm=hbm,
+        two_level=(not hbm and two_level),
         _timing_no_dots=_timing_no_dots, _count_oracle=_count_oracle,
     )
     if env_cfg is not None:
@@ -1153,7 +1240,8 @@ def megakernel_path_trace(
         wmlp = jnp.zeros((16, 128), jnp.bfloat16)
         ebias = jnp.zeros((8, 1), jnp.float32)
         econst = jnp.zeros((1, 128), jnp.float32)
-    bfine = tables.baabb if hbm else jnp.zeros((8, 8), jnp.float32)
+    bfine = (tables.baabb if (hbm or two_level)
+             else jnp.zeros((8, 8), jnp.float32))
     accum, done = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

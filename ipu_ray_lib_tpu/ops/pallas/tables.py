@@ -70,11 +70,17 @@ SUBB = 32  # finest cull granularity (tris per sub-block AABB)
 
 class BlockedSceneTables(NamedTuple):
     p: jnp.ndarray        # [nb*TB, 16] f32
-    # 128-column copy of p for the HBM-streamed kernel: Mosaic DMA slices
-    # must be 128-aligned in the minor dimension, so the resident-VMEM
-    # kernel keeps the compact 16-column table and the HBM path pays the
-    # padding in (cheap) HBM bytes instead:
-    p_wide: jnp.ndarray   # [nb*TB, 128] f32
+    # Super-packed copy of p for the HBM-streamed kernels: Mosaic DMA
+    # slices must be 128-aligned in the minor dimension, and a [*, 16]
+    # slab is not. Instead of padding 16 -> 128 columns (8x wasted HBM
+    # and DMA bytes — the round-2 p_wide layout), each super's 8 blocks
+    # sit SIDE BY SIDE along the lane axis:
+    #     p8[s*TB + r, b*16 + c] = p[(s*SB + b)*TB + r, c]
+    # so one super streams as a dense [TB, 128] = 64 KB slab and the
+    # kernel reads block b's table as the static column slice
+    # [:, b*16:(b+1)*16] — bitwise the same values, zero in-kernel
+    # repacking cost, 8x less HBM and DMA traffic (VERDICT r2 #4):
+    p8: jnp.ndarray       # [ns*TB, SB*16] f32
     nrm: jnp.ndarray      # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
     baabb32: jnp.ndarray  # [nb*TB/SUBB, 8] f32 sub-block AABBs (32 tris each)
@@ -305,6 +311,13 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     p[:, 3:6] = n_p
     p[:, 6:9] = g1_p
     p[:, 9:12] = g2_p
+    # Watertight acceptance-widening bound terms (utils/constants.py
+    # WATERTIGHT_EPS_SCALE): col 12 = S_tri = |g1p0|+|g2p0|, col 13 =
+    # G_tri = ||g1||_1 + ||g2||_1 — the per-tri static factors of the
+    # rigorous barycentric error bound. Padding rows stay 0 (eps = 0):
+    p[:, 12] = np.abs(p[:, 1]) + np.abs(p[:, 2])
+    p[:, 13] = (np.abs(g1_p).sum(axis=-1)
+                + np.abs(g2_p).sum(axis=-1)).astype(np.float32)
 
     # Block/super/sub-block AABBs over real triangles, vectorised via
     # padded grouped reductions (padding rows get inverted boxes that can
@@ -327,12 +340,12 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     baabb32 = group_aabb(tlo_p, thi_p, SUBB)
     saabb = group_aabb(tlo_p, thi_p, SB * TB)
 
-    p_wide = np.zeros((Tp, 128), np.float32)
-    p_wide[:, :16] = p
+    p8 = (p.reshape(ns, SB, TB, 16).transpose(0, 2, 1, 3)
+           .reshape(ns * TB, SB * 16))
 
     return BlockedSceneTables(
         p=jnp.asarray(p),
-        p_wide=jnp.asarray(p_wide),
+        p8=jnp.asarray(p8),
         nrm=jnp.asarray(nrm),
         baabb=jnp.asarray(baabb),
         baabb32=jnp.asarray(baabb32),

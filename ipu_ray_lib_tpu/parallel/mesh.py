@@ -17,6 +17,8 @@ equivalent implemented here:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -108,15 +110,26 @@ def render_streaming_sharded(
     tile: int = 32,
     env_fn=None,
     env_params=None,
+    progress_callback=None,
+    spp_batch: int = 64,
 ):
     """Data-parallel streaming path render: the tile-ordered pixel stream
     is split across the mesh; every device runs the full regenerating
-    wavefront (render/streaming.py) on its own slice with a fold_in-derived
+    wavefront (render/streaming.py) on its own slice with a per-device
     RNG stream. Returns (rgb [H, W, 3] numpy, paths_done).
 
     This is the streaming-integrator counterpart of the reference's
     multi-IPU replication: scene replicated, rays sharded, no collectives
-    (images reassemble on the host — ref IpuScene.cpp:676-732)."""
+    (images reassemble on the host — ref IpuScene.cpp:676-732).
+
+    Production discipline (same as the single-device path,
+    render/streaming.py): spp renders in decorrelated <= ``spp_batch``
+    batches so no single dispatch exceeds the TPU watchdog (one ~160 s
+    XLA program crashes the worker — PROGRESS.md finding 23), batches
+    accumulate ON DEVICE (sharded) so the image crosses the host link
+    once, ``RAY_READBACK_F16=1`` halves that transfer, and
+    ``progress_callback(batch_index, running_avg_rgb)`` surfaces partial
+    results per batch (ref RayCallback.cpp semantics)."""
     import numpy as _np
 
     from ..render.streaming import streaming_path_trace
@@ -150,7 +163,6 @@ def render_streaming_sharded(
     # Reorder so each device's slice is contiguous [R_local * J]:
     rows_sh = rows_np.reshape(n_dev, R_local * J)
     cols_sh = cols_np.reshape(n_dev, R_local * J)
-    max_iters = J * spp * params.max_path_length + 16
 
     from ..render.streaming import _pick_br, _use_megakernel
 
@@ -168,54 +180,86 @@ def render_streaming_sharded(
         else:
             env_every = 1
 
-    def per_shard(scene_rep, rows_s, cols_s, env_p):
-        dev = jax.lax.axis_index(RAY_AXIS)
-        seed = (
-            jnp.uint32(params.rng_seed & 0xFFFFFFFF)
-            + jnp.uint32(0x9E3779B9) * dev.astype(jnp.uint32)
-        )
-        # This device's slice covers padded-stream pixels
-        # [dev*R_local*J, (dev+1)*R_local*J); only those below n_pix are real:
-        n_valid = jnp.clip(
-            jnp.int32(n_pix) - dev.astype(jnp.int32) * jnp.int32(R_local * J),
-            0, R_local * J,
-        )
-        if use_mega:
-            flat, done = megakernel_path_trace(
-                scene_rep, rows_s[0], cols_s[0], seed, n_valid,
-                params=params, slots=R_local, j_per_slot=J, spp=spp,
-                max_iters=max_iters, br=_pick_br(R_local, J),
-                env_cfg=env_cfg, env_weights=env_weights,
-                env_every=env_every if env_cfg is not None else 1,
-                hbm=params.intersector == "pallas-hbm",
-                interpret=jax.default_backend() != "tpu",
-            )
-            # Match the XLA integrator's [J, 3, R] accumulator contract:
-            accum = flat.reshape(J, R_local, 3).transpose(0, 2, 1) * spp
-        else:
-            accum, done, _ = streaming_path_trace(
-                scene_rep, rows_s[0], cols_s[0], seed, env_p, n_valid,
-                params=params, slots=R_local, j_per_slot=J, spp=spp,
-                max_iters=max_iters, has_env=env_fn is not None,
-                env_fn=env_fn,
-            )
-        return accum[None], done[None]
+    def make_shard_fn(spp_b):
+        max_iters = J * spp_b * params.max_path_length + 16
 
-    shard_fn = jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
-        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
-        check_vma=False,
-    )
-    accum, done = jax.jit(shard_fn)(
-        scene, jnp.asarray(rows_sh), jnp.asarray(cols_sh), env_params
-    )
-    # accum [n_dev, J, 3, R_local] -> per-device pixel streams:
-    a = _np.asarray(accum).transpose(0, 1, 3, 2).reshape(stream, 3) / spp
-    img = _np.empty((n_pix, 3), _np.float32)
-    img[order] = a[:n_pix]
-    return img.reshape(h, w, 3), int(_np.asarray(done).sum())
+        def per_shard(scene_rep, rows_s, cols_s, env_p, seed0):
+            dev = jax.lax.axis_index(RAY_AXIS)
+            seed = (seed0.astype(jnp.uint32)
+                    + jnp.uint32(0x9E3779B9) * dev.astype(jnp.uint32))
+            # This device's slice covers padded-stream pixels
+            # [dev*R_local*J, (dev+1)*R_local*J); only < n_pix are real:
+            n_valid = jnp.clip(
+                jnp.int32(n_pix)
+                - dev.astype(jnp.int32) * jnp.int32(R_local * J),
+                0, R_local * J,
+            )
+            if use_mega:
+                flat, done = megakernel_path_trace(
+                    scene_rep, rows_s[0], cols_s[0], seed, n_valid,
+                    params=params, slots=R_local, j_per_slot=J, spp=spp_b,
+                    max_iters=max_iters, br=_pick_br(R_local, J),
+                    env_cfg=env_cfg, env_weights=env_weights,
+                    env_every=env_every if env_cfg is not None else 1,
+                    hbm=params.intersector == "pallas-hbm",
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                accum, done, _ = streaming_path_trace(
+                    scene_rep, rows_s[0], cols_s[0], seed, env_p, n_valid,
+                    params=params, slots=R_local, j_per_slot=J, spp=spp_b,
+                    max_iters=max_iters, has_env=env_fn is not None,
+                    env_fn=env_fn,
+                )
+                flat = (accum.transpose(0, 2, 1).reshape(R_local * J, 3)
+                        / spp_b)
+            return flat[None], done[None]
+
+        return jax.jit(jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+            out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+            check_vma=False,
+        ))
+
+    rows_d = jnp.asarray(rows_sh)
+    cols_d = jnp.asarray(cols_sh)
+    shard_fns: dict = {}
+
+    def assemble(flat_dev):
+        a = _np.asarray(flat_dev, _np.float32).reshape(stream, 3)
+        img = _np.empty((n_pix, 3), _np.float32)
+        img[order] = a[:n_pix]
+        return img.reshape(h, w, 3)
+
+    base_seed = params.rng_seed & 0xFFFFFFFF
+    flat_acc = None
+    done = 0
+    s = bi = 0
+    while s < spp:
+        b = min(spp_batch, spp - s)
+        fn = shard_fns.get(b)
+        if fn is None:
+            fn = shard_fns[b] = make_shard_fn(b)
+        seed0 = jnp.uint32((base_seed + 0x85EBCA6B * bi) & 0xFFFFFFFF)
+        flat_b, done_b = fn(scene, rows_d, cols_d, env_params, seed0)
+        wgt = _np.float32(b / spp)
+        flat_acc = (flat_b * wgt if flat_acc is None
+                    else flat_acc + flat_b * wgt)
+        done += int(_np.asarray(done_b).sum())
+        s += b
+        if progress_callback is not None:
+            # Running average so far (the accumulated weights sum to s/spp):
+            progress_callback(bi, assemble(flat_acc) * _np.float32(spp / s))
+        bi += 1
+
+    if os.environ.get("RAY_READBACK_F16", "0") == "1":
+        flat = _np.asarray(flat_acc.astype(jnp.float16)).astype(_np.float32)
+        img = _np.empty((n_pix, 3), _np.float32)
+        img[order] = flat.reshape(stream, 3)[:n_pix]
+        return img.reshape(h, w, 3), done
+    return assemble(flat_acc), done
 
 
 def render_shadow_sharded(

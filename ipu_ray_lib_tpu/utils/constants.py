@@ -29,3 +29,24 @@ def gamma(n: int) -> np.float32:
 
 # Scale-aware self-intersection epsilon (ref: include/precision_utils.hpp:29).
 RAY_EPSILON = np.float32(MACHINE_EPSILON * 1500.0)
+
+# Watertight acceptance widening for the dense plane+barycentric test
+# (the hot-path analogue of the reference's PBRT watertight contract,
+# ref: src/Mesh.cpp:8-104). The barycentric b1 = og1 + t*dg1 - g1p0 is
+# accepted down to -eps with
+#     eps = WATERTIGHT_EPS_SCALE * (S_tri + G_tri * (|o|_inf + E_t)),
+#     E_t = (|tnp0| + |o.n|) * |1/(d.n)|   (>= |t| and its error scale),
+#     S_tri = |g1p0| + |g2p0|,  G_tri = ||g1||_1 + ||g2||_1  (per-tri cols)
+# which dominates the rounding of every term in the b chain:
+#   * gamma_4-style accumulation over the og/dg FMA chains
+#     (|og1| <= G*|o|_inf, |t*dg1| <= G*E_t, |g1p0| <= S),
+#   * the Newton-refined reciprocal's t error (|dt| <~ gamma_6 * E_t),
+#   * f32 quantisation of the f64-built g/tnp0 table entries.
+# A true shared-edge point has some b == 0 exactly, so with the widened
+# band it is accepted by at least one incident triangle: cracks are
+# impossible by construction. (The two incident triangles may BOTH
+# accept within the band — a benign double hit at equal t; the
+# reference's optional exact-edge double recompute resolves such ties
+# exactly instead, README.md:109-120 — not expressible on TPU f32.)
+# 16*eps_mach covers the chain; x2 safety for the table quantisation:
+WATERTIGHT_EPS_SCALE = np.float32(32.0 * MACHINE_EPSILON)

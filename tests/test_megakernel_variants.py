@@ -55,6 +55,20 @@ def test_walk_variants_bitwise_identical(mega_scene, kw):
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
 
 
+def test_two_level_walk_bitwise_identical(mega_scene, monkeypatch):
+    """The two-level VMEM walk (super cull + per-super member refinement)
+    is a pure work-skipping change: images must match the flat walk
+    exactly. The production threshold is >128 blocks; monkeypatch it down
+    so the Cornell fixture (32 blocks, 4 supers) exercises the path."""
+    from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
+
+    arrays, params, base = mega_scene
+    monkeypatch.setattr(MK, "TWO_LEVEL_MIN_BLOCKS", 1)
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+
+
 def test_deferred_env_flush_identical(tmp_path):
     """env_every > 1 parks escaped lanes and batch-flushes the fused env
     MLP — pure scheduling, identical estimator: images must match the

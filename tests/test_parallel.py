@@ -135,3 +135,33 @@ def test_streaming_sharded_megakernel_path(cornell_built):
     assert done1 == 48 * 48 * 4
     assert np.isfinite(img_sh).all()
     assert abs(img_sh.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
+
+
+def test_streaming_sharded_spp_batching(cornell_built):
+    """spp > spp_batch renders in decorrelated on-device-accumulated
+    batches (the watchdog discipline); the estimator is identical, so the
+    batched image must agree with the one-shot image in distribution, and
+    the progressive callback must fire once per batch with the running
+    average."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.parallel.mesh import render_streaming_sharded
+
+    arrays, params, _ = cornell_built
+    p = dataclasses.replace(params, window_w=32, window_h=32,
+                            window_c=48, window_r=48, samples_per_pixel=8,
+                            intersector="pallas")
+    mesh = make_ray_mesh()
+    seen = []
+    img_b, done_b = render_streaming_sharded(
+        arrays, p, mesh, chunk_slots=256, spp_batch=4,
+        progress_callback=lambda bi, im: seen.append(im.mean()))
+    assert done_b == 32 * 32 * 8
+    assert len(seen) == 2
+    img_1, done_1 = render_streaming_sharded(arrays, p, mesh,
+                                             chunk_slots=256, spp_batch=64)
+    assert done_1 == 32 * 32 * 8
+    assert np.isfinite(img_b).all()
+    assert abs(img_b.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
+    # The final progressive frame IS the full average:
+    assert abs(seen[-1] - img_b.mean()) < 1e-5
