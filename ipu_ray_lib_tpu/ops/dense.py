@@ -140,8 +140,14 @@ def _tri_block_best(dt: DenseTables, blk: int, origins, dirs, t_min, best):
     o_mag = jnp.max(jnp.abs(origins), axis=-1, keepdims=True)   # [R, 1]
     et = (jnp.abs(tnp0[None, :]) + jnp.abs(on)) / jnp.abs(
         jnp.where(dn == 0.0, 1.0, dn))
-    eps = WATERTIGHT_EPS_SCALE * (tS[None, :]
-                                  + tG[None, :] * (o_mag + et))
+    # Clamped: near-grazing pairs (dn -> 0) blow E_t up and would turn
+    # the widened test into accept-all; 1e-3 is 10-100x the legitimate
+    # edge-acceptance bound while keeping grazing acceptance negligible
+    # (the shared-edge NEIGHBOR's well-conditioned test is what makes
+    # edge points watertight there):
+    eps = jnp.minimum(
+        WATERTIGHT_EPS_SCALE * (tS[None, :] + tG[None, :] * (o_mag + et)),
+        jnp.float32(1e-3))
     ok = (
         (dn != 0.0)
         & (b1 >= -eps)

@@ -123,8 +123,10 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
             o_mag = jnp.maximum(jnp.maximum(jnp.abs(o_rows[0]),
                                             jnp.abs(o_rows[1])),
                                 jnp.abs(o_rows[2]))
-            et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
-            eps = _WT * (pb[:, 12:13] + pb[:, 13:14] * (o_mag + et))
+            et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
+            eps = jnp.minimum(
+                pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                np.float32(1e-3))
             ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
                   & (t > t_min))
             tm = jnp.where(ok, t, _INF)

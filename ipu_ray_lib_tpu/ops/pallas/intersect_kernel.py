@@ -235,8 +235,10 @@ def _dense_kernel(count_ref, list_ref, dist_ref, rays_ref, p_ref, nrm_ref,
         o_mag = jnp.maximum(jnp.maximum(jnp.abs(o_rows[0]),
                                         jnp.abs(o_rows[1])),
                             jnp.abs(o_rows[2]))
-        et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
-        eps = _WT * (pb[:, 12:13] + pb[:, 13:14] * (o_mag + et))
+        et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
+        eps = jnp.minimum(
+                pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                np.float32(1e-3))
         # t < best_t is deliberately absent: the block winner is taken by
         # min-t and `better` re-checks before any update (megakernel.py):
         ok = (

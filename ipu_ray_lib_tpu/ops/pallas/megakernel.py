@@ -247,6 +247,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems, bflag_ref,
+                 bw_ref, wf_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
@@ -307,6 +308,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     ki_ref[4:5, :] = jnp.zeros((1, br), i32)     # blocks-walked counter
     ki_ref[5:6, :] = jnp.zeros((1, br), i32)     # pending-env (deferred flush)
     ki_ref[6:7, :] = jnp.zeros((1, br), i32)     # oracle-need counter (diag)
+    ki_ref[7:8, :] = jnp.full((1, br), -1, i32)  # winner tri row (deferred)
 
     def body(carry):
         it, _ = carry
@@ -394,8 +396,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # point always passes in at least one incident triangle
             # (constants.py WATERTIGHT_EPS_SCALE derivation; ref
             # src/Mesh.cpp:8-104 contract):
-            et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
-            eps = _WT * (pb[:, 12:13] + pb[:, 13:14] * (o_mag + et))
+            et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
+            eps = jnp.minimum(
+                pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                np.float32(1e-3))
             ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
                   & (t > 0.0))
             tm = jnp.where(ok, t, _INF)
@@ -407,46 +411,20 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             bt_ref[:] = jnp.where(better, bt, best_t)
             if _timing_no_dots:
                 return
-            # Payload one-hot dots run at the parent 128-block width (lane-
-            # dim nrm slices must be 128-aligned in Mosaic). For sub > 1,
-            # reduce the winner's barycentrics to per-lane rows first and
-            # place the one-hot at its in-block row:
-            c0 = (blk // sub) * 3 * TB if sub > 1 else blk * 3 * TB
-            nd_ = (((1,), (0,)), ((), ()))
-            if sub == 1:
-                onehot = (tri_lane == bi).astype(f32)
-                w1 = onehot
-                w2 = onehot * jnp.where(ok, b1, 0.0)
-                w3 = onehot * jnp.where(ok, b2, 0.0)
-            else:
-                sel = tri_lane == bi
-                b1w = jnp.sum(jnp.where(sel & ok, b1, 0.0), axis=0,
-                              keepdims=True)
-                b2w = jnp.sum(jnp.where(sel & ok, b2, 0.0), axis=0,
-                              keepdims=True)
-                tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
-                row = (blk % sub) * TBW + bi          # [1, br]
-                w1 = (tri128 == row).astype(f32)
-                w2 = w1 * b1w
-                w3 = w1 * b2w
-            # Normal interpolation (w2/w3 barycentric weights) must touch
-            # ONLY rows 0-2: segment 1/2's spare rows carry material data
-            # whose b1/b2-weighted leakage into the albedo/id rows was a
-            # real radiometry bug (tests/test_render_e2e.py
-            # test_megakernel_matches_dense_streaming caught it):
-            n_cand = jax.lax.dot_general(nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
-                                         preferred_element_type=f32)
-            n_interp = (
-                jax.lax.dot_general(nrm_ref[0:3, pl.ds(c0 + TB, TB)], w2,
-                                    nd_, preferred_element_type=f32)
-                + jax.lax.dot_general(nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)],
-                                      w3, nd_, preferred_element_type=f32))
-            n_cand = jnp.concatenate(
-                [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
-            m_cand = jax.lax.dot_general(nrm_ref[:, pl.ds(c0 + TB, TB)],
-                                         w1, nd_, preferred_element_type=f32)
-            bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
-            bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+            # DEFERRED payload: the walk records only the winner's global
+            # triangle row and barycentrics; the normal/material one-hot
+            # MXU dots run ONCE after the walk, for just the blocks that
+            # actually won a lane (a handful vs every walked block —
+            # round-2 measured the inline dots at ~9% of kernel time).
+            # Bitwise-identical payload: the final dot uses the same
+            # one-hot and nrm slice the last `better` merge would have:
+            sel = (tri_lane == bi) & ok
+            b1w = jnp.sum(jnp.where(sel, b1, 0.0), axis=0, keepdims=True)
+            b2w = jnp.sum(jnp.where(sel, b2, 0.0), axis=0, keepdims=True)
+            row_g = bi + blk * TBW                    # global tri row
+            ki_ref[7:8, :] = jnp.where(better, row_g, ki_ref[7:8, :])
+            bw_ref[0:1, :] = jnp.where(better, b1w, bw_ref[0:1, :])
+            bw_ref[1:2, :] = jnp.where(better, b2w, bw_ref[1:2, :])
 
         if _timing_no_dots:
             # Plausible fixed material so path statistics stay realistic:
@@ -566,9 +544,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     b1 = og1 + t * dg1 - g1p0
                     b2 = og2 + t * dg2 - g2p0
                     # Watertight widened acceptance (see do_block):
-                    et = (jnp.abs(tnp0) + jnp.abs(on)) * jnp.abs(r)
-                    eps = _WT * (pb[:, 12:13]
-                                 + pb[:, 13:14] * (o_mag + et))
+                    et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
+                    eps = jnp.minimum(
+                pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                np.float32(1e-3))
                     ok = ((jnp.minimum(b1, b2) >= -eps)
                           & (b1 + b2 <= 1.0 + eps) & (t > 0.0))
                     tm = jnp.where(ok, t, _INF)
@@ -688,6 +667,53 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 jax.lax.fori_loop(b0, b1_, walk_body, 0)
         else:
             jax.lax.fori_loop(0, nbs, lambda blk, _: (do_block(blk), 0)[1], 0)
+
+        if not hbm and not _timing_no_dots:
+            # ---- deferred payload pass: normal/material one-hot dots for
+            # the (few) blocks holding this iteration's winners. Each
+            # lane's one-hot is exact: rel leaves [0, TB) whenever the
+            # lane's winner lives in a different block:
+            row = ki_ref[7:8, :]
+            blkw = row // i32(TB)                 # -1 for no-hit lanes
+            NBLK = nrm_ref.shape[1] // (3 * TB)
+            nb_iota = jax.lax.broadcasted_iota(i32, (NBLK, br), 0)
+            wf_ref[:] = jnp.max((nb_iota == blkw).astype(i32), axis=1,
+                                keepdims=True)
+            tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+            nd_ = (((1,), (0,)), ((), ()))
+
+            def wpay(b, _):
+                @pl.when(wf_ref[b, 0] > 0)
+                def _p(b=b):
+                    rel = row - b * TB
+                    w1 = (tri128 == rel).astype(f32)
+                    # w2/w3 barycentric weights touch ONLY normal rows
+                    # 0-2: segments 1/2's spare rows carry material data
+                    # whose weighted leakage was a real radiometry bug
+                    # (finding 30):
+                    w2 = w1 * bw_ref[0:1, :]
+                    w3 = w1 * bw_ref[1:2, :]
+                    c0 = b * 3 * TB
+                    n_cand = jax.lax.dot_general(
+                        nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
+                        preferred_element_type=f32)
+                    n_interp = (
+                        jax.lax.dot_general(
+                            nrm_ref[0:3, pl.ds(c0 + TB, TB)], w2, nd_,
+                            preferred_element_type=f32)
+                        + jax.lax.dot_general(
+                            nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)], w3, nd_,
+                            preferred_element_type=f32))
+                    m_cand = jax.lax.dot_general(
+                        nrm_ref[:, pl.ds(c0 + TB, TB)], w1, nd_,
+                        preferred_element_type=f32)
+                    bn_ref[:] = bn_ref[:] + jnp.concatenate(
+                        [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
+                    bm_ref[:] = bm_ref[:] + m_cand
+                return 0
+
+            jax.lax.fori_loop(0, NBLK, wpay, 0)
+            ki_ref[7:8, :] = jnp.full((1, br), -1, i32)
 
         best_t = bt_ref[:]
         normal = _normalize3((bn_ref[0:1, :], bn_ref[1:2, :], bn_ref[2:3, :]))
@@ -1213,6 +1239,10 @@ def megakernel_path_trace(
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((SB, 1), jnp.int32),      # in-super block flags
+            # Deferred-payload winner state (VMEM walks only):
+            pltpu.VMEM((2, br) if not hbm else (1, 1), jnp.float32),
+            pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)
+                       if not hbm else (1, 1), jnp.int32),
         ],
     )
     if env_cfg is not None and env_every > 1:

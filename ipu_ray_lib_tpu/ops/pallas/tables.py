@@ -312,12 +312,17 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     p[:, 6:9] = g1_p
     p[:, 9:12] = g2_p
     # Watertight acceptance-widening bound terms (utils/constants.py
-    # WATERTIGHT_EPS_SCALE): col 12 = S_tri = |g1p0|+|g2p0|, col 13 =
-    # G_tri = ||g1||_1 + ||g2||_1 — the per-tri static factors of the
-    # rigorous barycentric error bound. Padding rows stay 0 (eps = 0):
-    p[:, 12] = np.abs(p[:, 1]) + np.abs(p[:, 2])
-    p[:, 13] = (np.abs(g1_p).sum(axis=-1)
-                + np.abs(g2_p).sum(axis=-1)).astype(np.float32)
+    # WATERTIGHT_EPS_SCALE), pre-scaled by the constant so the kernel
+    # computes eps = p12 + p13 * (|o|_inf + E_t) in two ops:
+    # col 12 = WT * S_tri = WT * (|g1p0|+|g2p0|), col 13 = WT * G_tri =
+    # WT * (||g1||_1 + ||g2||_1), col 14 = |tnp0| (for E_t without an
+    # in-kernel abs). Padding rows stay 0 (eps = 0):
+    from ...utils.constants import WATERTIGHT_EPS_SCALE as _WT_
+
+    p[:, 12] = _WT_ * (np.abs(p[:, 1]) + np.abs(p[:, 2]))
+    p[:, 13] = _WT_ * (np.abs(g1_p).sum(axis=-1)
+                       + np.abs(g2_p).sum(axis=-1))
+    p[:, 14] = np.abs(p[:, 0])
 
     # Block/super/sub-block AABBs over real triangles, vectorised via
     # padded grouped reductions (padding rows get inverted boxes that can

@@ -380,6 +380,22 @@ def scene_intersect_with_normal(scene, origin, direction, t_min, t_max,
     return hit, hit_normal(scene, origin, direction, hit)
 
 
+def _reject_bvh_on_tpu():
+    """The jnp threaded-BVH traversal (while_loop + gathers) crashes the
+    TPU runtime worker at ~131k-ray scale (PROGRESS.md finding 8) — a
+    hard process kill, not an exception. Until root-caused, selecting it
+    on TPU fails fast with the supported alternatives instead of taking
+    the whole worker down mid-render."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        raise RuntimeError(
+            "intersector 'bvh' is not supported on TPU: the while_loop "
+            "traversal crashes the TPU runtime worker at scale "
+            "(PROGRESS.md finding 8). Use 'pallas' (<=64k prims), "
+            "'pallas-hbm' (any size), or 'auto'.")
+
+
 def scene_intersect(scene, origin, direction, t_min, t_max, method: str = "bvh") -> Hit:
     """Closest-hit dispatch: 'bvh' (threaded traversal), 'dense' (MXU
     brute force), 'pallas' (blocked VMEM kernel), or 'pallas-hbm'
@@ -389,6 +405,7 @@ def scene_intersect(scene, origin, direction, t_min, t_max, method: str = "bvh")
     if method in ("pallas", "pallas-hbm"):
         return pallas_scene_intersect(scene, origin, direction, t_min, t_max,
                                       hbm=method == "pallas-hbm")
+    _reject_bvh_on_tpu()
     return bvh_intersect(scene, origin, direction, t_min, t_max)
 
 
@@ -401,6 +418,7 @@ def scene_occluded(scene, origin, direction, t_min, t_max, method: str = "bvh"):
         hit = pallas_scene_intersect(scene, origin, direction, t_min, t_max,
                                      hbm=method == "pallas-hbm")
         return hit.found & (hit.t < t_max)
+    _reject_bvh_on_tpu()
     return bvh_occluded(scene, origin, direction, t_min, t_max)
 
 

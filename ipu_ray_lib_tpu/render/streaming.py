@@ -314,11 +314,12 @@ def _device_stream(rows_np, cols_np, pad, key):
 
 
 def _pick_br(R: int, J: int) -> int:
-    """Kernel ray-block size that tiles the slot pool. With in-kernel
-    culling, 1024 wins or ties at every measured config (smaller bundles
-    cull tighter; 2048's fewer grid steps no longer compensate —
-    experiments/cull_sweep.py and PROGRESS.md finding 25)."""
-    for br in (1024, 512, 2048, 256):
+    """Kernel ray-block size that tiles the slot pool. Post-watertight
+    (round 3), 512 wins at both 720² and 1440² (5.85-5.96 vs 5.68-5.69
+    M at 1024): the widened test raised the per-pair cost, so the
+    tighter 512-lane bundle unions (16-17 vs 19-21 blocks/iter) now pay
+    for their extra grid steps."""
+    for br in (512, 1024, 2048, 256):
         if R % br == 0:
             return br
     raise ValueError(f"slot pool {R} not a multiple of 256")

@@ -48,5 +48,11 @@ RAY_EPSILON = np.float32(MACHINE_EPSILON * 1500.0)
 # accept within the band — a benign double hit at equal t; the
 # reference's optional exact-edge double recompute resolves such ties
 # exactly instead, README.md:109-120 — not expressible on TPU f32.)
-# 16*eps_mach covers the chain; x2 safety for the table quantisation:
+# 16*eps_mach covers the chain; x2 safety for the table quantisation.
+# Kernels CLAMP the resulting eps at 1e-3: near-grazing pairs (n.d -> 0)
+# blow E_t up and would otherwise turn the widened test into accept-all
+# (garbage hits instead of escapes on open scenes). 1e-3 is 10-100x the
+# legitimate edge-acceptance bound for sane geometry; a grazing-plane
+# triangle's own t is numerically meaningless anyway — the shared-edge
+# NEIGHBOR's well-conditioned test is what makes edge points watertight:
 WATERTIGHT_EPS_SCALE = np.float32(32.0 * MACHINE_EPSILON)
