@@ -214,12 +214,35 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         )
         T = len(p0)
 
-    # Morton order by centroid:
-    cent = (p0 + p1 + p2) / 3.0
-    lo = cent.min(axis=0)
-    span = np.maximum(cent.max(axis=0) - lo, 1e-20)
-    q = np.clip(((cent - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
-    order = np.argsort(_morton3(q), kind="stable")
+    # Spatial ordering so 128-tri runs form tight blocks. Preferred:
+    # depth-first leaf order of the binned-SAH BVH (bvh/builder.py, the
+    # same builder the bvh intersector uses) — consecutive leaves share
+    # deep subtrees, so each TB-run approximates a SAH-optimal treelet
+    # and its AABB is much tighter than a Morton snake's (round 3; the
+    # Morton order remains the fallback):
+    order = None
+    if T > TB:
+        try:
+            from ...bvh.builder import INVALID_GEOM_ID, build_bvh
+
+            tlo_o = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+            thi_o = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+            t_bvh = build_bvh(tlo_o, thi_o, np.zeros(T, np.int64),
+                              np.arange(T, dtype=np.int64),
+                              max_leaf_size=1)
+            leaves = t_bvh.geom != INVALID_GEOM_ID
+            order = t_bvh.meta[leaves].astype(np.int64)
+            if len(order) != T:           # defensive: malformed flatten
+                order = None
+        except Exception:
+            order = None
+    if order is None:
+        # Morton order by centroid:
+        cent = (p0 + p1 + p2) / 3.0
+        lo = cent.min(axis=0)
+        span = np.maximum(cent.max(axis=0) - lo, 1e-20)
+        q = np.clip(((cent - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
+        order = np.argsort(_morton3(q), kind="stable")
     p0, p1, p2 = p0[order], p1[order], p2[order]
     vn0, vn1, vn2 = vn0[order], vn1[order], vn2[order]
     tri_has_normals = tri_has_normals[order]
