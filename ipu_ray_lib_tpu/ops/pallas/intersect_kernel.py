@@ -127,7 +127,10 @@ def bundle_cull(aabb, origins, dirs, t_min, t_max, n_ray_blocks,
         enter = jnp.maximum(enter, ax_enter)
         exit_ = jnp.minimum(exit_, ax_exit)
 
-    hit = (enter <= exit_) & (enter <= tmax_hi[:, None]) & (exit_ >= tmin_lo[:, None])
+    # Fully-empty padding boxes are inverted (lo=+inf): mask them out —
+    # interval arithmetic otherwise degenerates them to always-hit:
+    hit = ((enter <= exit_) & (enter <= tmax_hi[:, None])
+           & (exit_ >= tmin_lo[:, None]) & (blo[None, :, 0] < 1e30))
 
     # Near-to-far ordering + a provable early-stop bound: for unit-length
     # ray directions, any hit in block b satisfies

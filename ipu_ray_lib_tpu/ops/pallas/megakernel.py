@@ -1117,7 +1117,7 @@ def megakernel_path_trace(
     br: int = BR,
     interpret: bool = False,
     use_cull: bool = True,
-    sub: int = 1,
+    sub: int | None = None,
     reflag: int = 3,
     env_cfg=None,
     env_weights=None,
@@ -1158,6 +1158,14 @@ def megakernel_path_trace(
         p_in, nrm_in = tables.p8, tables.nrm
     else:
         cull_on = use_cull and tables.num_blocks > 1
+        if sub is None:
+            # With the deferred payload pass, 64-tri cull granularity is
+            # the VMEM-mode sweet spot on small/medium scenes (720² spp64
+            # Cornell: 7.37 Mpaths/s at sub=2 vs 6.37 at sub=1, 6.81 at
+            # sub=4 — sub-block selectivity beats per-slice overheads now
+            # that the payload dots run once per iteration, finding 36).
+            # Bigger VMEM scenes keep sub=1 and the two-level walk:
+            sub = 2 if (cull_on and tables.num_blocks <= 128) else 1
         sub = sub if cull_on else 1
         assert sub in (1, 2, 4), sub
         # Two-level walk for big VMEM scenes: the flat walk's per-block

@@ -65,6 +65,25 @@ def test_render_path_trace_hbm_matches_pallas(cornell):
     assert np.allclose(img_hbm, img_v, atol=2e-3)
 
 
+def test_p8_super_packing_contract():
+    """The HBM kernels depend on the p8 layout contract exactly:
+    p8[s*TB + r, b*16 + c] == p[(s*SB + b)*TB + r, c] — one super is a
+    dense [TB, SB*16] slab with block b at static column slice b*16."""
+    from ipu_ray_lib_tpu.ops.pallas.tables import SB, TB
+
+    scene = make_stress_scene(24)
+    arrays, _, _ = build_scene(scene, image_width=8, image_height=8,
+                               samples_per_pixel=1)
+    t = arrays.blocked
+    p = np.asarray(t.p)
+    p8 = np.asarray(t.p8)
+    ns = t.num_supers
+    assert p8.shape == (ns * TB, SB * 16)
+    rebuilt = (p8.reshape(ns, TB, SB, 16).transpose(0, 2, 1, 3)
+               .reshape(ns * SB * TB, 16))
+    np.testing.assert_array_equal(rebuilt, p)
+
+
 def test_stress_scene_renders():
     """The large-scene generator builds and shadow-traces (tiny grid)."""
     from ipu_ray_lib_tpu.render.renderer import render
