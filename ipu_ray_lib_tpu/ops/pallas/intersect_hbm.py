@@ -36,11 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.constants import WATERTIGHT_EPS_SCALE
 from .intersect_kernel import super_cull_lists_bundle
 from .tables import SB, TB, BlockedSceneTables
-
-_WT = WATERTIGHT_EPS_SCALE
 
 BR = 1024
 RB_PER_CALL = 32       # ray blocks per pallas_call (bounds SMEM lists)

@@ -35,10 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.constants import WATERTIGHT_EPS_SCALE, gamma
+from ...utils.constants import gamma
 from .tables import TB, BlockedSceneTables
-
-_WT = WATERTIGHT_EPS_SCALE
 
 BR = 1024  # rays per block (lane-major)
 _SLAB_SCALE = np.float32(1.0 + 2.0 * gamma(3))

@@ -69,8 +69,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.constants import (PI_BY_2, PI_BY_4, RAY_EPSILON,
-                                WATERTIGHT_EPS_SCALE)
+from ...utils.constants import PI_BY_2, PI_BY_4, RAY_EPSILON
 from .tables import SB, TB, BlockedSceneTables
 
 BR = 1024          # ray slots per kernel block
@@ -238,7 +237,6 @@ def _dielectric(d, n_in, ior, u1):
 # ---------------------------------------------------------------------------
 _SLAB_SCALE = np.float32(1.0 + 6e-7)  # conservative tmax widening (ops/intersect.py)
 _SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
-_WT = WATERTIGHT_EPS_SCALE
 
 
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
