@@ -314,18 +314,18 @@ class _OracleBvh:
             np.linalg.norm(n, axis=-1, keepdims=True), _EPS)
 
 
-_ORACLE_BVH_CACHE: dict = {}
-
-
 def oracle_intersect_bvh(scene: SceneDescription, origins, dirs):
     """BVH-accelerated f64 oracle closest hit (same contract as
-    :func:`oracle_intersect`; usable at 100k+ triangles)."""
-    key = id(scene)
-    ob = _ORACLE_BVH_CACHE.get(key)
+    :func:`oracle_intersect`; usable at 100k+ triangles). The built BVH
+    is cached on the scene object itself (an id()-keyed dict would alias
+    after garbage collection)."""
+    ob = getattr(scene, "_oracle_bvh", None)
     if ob is None:
-        if len(_ORACLE_BVH_CACHE) > 4:
-            _ORACLE_BVH_CACHE.clear()
-        ob = _ORACLE_BVH_CACHE[key] = _OracleBvh(scene)
+        ob = _OracleBvh(scene)
+        try:
+            scene._oracle_bvh = ob
+        except AttributeError:
+            pass                      # slots/frozen scene: rebuild per call
     return ob.intersect(origins, dirs)
 
 
