@@ -360,8 +360,15 @@ def render_streaming(
     tile: int = 32,
     seed: int | None = None,
     stats_out: dict | None = None,
+    compile_only: bool = False,
 ):
     """Full-window streaming render; returns (rgb [H, W, 3] numpy, done).
+
+    ``compile_only``: AOT-compile the exact production batch program for
+    this scene/config without executing it (ref compileOnly,
+    ipu_utils.hpp:581-584), under a heartbeat logger. The executable
+    lands in the persistent compilation cache, so a later real run loads
+    it. Returns (None, 0).
 
     ``stats_out``: pass a dict to collect kernel walk telemetry (megakernel
     paths only): total bundle-iterations and blocks walked, summed over all
@@ -400,6 +407,46 @@ def render_streaming(
 
         env_cfg, env_weights = pack_env_mlp(env_fn.nif_config, env_params)
         env_every = env_flush_cadence(scene)
+
+    if compile_only:
+        from ..runtime.config import CompileProgress
+
+        b = min(64, spp)  # first watchdog-bounded batch size (SPP_BATCH)
+        max_iters = J * b * params.max_path_length + 16
+        cseed = jnp.uint32((seed or 0) & 0xFFFFFFFF)
+        if use_mega:
+            from ..ops.pallas.megakernel import megakernel_path_trace
+
+            name = "megakernel_path_trace"
+            with CompileProgress(name):
+                compiled = megakernel_path_trace.lower(
+                    scene, rows_d, cols_d, cseed, jnp.int32(n_pix),
+                    params=params, slots=R, j_per_slot=J, spp=b,
+                    max_iters=max_iters, br=_pick_br(R, J),
+                    env_cfg=env_cfg, env_weights=env_weights,
+                    env_every=env_every,
+                    hbm=params.intersector == "pallas-hbm",
+                    return_stats=stats_out is not None,
+                    interpret=jax.default_backend() != "tpu",
+                ).compile()
+        else:
+            name = "streaming_path_trace"
+            with CompileProgress(name):
+                compiled = streaming_path_trace.lower(
+                    scene, rows_d, cols_d, cseed, env_params,
+                    jnp.int32(n_pix),
+                    params=params, slots=R, j_per_slot=J, spp=b,
+                    max_iters=max_iters, has_env=env_fn is not None,
+                    env_fn=env_fn,
+                ).compile()
+        try:
+            mem = compiled.memory_analysis()
+        except Exception:   # backend-dependent; informational only
+            mem = "n/a"
+        from ..utils.log import logger
+
+        logger().info("Compile-only: %s ready (memory: %s)", name, mem)
+        return None, 0
 
     def run_batch(batch_seed, spp_b):
         """One bounded-spp render; returns (flat [R*J, 3] spp-averaged

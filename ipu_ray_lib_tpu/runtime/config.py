@@ -15,6 +15,7 @@ GraphManager:523-610, executable caching:51-76):
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -76,15 +77,99 @@ def acquire_devices(config: RuntimeConfig):
     return devices
 
 
-def compile_only(fn, *example_args, **jit_kwargs):
+class CompileProgress:
+    """Compile-progress observability (role of the reference's
+    CallbackFilter, ipu_utils.hpp:476-518).
+
+    The reference intercepts poplar's compile-progress callbacks and
+    throttles them into readable log lines. XLA exposes no percentage
+    callback, so the TPU analogue has two halves:
+
+    * this context manager — a heartbeat thread that logs elapsed time
+      at a throttled cadence while a (possibly multi-minute) lowering/
+      compilation runs, so long compiles show liveness instead of
+      silence; and
+    * :func:`install_compile_event_logging` — a ``jax.monitoring``
+      listener that reports each finished backend compilation with its
+      duration (filtered: slow compiles at info, the rest at debug —
+      the same noise-throttling job CallbackFilter does).
+    """
+
+    def __init__(self, name: str, interval: float = 15.0):
+        self.name = name
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.t0 = 0.0
+
+    def __enter__(self):
+        self.t0 = time.time()
+        self._thread = threading.Thread(target=self._beat, daemon=True)
+        self._thread.start()
+        return self
+
+    def _beat(self):
+        while not self._stop.wait(self.interval):
+            logger().info(
+                "Compiling %s ... %.0fs elapsed", self.name, time.time() - self.t0
+            )
+
+    def __exit__(self, exc_type, exc, tb):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=1.0)
+        if exc_type is None:
+            logger().info(
+                "Compiled %s in %.1fs", self.name, time.time() - self.t0
+            )
+        return False
+
+
+_compile_listener_installed = False
+
+
+def install_compile_event_logging(info_threshold_secs: float = 5.0) -> None:
+    """Log XLA backend compilations as they finish (CallbackFilter role,
+    ref ipu_utils.hpp:476-518). Compiles longer than
+    ``info_threshold_secs`` log at info, the rest at debug — the filter
+    half of the contract (poplar fires thousands of progress callbacks;
+    jax.monitoring fires one duration event per compile stage, so
+    throttling here is by significance rather than cadence).
+
+    Idempotent; safe to call from the CLI and library entry points.
+    """
+    global _compile_listener_installed
+    if _compile_listener_installed:
+        return
+    import jax.monitoring
+
+    def _on_duration(event: str, duration: float, **kwargs) -> None:
+        if "compile" not in event:
+            return
+        log = logger()
+        msg = "XLA %s: %.1fs"
+        if duration >= info_threshold_secs:
+            log.info(msg, event.strip("/"), duration)
+        else:
+            log.debug(msg, event.strip("/"), duration)
+
+    jax.monitoring.register_event_duration_secs_listener(_on_duration)
+    _compile_listener_installed = True
+
+
+def compile_only(fn, *example_args, _name: str | None = None, **jit_kwargs):
     """AOT-compile a jittable function without executing it
-    (ref compileOnly, ipu_utils.hpp:581-584). Returns the compiled object."""
+    (ref compileOnly, ipu_utils.hpp:581-584). Returns the compiled object.
+
+    The compile runs under a :class:`CompileProgress` heartbeat and lands
+    in the persistent compilation cache (when enabled), so a later real
+    run loads the executable instead of recompiling — the reference's
+    compile-then-saveExe workflow."""
     import jax
 
-    lowered = jax.jit(fn, **jit_kwargs).lower(*example_args)
-    compiled = lowered.compile()
-    logger().info(
-        "Compiled %s: %s", getattr(fn, "__name__", "fn"),
-        compiled.memory_analysis(),
-    )
+    name = _name or getattr(fn, "__name__", "fn")
+    with CompileProgress(name):
+        lowered = jax.jit(fn, **jit_kwargs).lower(*example_args)
+        compiled = lowered.compile()
+    logger().info("Compiled %s: %s", name, compiled.memory_analysis())
     return compiled

@@ -67,6 +67,11 @@ def add_options(p: argparse.ArgumentParser) -> None:
                    help="Closest-hit engine: threaded-BVH wavefront, dense MXU, "
                         "the blocked Pallas kernel, or the HBM-streamed kernel "
                         "for scenes beyond VMEM (auto picks per scene/backend).")
+    p.add_argument("--compile-only", action="store_true",
+                   help="AOT-compile the render program for this scene/config "
+                        "(with compile-progress heartbeat) and exit without "
+                        "executing; the executable lands in the persistent "
+                        "compilation cache for later runs.")
     p.add_argument("--log-level", default="info",
                    choices=["trace", "debug", "info", "warn", "err", "critical", "off"])
 
@@ -163,6 +168,12 @@ def main(argv=None) -> int:
 
     import jax
 
+    from ipu_ray_lib_tpu.runtime.config import install_compile_event_logging
+
+    # Compile-progress observability (ref CallbackFilter role): every XLA
+    # backend compile reports its duration; slow ones log at info.
+    install_compile_event_logging()
+
     from ipu_ray_lib_tpu.cpu.reference import oracle_shadow_trace
     from ipu_ray_lib_tpu.ops.camera import generate_camera_rays, pixel_grid
     from ipu_ray_lib_tpu.render.aov import VisualiseMode, make_aov_image
@@ -199,6 +210,35 @@ def main(argv=None) -> int:
             args.nif_hdri, rotation_degrees=args.hdri_rotation
         )
         log.info("Loaded NIF environment light from %s", args.nif_hdri)
+
+    if args.compile_only:
+        # AOT-compile the production program for this exact scene/config,
+        # then exit without executing (ref RuntimeConfig::compileOnly,
+        # ipu_utils.hpp:581-584; the persistent XLA cache is the saveExe).
+        if args.render_mode == "path-trace":
+            from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+            render_streaming(
+                arrays, params, chunk_slots=args.chunk_size,
+                env_fn=env_fn, env_params=env_params, compile_only=True,
+            )
+        else:
+            import jax.numpy as jnp
+
+            from ipu_ray_lib_tpu.render.renderer import _shadow_chunk
+            from ipu_ray_lib_tpu.runtime.config import CompileProgress
+
+            zeros = jnp.zeros((args.chunk_size,), jnp.int32)
+            with CompileProgress("shadow_chunk"):
+                _shadow_chunk.lower(
+                    arrays, zeros, zeros,
+                    fov=params.fov_radians,
+                    width=params.image_width,
+                    height=params.image_height,
+                    intersector=params.intersector,
+                ).compile()
+        log.info("Compile-only run complete; exiting without execution.")
+        return 0
 
     vis = VisualiseMode(args.visualise)
     prefix = f"{args.outprefix}_{args.visualise}_"
