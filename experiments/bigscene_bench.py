@@ -40,15 +40,21 @@ def run(name):
         samples_per_pixel=cfg["spp"], max_path_length=5,
         intersector=cfg["intersector"])
     ntris = arrays.blocked.p.shape[0]
-    render_streaming(arrays, params)            # warm-up / compile
+    render_streaming(arrays, params, stats_out={})  # warm-up / compile
     best = float("inf")
+    stats = {}
     for _ in range(2):
+        stats = {}
         t0 = time.time()
-        img, done = render_streaming(arrays, params)
+        img, done = render_streaming(arrays, params, stats_out=stats)
         best = min(best, time.time() - t0)
     paths = 256 * 256 * cfg["spp"]
+    iters = max(1, stats.get("iters", 0))
     print(f"{name}: {ntris} tri rows, {paths / best / 1e6:.3f} Mpaths/s "
-          f"({best:.2f}s, mean {img.mean():.5f}, done {done})")
+          f"({best:.2f}s, mean {img.mean():.5f}, done {done}, "
+          f"iters {iters}, blocks/iter {stats.get('blocks_walked', 0) / iters:.1f}, "
+          f"us/iter {best * 1e6 / iters:.1f}, br {stats.get('br')})",
+          flush=True)
 
 
 def main():

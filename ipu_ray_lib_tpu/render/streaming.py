@@ -318,7 +318,14 @@ def _pick_br(R: int, J: int) -> int:
     (round 3), 512 wins at both 720² and 1440² (5.85-5.96 vs 5.68-5.69
     M at 1024): the widened test raised the per-pair cost, so the
     tighter 512-lane bundle unions (16-17 vs 19-21 blocks/iter) now pay
-    for their extra grid steps."""
+    for their extra grid steps. ``RAY_BR`` overrides (sweep knob; must
+    divide the slot pool — falls back to the heuristic otherwise)."""
+    try:
+        v = int(os.environ.get("RAY_BR", 0))
+    except (TypeError, ValueError):
+        v = 0
+    if v >= 256 and R % v == 0:
+        return v
     for br in (512, 1024, 2048, 256):
         if R % br == 0:
             return br

@@ -55,6 +55,35 @@ def test_walk_variants_bitwise_identical(mega_scene, kw):
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
 
 
+def test_ray_br_override_bitwise_identical(mega_scene, monkeypatch):
+    """RAY_BR re-blocks the slot pool into different kernel bundle widths;
+    every lane still runs identical per-ray math against identical
+    triangles, so images must be bitwise-identical across br."""
+    arrays, params, base = mega_scene
+    monkeypatch.setenv("RAY_BR", "256")
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+    # Garbage / non-dividing values fall back to the heuristic:
+    from ipu_ray_lib_tpu.render.streaming import _pick_br
+
+    monkeypatch.setenv("RAY_BR", "nonsense")
+    assert _pick_br(1536, 1) == 512
+    monkeypatch.setenv("RAY_BR", "1000")   # does not divide the pool
+    assert _pick_br(1536, 1) == 512
+
+
+def test_f16_readback_close(mega_scene, monkeypatch):
+    """RAY_READBACK_F16 halves d2h bytes; the image must match the f32
+    readback to half-precision tolerance (display-grade contract)."""
+    arrays, params, base = mega_scene
+    monkeypatch.setenv("RAY_READBACK_F16", "1")
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    assert img.dtype == np.float32
+    np.testing.assert_allclose(img, base, rtol=2e-3, atol=1e-3)
+
+
 def test_two_level_walk_bitwise_identical(mega_scene, monkeypatch):
     """The two-level VMEM walk (super cull + per-super member refinement)
     is a pure work-skipping change: images must match the flat walk
