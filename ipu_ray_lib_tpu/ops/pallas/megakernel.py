@@ -250,7 +250,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, reflag=0, env_cfg=None, env_every=1,
-                 hbm=False, two_level=False,
+                 hbm=False, two_level=False, hbm_reflag=16,
                  _timing_no_dots=False, _count_oracle=False):
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -470,8 +470,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     # Periodic refresh of the remaining flags against the
                     # converged best_t (finding 25): supers whose customers
                     # all found nearer hits drop out of the walk. Visited
-                    # supers re-flagging is harmless — cur is monotonic:
-                    @pl.when(jnp.bitwise_and(cnt, i32(15)) == i32(15))
+                    # supers re-flagging is harmless — cur is monotonic.
+                    # Cadence is a static knob (power of two supers):
+                    _m = i32(hbm_reflag - 1)
+
+                    @pl.when(jnp.bitwise_and(cnt, _m) == _m)
                     def _refresh():
                         rem = tin_ref[:] < bt_ref[:]
                         cull_ref[:] = jnp.max(
@@ -1097,8 +1100,8 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "reflag",
-                     "env_cfg", "env_every", "hbm", "return_stats",
-                     "_timing_no_dots", "_count_oracle"),
+                     "env_cfg", "env_every", "hbm", "hbm_reflag",
+                     "return_stats", "_timing_no_dots", "_count_oracle"),
 )
 def megakernel_path_trace(
     scene,
@@ -1121,6 +1124,7 @@ def megakernel_path_trace(
     env_weights=None,
     env_every: int = 1,
     hbm: bool = False,
+    hbm_reflag: int = 16,
     return_stats: bool = False,
     _timing_no_dots: bool = False,
     _count_oracle: bool = False,
@@ -1150,6 +1154,8 @@ def megakernel_path_trace(
         # flag refreshes need a [ns, br] entry-bound scratch — enable
         # while it fits comfortably in VMEM:
         cull_on, sub, two_level = True, 1, False
+        assert hbm_reflag >= 1 and hbm_reflag & (hbm_reflag - 1) == 0, (
+            f"hbm_reflag must be a power of two >= 1, got {hbm_reflag}")
         reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
         nb_kern = tables.num_supers
         baabb = tables.saabb
@@ -1267,7 +1273,7 @@ def megakernel_path_trace(
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1, hbm=hbm,
-        two_level=(not hbm and two_level),
+        two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
         _timing_no_dots=_timing_no_dots, _count_oracle=_count_oracle,
     )
     if env_cfg is not None:

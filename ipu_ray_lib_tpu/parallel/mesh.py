@@ -164,7 +164,8 @@ def render_streaming_sharded(
     rows_sh = rows_np.reshape(n_dev, R_local * J)
     cols_sh = cols_np.reshape(n_dev, R_local * J)
 
-    from ..render.streaming import _pick_br, _use_megakernel
+    from ..render.streaming import (_pick_br, _use_megakernel,
+                                    hbm_reflag_cadence)
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
     env_cfg = env_weights = None
@@ -202,6 +203,7 @@ def render_streaming_sharded(
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every if env_cfg is not None else 1,
                     hbm=params.intersector == "pallas-hbm",
+                    hbm_reflag=hbm_reflag_cadence(),
                     interpret=jax.default_backend() != "tpu",
                 )
             else:

@@ -348,6 +348,19 @@ def env_flush_cadence(scene) -> int:
     return max(1, v) if v > 0 else default
 
 
+def hbm_reflag_cadence() -> int:
+    """Flag-refresh cadence for the HBM-streamed walk (refresh the super
+    flags against the converging best_t every N streamed supers).
+    ``RAY_HBM_REFLAG`` overrides; must be a power of two >= 1 (the kernel
+    masks the stream counter) — anything else falls back to the default."""
+    default = 16
+    try:
+        v = int(os.environ.get("RAY_HBM_REFLAG", default))
+    except (TypeError, ValueError):
+        return default
+    return v if (v >= 1 and v & (v - 1) == 0) else default
+
+
 def _use_megakernel(params, env_fn) -> bool:
     """The in-kernel bounce loop covers the pallas intersector; NIF
     environment lights are fused into the kernel as an MXU MLP when the
@@ -470,6 +483,7 @@ def render_streaming(
                 env_cfg=env_cfg, env_weights=env_weights,
                 env_every=env_every,
                 hbm=params.intersector == "pallas-hbm",
+                hbm_reflag=hbm_reflag_cadence(),
                 return_stats=stats_out is not None,
                 interpret=jax.default_backend() != "tpu",
             )
