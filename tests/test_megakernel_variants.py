@@ -47,6 +47,8 @@ def mega_scene():
     dict(sub=2),
     dict(sub=4),
     dict(hbm=True),
+    dict(hbm=True, hbm_reflag=1),
+    dict(hbm=True, hbm_reflag=64),
 ])
 def test_walk_variants_bitwise_identical(mega_scene, kw):
     arrays, params, base = mega_scene
@@ -146,3 +148,17 @@ def test_env_flush_cadence_robust(mega_scene, monkeypatch):
         assert env_flush_cadence(arrays) == default, bad
     monkeypatch.setenv("RAY_ENV_EVERY", "7")
     assert env_flush_cadence(arrays) == 7
+
+
+def test_hbm_reflag_cadence_robust(monkeypatch):
+    """RAY_HBM_REFLAG must be a power of two >= 1 (the kernel masks the
+    super-stream counter); anything else falls back to the default."""
+    from ipu_ray_lib_tpu.render.streaming import hbm_reflag_cadence
+
+    default = hbm_reflag_cadence()
+    for bad in ("", "x", "0", "-4", "3", "24"):
+        monkeypatch.setenv("RAY_HBM_REFLAG", bad)
+        assert hbm_reflag_cadence() == default, bad
+    for good in ("1", "4", "64"):
+        monkeypatch.setenv("RAY_HBM_REFLAG", good)
+        assert hbm_reflag_cadence() == int(good)
