@@ -82,6 +82,12 @@ _BIG = np.float32(1e37)
 # iteration (tests monkeypatch this down to cover the path):
 TWO_LEVEL_MIN_BLOCKS = 128
 
+# Row-chunk size for the vectorised cull slab pass: bounds the pass's
+# scoped-VMEM working set at ~[SLAB_CHUNK_ROWS, br] x ~8 live temporaries
+# (an unchunked pass OOMs the kernel stack past ~1000 supers; tests
+# monkeypatch this down to cover multi-chunk on small scenes):
+SLAB_CHUNK_ROWS = 512
+
 # ---------------------------------------------------------------------------
 # In-kernel counter RNG (int32 twin of ops/rng.py — same bit streams).
 # ---------------------------------------------------------------------------
@@ -250,7 +256,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, reflag=0, env_cfg=None, env_every=1,
-                 hbm=False, two_level=False, hbm_reflag=16,
+                 hbm=False, two_level=False, hbm_reflag=64,
                  _timing_no_dots=False, _count_oracle=False):
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -340,29 +346,40 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                    jnp.where(d[1] == 0.0, f32(1e-30), d[1]),
                    jnp.where(d[2] == 0.0, f32(1e-30), d[2]))
             inv = (1.0 / den[0], 1.0 / den[1], 1.0 / den[2])
-            tin = jnp.full((nbs, br), f32(0.0))
-            tout = jnp.where(active, _BIG, f32(-1.0))
-            for a in range(3):
-                lo_a = baabb_ref[:, a:a + 1]
-                hi_a = baabb_ref[:, a + 3:a + 4]
-                t0 = (lo_a - o[a]) * inv[a]
-                t1 = (hi_a - o[a]) * inv[a]
-                tl = jnp.minimum(t0, t1)
-                th = jnp.maximum(t0, t1) * _SLAB_SCALE
-                tin = jnp.maximum(tin, tl)
-                tout = jnp.minimum(tout, th)
-            # Fully-empty padding blocks carry inverted AABBs (lo=+inf,
-            # hi=-inf) whose slab interval degenerates to (-inf, +inf)
-            # under this formulation — mask them out by the finite-lo
-            # test so they never flag (they cannot produce hits, only
-            # wasted walks):
-            bhit = (tin <= tout) & (baabb_ref[:, 0:1] < _BIG)
-            anyv = jnp.max(bhit.astype(i32), axis=1, keepdims=True)
-            cull_ref[:] = anyv
-            if reflag > 0:
-                # Conservative per-lane lower bound on any hit t in each
-                # block, kept for mid-walk flag refreshes:
-                tin_ref[:] = jnp.where(bhit, tin * _SLAB_LO, _INF)
+            # Chunk the slab pass over AABB rows: the pass is pure
+            # elementwise math, but its [rows, br] temporaries are scoped
+            # VMEM — at HBM scale (2045 supers x br 512 for the 2M-tri
+            # heightfield) an unchunked pass keeps ~8 live [nbs, br]
+            # slabs (~33 MB) on the kernel stack and fails to compile.
+            # SLAB_CHUNK_ROWS-row chunks bound that at ~8 MB with
+            # identical results:
+            _CH = SLAB_CHUNK_ROWS
+            for c0 in range(0, nbs, _CH):
+                nrows = min(_CH, nbs - c0)
+                rs = pl.ds(c0, nrows)
+                tin = jnp.full((nrows, br), f32(0.0))
+                tout = jnp.where(active, _BIG, f32(-1.0))
+                for a in range(3):
+                    lo_a = baabb_ref[rs, a:a + 1]
+                    hi_a = baabb_ref[rs, a + 3:a + 4]
+                    t0 = (lo_a - o[a]) * inv[a]
+                    t1 = (hi_a - o[a]) * inv[a]
+                    tl = jnp.minimum(t0, t1)
+                    th = jnp.maximum(t0, t1) * _SLAB_SCALE
+                    tin = jnp.maximum(tin, tl)
+                    tout = jnp.minimum(tout, th)
+                # Fully-empty padding blocks carry inverted AABBs (lo=+inf,
+                # hi=-inf) whose slab interval degenerates to (-inf, +inf)
+                # under this formulation — mask them out by the finite-lo
+                # test so they never flag (they cannot produce hits, only
+                # wasted walks):
+                bhit = (tin <= tout) & (baabb_ref[rs, 0:1] < _BIG)
+                anyv = jnp.max(bhit.astype(i32), axis=1, keepdims=True)
+                cull_ref[rs, :] = anyv
+                if reflag > 0:
+                    # Conservative per-lane lower bound on any hit t in
+                    # each block, kept for mid-walk flag refreshes:
+                    tin_ref[rs, :] = jnp.where(bhit, tin * _SLAB_LO, _INF)
 
         TBW = TB // sub
 
@@ -1124,7 +1141,7 @@ def megakernel_path_trace(
     env_weights=None,
     env_every: int = 1,
     hbm: bool = False,
-    hbm_reflag: int = 16,
+    hbm_reflag: int = 64,
     return_stats: bool = False,
     _timing_no_dots: bool = False,
     _count_oracle: bool = False,

@@ -352,8 +352,11 @@ def hbm_reflag_cadence() -> int:
     """Flag-refresh cadence for the HBM-streamed walk (refresh the super
     flags against the converging best_t every N streamed supers).
     ``RAY_HBM_REFLAG`` overrides; must be a power of two >= 1 (the kernel
-    masks the stream counter) — anything else falls back to the default."""
-    default = 16
+    masks the stream counter) — anything else falls back to the default.
+    Swept on the 522k-tri heightfield (experiments/hbm_sweep.py): 4 is
+    3x slower (the [ns, br] refresh dominates), 16 -> 64 is +4%, and the
+    curve is flat 64-256 — 64 is the plateau edge."""
+    default = 64
     try:
         v = int(os.environ.get("RAY_HBM_REFLAG", default))
     except (TypeError, ValueError):

@@ -150,6 +150,23 @@ def test_env_flush_cadence_robust(mega_scene, monkeypatch):
     assert env_flush_cadence(arrays) == 7
 
 
+def test_slab_chunking_bitwise_identical(mega_scene, monkeypatch):
+    """The cull slab pass is chunked over AABB rows purely to bound
+    scoped VMEM (the 2M-tri HBM config OOMs unchunked); forcing
+    multi-chunk on the 32-block Cornell fixture must be bitwise
+    identical, for both the VMEM and HBM walks."""
+    from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
+
+    arrays, params, base = mega_scene
+    monkeypatch.setattr(MK, "SLAB_CHUNK_ROWS", 8)
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+    img, done = _render(arrays, params, hbm=True)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+
+
 def test_hbm_reflag_cadence_robust(monkeypatch):
     """RAY_HBM_REFLAG must be a power of two >= 1 (the kernel masks the
     super-stream counter); anything else falls back to the default."""
