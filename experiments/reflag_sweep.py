@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Sweep the VMEM-walk mid-walk flag-refresh count (reflag) at the bench
+workload (TPU).
+
+reflag=3 was tuned in round 2 — before the deferred winner payload and
+the sub=2 auto pick changed the per-block cost balance (findings 36/39).
+Each refresh costs a [nbs, br] compare + column max but lets settled
+(sub-)blocks drop out mid-walk; the optimum moves when per-block cost
+shrinks.
+
+Usage: python experiments/reflag_sweep.py [size] [spp] [reflag...]
+       defaults: 1440 64 0,1,2,3,5,7
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 1440
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    reflags = ([int(a) for a in sys.argv[3:]] or [0, 1, 2, 3, 5, 7])
+
+    from ipu_ray_lib_tpu.ops.pallas.megakernel import megakernel_path_trace
+    from ipu_ray_lib_tpu.render import streaming as S
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
+
+    scene = make_cornell_box_scene(
+        os.path.join(os.path.dirname(__file__), "..", "assets",
+                     "monkey_bust.glb"), box_only=False)
+    arrays, params, _ = build_scene(
+        scene, image_width=size, image_height=size, samples_per_pixel=spp,
+        intersector="pallas")
+
+    n_pix = size * size
+    R = min(1 << 17, -(-n_pix // 256) * 256)
+    J = -(-n_pix // R)
+    pad = R * J - n_pix
+    rows_np, cols_np, _ = S._pixel_stream(params, 32)
+    rows = jnp.asarray(np.pad(rows_np, (0, pad)))
+    cols = jnp.asarray(np.pad(cols_np, (0, pad)))
+    max_iters = J * spp * params.max_path_length + 16
+    log = open(os.path.join(os.path.dirname(__file__), "results.jsonl"), "a")
+
+    for rf in reflags:
+        f = functools.partial(
+            megakernel_path_trace, arrays, rows, cols, jnp.uint32(42),
+            jnp.int32(n_pix), params=params, slots=R, j_per_slot=J,
+            spp=spp, max_iters=max_iters, reflag=rf, return_stats=True)
+        flat, done, iters, blocks = f()  # compile + warm
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            flat, done, iters, blocks = f()
+            mean = float(jnp.mean(flat))
+            dt = min(dt, time.time() - t0)
+        iters, blocks = int(iters), int(blocks)
+        rec = {"exp": "reflag_sweep", "size": size, "spp": spp,
+               "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
+               "dt": round(dt, 3), "iters": iters,
+               "blocks_per_iter": round(blocks / max(iters, 1), 2),
+               "us_per_iter": round(dt * 1e6 / max(iters, 1), 2),
+               "mean": round(mean, 5),
+               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+        log.write(json.dumps(rec) + "\n")
+        log.flush()
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
