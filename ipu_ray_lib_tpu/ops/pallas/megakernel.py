@@ -1136,7 +1136,11 @@ def megakernel_path_trace(
     interpret: bool = False,
     use_cull: bool = True,
     sub: int | None = None,
-    reflag: int = 3,
+    reflag: int = 7,   # mid-walk refresh count; swept at the bench
+                       # workload (experiments/reflag_sweep.py): 0=6.65,
+                       # 3=7.79, 7=7.88 Mpaths/s, flat past 7 (segment
+                       # bounds round to 8 rows, so 7 is the finest
+                       # distinct segmentation at Cornell's 64 sub-blocks)
     env_cfg=None,
     env_weights=None,
     env_every: int = 1,
