@@ -8,8 +8,9 @@ Each refresh costs a [nbs, br] compare + column max but lets settled
 (sub-)blocks drop out mid-walk; the optimum moves when per-block cost
 shrinks.
 
-Usage: python experiments/reflag_sweep.py [size] [spp] [reflag...]
-       defaults: 1440 64 0,1,2,3,5,7
+Usage: python experiments/reflag_sweep.py [size] [spp] [rf...] [br=A,B]
+       defaults: 1440 64 rf 0,1,2,3,5,7 br 1024
+       (numeric args are reflag counts; br=512,1024 adds a br axis)
 """
 
 import functools
@@ -27,7 +28,14 @@ import jax.numpy as jnp
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 1440
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    reflags = ([int(a) for a in sys.argv[3:]] or [0, 1, 2, 3, 5, 7])
+    brs = [1024]
+    reflags = []
+    for a in sys.argv[3:]:
+        if a.startswith("br="):
+            brs = [int(x) for x in a[3:].split(",")]
+        else:
+            reflags.append(int(a))
+    reflags = reflags or [0, 1, 2, 3, 5, 7]
 
     from ipu_ray_lib_tpu.ops.pallas.megakernel import megakernel_path_trace
     from ipu_ray_lib_tpu.render import streaming as S
@@ -51,11 +59,13 @@ def main():
     max_iters = J * spp * params.max_path_length + 16
     log = open(os.path.join(os.path.dirname(__file__), "results.jsonl"), "a")
 
-    for rf in reflags:
+    import itertools
+    for br, rf in itertools.product(brs, reflags):
         f = functools.partial(
             megakernel_path_trace, arrays, rows, cols, jnp.uint32(42),
             jnp.int32(n_pix), params=params, slots=R, j_per_slot=J,
-            spp=spp, max_iters=max_iters, reflag=rf, return_stats=True)
+            spp=spp, max_iters=max_iters, br=br, reflag=rf,
+            return_stats=True)
         flat, done, iters, blocks = f()  # compile + warm
         dt = float("inf")
         for _ in range(3):
@@ -65,6 +75,7 @@ def main():
             dt = min(dt, time.time() - t0)
         iters, blocks = int(iters), int(blocks)
         rec = {"exp": "reflag_sweep", "size": size, "spp": spp,
+               "br": br,
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
                "blocks_per_iter": round(blocks / max(iters, 1), 2),
