@@ -176,14 +176,18 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     if vert_normals is None:
         tri_has_normals = np.zeros(T, bool)
 
-    p0 = verts[tri_v[:, 0]].astype(np.float64)
-    p1 = verts[tri_v[:, 1]].astype(np.float64)
-    p2 = verts[tri_v[:, 2]].astype(np.float64)
+    # Convert the (smaller) vertex table to f64 once, then gather — the
+    # gather-then-astype order copies every per-triangle array twice:
+    verts64 = np.asarray(verts, np.float64)
+    p0 = verts64[tri_v[:, 0]]
+    p1 = verts64[tri_v[:, 1]]
+    p2 = verts64[tri_v[:, 2]]
 
     if vert_normals is not None:
-        vn0 = vert_normals[tri_v[:, 0]].astype(np.float64)
-        vn1 = vert_normals[tri_v[:, 1]].astype(np.float64)
-        vn2 = vert_normals[tri_v[:, 2]].astype(np.float64)
+        vn64 = np.asarray(vert_normals, np.float64)
+        vn0 = vn64[tri_v[:, 0]]
+        vn1 = vn64[tri_v[:, 1]]
+        vn2 = vn64[tri_v[:, 2]]
     else:
         vn0 = vn1 = vn2 = np.zeros_like(p0)
 
@@ -291,8 +295,15 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     Tp = nb * TB
 
     def padT(a, fill=0.0):
-        return np.pad(a.astype(np.float64), ((0, Tp - T),) + ((0, 0),) * (a.ndim - 1),
-                      constant_values=fill)
+        # Single-copy pad (np.asarray is a no-op for the already-f64
+        # inputs; .astype + np.pad made two full copies each and
+        # dominated multi-million-triangle builds):
+        a = np.asarray(a, np.float64)
+        if Tp == T:
+            return a
+        out = np.full((Tp,) + a.shape[1:], fill, np.float64)
+        out[:T] = a
+        return out
 
     n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
     N0_p, dN1_p, dN2_p = padT(N0), padT(dN1), padT(dN2)

@@ -208,6 +208,11 @@ def dense_intersect(
     as chunked matmuls, spheres/discs broadcast-dense, running min."""
     from .dense import dense_closest_tri, dense_discs, dense_spheres
 
+    if scene.dense is None:
+        raise RuntimeError(
+            "dense intersector tables were skipped at build time (scene "
+            "exceeds scene.build.DENSE_TABLE_MAX_TRIS); rebuild with "
+            "build_scene(..., intersector='dense') to use them")
     best_t, tri = dense_closest_tri(scene.dense, origin, direction, t_min, t_max)
     tri_safe = jnp.clip(tri, 0, scene.dense.tri_geom.shape[0] - 1)
     geom = jnp.where(tri >= 0, scene.dense.tri_geom[tri_safe], INVALID_GEOM_ID)

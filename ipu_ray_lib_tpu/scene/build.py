@@ -32,6 +32,11 @@ GEOM_MESH = 0
 GEOM_SPHERE = 1
 GEOM_DISC = 2
 
+# Scenes larger than this skip the dense (MXU) intersector tables unless
+# it is requested explicitly — see build_scene (tests monkeypatch this
+# down to cover the skip path):
+DENSE_TABLE_MAX_TRIS = 65536
+
 
 class SceneArrays(NamedTuple):
     """Replicated-per-device scene data. All leaves are jnp arrays."""
@@ -218,11 +223,34 @@ def build_scene(
     from ..ops.dense import build_dense_tables
     from ..ops.pallas.tables import build_blocked_tables
 
+    # Resolve intersector="auto" before deciding which tables to build:
+    total_prims = len(tri_geom_ids) + len(scene.spheres) + len(scene.discs)
+    if intersector == "auto":
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            # The jnp threaded-BVH crashes the TPU worker at scale
+            # (PROGRESS.md finding 8) — never auto-select it on TPU.
+            intersector = "pallas" if total_prims <= 65536 else "pallas-hbm"
+        elif total_prims <= 32768:
+            intersector = "dense"
+        else:
+            intersector = "bvh"
+
+    # Dense (MXU) tables are only auto-selected for small scenes and are
+    # architecturally hopeless past the VMEM boundary (finding 22: the
+    # [R, TB] intermediates live in HBM) — building them for a 2M-tri
+    # import wastes ~30% of host build time. Skip them at scale unless
+    # the caller explicitly asked for the dense intersector;
+    # dense_intersect raises a clear error on a skipped table:
+    build_dense = (
+        len(tri_v) <= DENSE_TABLE_MAX_TRIS or intersector == "dense")
     dense = build_dense_tables(
         tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
         verts if len(verts) else np.zeros((0, 3), np.float32),
         tri_geom_ids, tri_prim_ids,
-    )
+    ) if build_dense else None
     tri_has_normals = (
         np.concatenate([
             np.full(len(m.triangles), bool(m.has_normals)) for m in scene.meshes
@@ -243,20 +271,6 @@ def build_scene(
     )
     sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
     disc_geom = disc_gid0 + np.arange(max(len(scene.discs), 1), dtype=np.int32)
-
-    total_prims = len(tri_geom_ids) + len(scene.spheres) + len(scene.discs)
-    if intersector == "auto":
-        import jax
-
-        on_tpu = jax.default_backend() == "tpu"
-        if on_tpu:
-            # The jnp threaded-BVH crashes the TPU worker at scale
-            # (PROGRESS.md finding 8) — never auto-select it on TPU.
-            intersector = "pallas" if total_prims <= 65536 else "pallas-hbm"
-        elif total_prims <= 32768:
-            intersector = "dense"
-        else:
-            intersector = "bvh"
 
     arrays = SceneArrays(
         bvh_min=jnp.asarray(bvh.mins),

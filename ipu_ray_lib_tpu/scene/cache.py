@@ -56,7 +56,12 @@ def load_compiled_scene(path: str):
         tri_geom[sl] = g
         tri_prim[sl] = np.arange(sl.stop - sl.start, dtype=np.int32)
 
-    dense = build_dense_tables(tri_v, verts, tri_geom, tri_prim)
+    from .build import DENSE_TABLE_MAX_TRIS
+
+    dense = (
+        build_dense_tables(tri_v, verts, tri_geom, tri_prim)
+        if (T <= DENSE_TABLE_MAX_TRIS or params.intersector == "dense")
+        else None)  # same skip rule as build_scene (host-build time)
     has_n = host["mesh_has_normals"][: params.num_meshes]
     tri_has_normals = np.zeros(T, bool)
     for g in range(params.num_meshes):

@@ -126,3 +126,33 @@ def test_pallas_kernel_normals_match_hit_normal(cornell_built):
     both = np.asarray(hit.found)
     dots = np.sum(np.asarray(n_kernel) * np.asarray(n_ref), axis=-1)[both]
     assert np.quantile(dots, 0.01) > 0.9999
+
+
+def test_dense_tables_skipped_at_scale(monkeypatch):
+    """Past DENSE_TABLE_MAX_TRIS the (useless-at-scale) dense MXU tables
+    are skipped to keep multi-million-triangle imports fast; using the
+    dense intersector on such arrays raises a clear error, and an
+    explicit intersector='dense' still builds them."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from ipu_ray_lib_tpu.ops.traversal import dense_intersect
+    from ipu_ray_lib_tpu.scene import build as B
+    from ipu_ray_lib_tpu.scene.builtin import make_stress_scene
+
+    scene = make_stress_scene(16)   # 1058 tris
+    monkeypatch.setattr(B, "DENSE_TABLE_MAX_TRIS", 100)
+    arrays, params, _ = build_args = B.build_scene(
+        scene, image_width=16, image_height=16, samples_per_pixel=1,
+        intersector="pallas")
+    assert arrays.dense is None
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (4, 1))
+    with pytest.raises(RuntimeError, match="skipped at build time"):
+        dense_intersect(arrays, o, d, jnp.zeros(4), jnp.full(4, 1e9))
+    arrays2, params2, _ = B.build_scene(
+        scene, image_width=16, image_height=16, samples_per_pixel=1,
+        intersector="dense")
+    assert arrays2.dense is not None
