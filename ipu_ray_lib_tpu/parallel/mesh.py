@@ -236,11 +236,16 @@ def render_streaming_sharded(
         return img.reshape(h, w, 3)
 
     base_seed = params.rng_seed & 0xFFFFFFFF
+    # Same watchdog discipline as render_streaming: device time per
+    # dispatch scales with J * spp_b (paths per lane), so the spp cap
+    # alone under-bounds large frames where J is big — cap the product
+    # (crash observed at J*spp = 4096; known-good 1024):
+    b_cap = max(1, 2048 // J)
     flat_acc = None
     done = 0
     s = bi = 0
     while s < spp:
-        b = min(spp_batch, spp - s)
+        b = min(spp_batch, b_cap, spp - s)
         fn = shard_fns.get(b)
         if fn is None:
             fn = shard_fns[b] = make_shard_fn(b)

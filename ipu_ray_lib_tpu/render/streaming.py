@@ -514,13 +514,19 @@ def render_streaming(
     # watchdog (observed crash at 1440^2 spp 256, ~160 s/call). Render in
     # decorrelated batches — identical estimator, bounded calls — and
     # accumulate ON DEVICE so the multi-MB image crosses the (slow) host
-    # link exactly once:
+    # link exactly once. Device time per dispatch scales with J * spp_b
+    # (paths per lane over a fixed slot pool), NOT spp alone — an
+    # spp-only cap crashed exactly the same way at 4k² where J is 8x
+    # the 1440² value. The observed crash was J*spp = 4096; known-good
+    # production dispatches are 1024 (~40 s). Cap the product at 2048:
     SPP_BATCH = 64
+    MAX_K_PER_DISPATCH = 2048
+    b_cap = max(1, MAX_K_PER_DISPATCH // J)
     flat_acc = None
     done = 0
     s = bi = 0
     while s < spp:
-        b = min(SPP_BATCH, spp - s)
+        b = min(SPP_BATCH, b_cap, spp - s)
         flat_b, done_b = run_batch((seed + 0x9E3779B9 * bi) & 0xFFFFFFFF, b)
         wgt = np.float32(b / spp)
         flat_acc = flat_b * wgt if flat_acc is None else flat_acc + flat_b * wgt
