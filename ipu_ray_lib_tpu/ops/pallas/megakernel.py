@@ -1136,11 +1136,13 @@ def megakernel_path_trace(
     interpret: bool = False,
     use_cull: bool = True,
     sub: int | None = None,
-    reflag: int = 7,   # mid-walk refresh count; swept at the bench
-                       # workload (experiments/reflag_sweep.py): 0=6.65,
-                       # 3=7.79, 7=7.88 Mpaths/s, flat past 7 (segment
-                       # bounds round to 8 rows, so 7 is the finest
-                       # distinct segmentation at Cornell's 64 sub-blocks)
+    reflag: int = 3,   # mid-walk refresh count; swept per-br at the
+                       # bench workload (experiments/reflag_sweep.py,
+                       # alternating A/B, reproducible to 4 digits):
+                       # br=512 (production): rf3=8.27 > rf7=8.14
+                       # Mpaths/s; the rf7 win only exists at br=1024
+                       # (7.88 vs 7.79), where refreshes amortise over
+                       # 2x the lanes. Production br is 512 -> keep 3.
     env_cfg=None,
     env_weights=None,
     env_every: int = 1,
