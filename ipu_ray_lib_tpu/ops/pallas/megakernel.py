@@ -1177,8 +1177,12 @@ def megakernel_path_trace(
         # flag refreshes need a [ns, br] entry-bound scratch — enable
         # while it fits comfortably in VMEM:
         cull_on, sub, two_level = True, 1, False
-        assert hbm_reflag >= 1 and hbm_reflag & (hbm_reflag - 1) == 0, (
-            f"hbm_reflag must be a power of two >= 1, got {hbm_reflag}")
+        if not (hbm_reflag >= 1 and hbm_reflag & (hbm_reflag - 1) == 0):
+            # ValueError (not assert): the kernel masks the stream
+            # counter with hbm_reflag-1, so 0/non-powers silently
+            # mis-time or disable the refresh under python -O:
+            raise ValueError(
+                f"hbm_reflag must be a power of two >= 1, got {hbm_reflag}")
         reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
         nb_kern = tables.num_supers
         baabb = tables.saabb

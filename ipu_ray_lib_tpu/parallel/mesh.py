@@ -203,7 +203,11 @@ def render_streaming_sharded(
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every if env_cfg is not None else 1,
                     hbm=params.intersector == "pallas-hbm",
-                    hbm_reflag=hbm_reflag_cadence(),
+                    # Static cache-key arg read only by the HBM walk —
+                    # conditional so RAY_HBM_REFLAG sweeps can't force
+                    # VMEM-mode recompiles (same as render_streaming):
+                    **({"hbm_reflag": hbm_reflag_cadence()}
+                       if params.intersector == "pallas-hbm" else {}),
                     interpret=jax.default_backend() != "tpu",
                 )
             else:
@@ -238,9 +242,10 @@ def render_streaming_sharded(
     base_seed = params.rng_seed & 0xFFFFFFFF
     # Same watchdog discipline as render_streaming: device time per
     # dispatch scales with J * spp_b (paths per lane), so the spp cap
-    # alone under-bounds large frames where J is big — cap the product
-    # (crash observed at J*spp = 4096; known-good 1024):
-    b_cap = max(1, 2048 // J)
+    # alone under-bounds large frames where J is big — cap the product:
+    from ..render.streaming import MAX_K_PER_DISPATCH
+
+    b_cap = max(1, MAX_K_PER_DISPATCH // J)
     flat_acc = None
     done = 0
     s = bi = 0

@@ -348,6 +348,16 @@ def env_flush_cadence(scene) -> int:
     return max(1, v) if v > 0 else default
 
 
+# Watchdog discipline for megakernel dispatches: device time scales with
+# J * spp_b (paths per lane over a fixed slot pool). One ~160 s dispatch
+# (J*spp = 4096 at 1440² spp 256) crashes the TPU worker; known-good
+# production dispatches are 1024 (~40 s). Cap the product at 2048.
+# Shared by render_streaming, compile_only, and the sharded path
+# (parallel/mesh.py):
+SPP_BATCH = 64
+MAX_K_PER_DISPATCH = 2048
+
+
 def hbm_reflag_cadence() -> int:
     """Flag-refresh cadence for the HBM-streamed walk (refresh the super
     flags against the converging best_t every N streamed supers).
@@ -434,12 +444,16 @@ def render_streaming(
     if compile_only:
         from ..runtime.config import CompileProgress
 
-        b = min(64, spp)  # first watchdog-bounded batch size (SPP_BATCH)
+        # First production batch size — the same J*spp-capped pick the
+        # render loop below makes, so the AOT-compiled program is the
+        # one the real run executes:
+        b = min(SPP_BATCH, max(1, MAX_K_PER_DISPATCH // J), spp)
         max_iters = J * b * params.max_path_length + 16
         cseed = jnp.uint32((seed or 0) & 0xFFFFFFFF)
         if use_mega:
             from ..ops.pallas.megakernel import megakernel_path_trace
 
+            hbm = params.intersector == "pallas-hbm"
             name = "megakernel_path_trace"
             with CompileProgress(name):
                 compiled = megakernel_path_trace.lower(
@@ -448,7 +462,8 @@ def render_streaming(
                     max_iters=max_iters, br=_pick_br(R, J),
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every,
-                    hbm=params.intersector == "pallas-hbm",
+                    hbm=hbm,
+                    **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
                 ).compile()
@@ -486,7 +501,11 @@ def render_streaming(
                 env_cfg=env_cfg, env_weights=env_weights,
                 env_every=env_every,
                 hbm=params.intersector == "pallas-hbm",
-                hbm_reflag=hbm_reflag_cadence(),
+                # hbm_reflag is a static cache-key arg read only by the
+                # HBM walk — pass it conditionally so sweeping
+                # RAY_HBM_REFLAG can't force VMEM-mode recompiles:
+                **({"hbm_reflag": hbm_reflag_cadence()}
+                   if params.intersector == "pallas-hbm" else {}),
                 return_stats=stats_out is not None,
                 interpret=jax.default_backend() != "tpu",
             )
@@ -514,13 +533,7 @@ def render_streaming(
     # watchdog (observed crash at 1440^2 spp 256, ~160 s/call). Render in
     # decorrelated batches — identical estimator, bounded calls — and
     # accumulate ON DEVICE so the multi-MB image crosses the (slow) host
-    # link exactly once. Device time per dispatch scales with J * spp_b
-    # (paths per lane over a fixed slot pool), NOT spp alone — an
-    # spp-only cap crashed exactly the same way at 4k² where J is 8x
-    # the 1440² value. The observed crash was J*spp = 4096; known-good
-    # production dispatches are 1024 (~40 s). Cap the product at 2048:
-    SPP_BATCH = 64
-    MAX_K_PER_DISPATCH = 2048
+    # link exactly once (see SPP_BATCH / MAX_K_PER_DISPATCH above):
     b_cap = max(1, MAX_K_PER_DISPATCH // J)
     flat_acc = None
     done = 0

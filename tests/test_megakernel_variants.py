@@ -90,12 +90,20 @@ def test_two_level_walk_bitwise_identical(mega_scene, monkeypatch):
     """The two-level VMEM walk (super cull + per-super member refinement)
     is a pure work-skipping change: images must match the flat walk
     exactly. The production threshold is >128 blocks; monkeypatch it down
-    so the Cornell fixture (32 blocks, 4 supers) exercises the path."""
+    so the Cornell fixture (32 blocks, 4 supers) exercises the path.
+
+    TWO_LEVEL_MIN_BLOCKS is read at TRACE time and is not part of the
+    jit cache key — clear the cache around the patch or the call would
+    silently reuse the flat-walk executable (vacuous test)."""
     from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
 
     arrays, params, base = mega_scene
     monkeypatch.setattr(MK, "TWO_LEVEL_MIN_BLOCKS", 1)
-    img, done = _render(arrays, params)
+    MK.megakernel_path_trace.clear_cache()
+    try:
+        img, done = _render(arrays, params)
+    finally:
+        MK.megakernel_path_trace.clear_cache()
     assert done == 48 * 32
     np.testing.assert_array_equal(img, base)
 
@@ -154,15 +162,23 @@ def test_slab_chunking_bitwise_identical(mega_scene, monkeypatch):
     """The cull slab pass is chunked over AABB rows purely to bound
     scoped VMEM (the 2M-tri HBM config OOMs unchunked); forcing
     multi-chunk on the 32-block Cornell fixture must be bitwise
-    identical, for both the VMEM and HBM walks."""
+    identical, for both the VMEM and HBM walks.
+
+    SLAB_CHUNK_ROWS is read at TRACE time and is not part of the jit
+    cache key — clear the cache around the patch or both calls would
+    silently reuse the single-chunk executables (vacuous test)."""
     from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
 
     arrays, params, base = mega_scene
     monkeypatch.setattr(MK, "SLAB_CHUNK_ROWS", 8)
-    img, done = _render(arrays, params)
-    assert done == 48 * 32
-    np.testing.assert_array_equal(img, base)
-    img, done = _render(arrays, params, hbm=True)
+    MK.megakernel_path_trace.clear_cache()
+    try:
+        img, done = _render(arrays, params)
+        assert done == 48 * 32
+        np.testing.assert_array_equal(img, base)
+        img, done = _render(arrays, params, hbm=True)
+    finally:
+        MK.megakernel_path_trace.clear_cache()
     assert done == 48 * 32
     np.testing.assert_array_equal(img, base)
 
