@@ -301,7 +301,11 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         a = np.asarray(a, np.float64)
         if Tp == T:
             return a
-        out = np.full((Tp,) + a.shape[1:], fill, np.float64)
+        shape = (Tp,) + a.shape[1:]
+        # np.zeros is calloc-backed (lazily-zeroed pages) — measurably
+        # faster than np.full's explicit fill at multi-million rows:
+        out = (np.zeros(shape, np.float64) if fill == 0.0
+               else np.full(shape, fill, np.float64))
         out[:T] = a
         return out
 
