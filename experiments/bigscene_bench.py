@@ -39,7 +39,7 @@ def run(name):
         scene, image_width=256, image_height=256,
         samples_per_pixel=cfg["spp"], max_path_length=5,
         intersector=cfg["intersector"])
-    ntris = arrays.blocked.p.shape[0]
+    ntris = arrays.blocked.tri_geom.shape[0]
     render_streaming(arrays, params, stats_out={})  # warm-up / compile
     best = float("inf")
     stats = {}

@@ -50,7 +50,7 @@ def main():
     arrays, params, _ = build_scene(
         scene, image_width=256, image_height=256,
         samples_per_pixel=8, max_path_length=5, intersector="pallas-hbm")
-    ntris = arrays.blocked.p.shape[0]
+    ntris = arrays.blocked.tri_geom.shape[0]
     paths = 256 * 256 * 8
     log = open("/root/repo/experiments/results.jsonl", "a")
     print(f"grid {grid}: {ntris} tri rows", flush=True)

@@ -327,6 +327,11 @@ def pallas_intersect(tables: BlockedSceneTables, origins, dirs, t_min, t_max,
     origins/dirs [R,3], t_min/t_max [R]; R is padded to BR internally.
     Returns (t [R], packed_tri_index [R]; -1 where no triangle hit).
     """
+    if tables.p is None:
+        raise RuntimeError(
+            "VMEM-layout p table was skipped at build time (scene "
+            "exceeds tables.VMEM_TABLE_MAX_TRIS); use pallas_intersect_hbm "
+            "or rebuild with build_scene(..., intersector='pallas')")
     br = br or BR
     R = origins.shape[0]
     Rp = -(-R // br) * br

@@ -1218,6 +1218,12 @@ def megakernel_path_trace(
                 sub = 1
             else:
                 reflag = 0
+        if tables.p is None:
+            raise RuntimeError(
+                "VMEM-layout p table was skipped at build time (scene "
+                "exceeds tables.VMEM_TABLE_MAX_TRIS); use the "
+                "pallas-hbm intersector, or rebuild with "
+                "build_scene(..., intersector='pallas') to force it")
         p_in, nrm_in = tables.p, tables.nrm
         if two_level:
             baabb = tables.saabb

@@ -67,9 +67,17 @@ SUBB = 32  # finest cull granularity (tris per sub-block AABB)
 # PROGRESS.md finding 25 — kept for larger VMEM scenes where block AABBs
 # are tighter relative to ray extents.)
 
+# Above this many (padded) triangle rows the VMEM-layout p table is not
+# materialised (p8 carries bitwise the same values in the HBM super
+# layout, and no VMEM-mode kernel can hold such a scene anyway) — at
+# 8.4M tris the duplicate costs 536 MB of device HBM + a full h2d
+# transfer. An explicit intersector="pallas" build keeps it. Tests
+# monkeypatch this down to cover the skip path:
+VMEM_TABLE_MAX_TRIS = 65536
+
 
 class BlockedSceneTables(NamedTuple):
-    p: jnp.ndarray        # [nb*TB, 16] f32
+    p: jnp.ndarray | None  # [nb*TB, 16] f32 (None above VMEM_TABLE_MAX_TRIS)
     # Super-packed copy of p for the HBM-streamed kernels: Mosaic DMA
     # slices must be 128-aligned in the minor dimension, and a [*, 16]
     # slab is not. Instead of padding 16 -> 128 columns (8x wasted HBM
@@ -160,7 +168,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          mat_ior: np.ndarray | None = None,
                          mat_type: np.ndarray | None = None,
                          mat_emission: np.ndarray | None = None,
-                         mat_emissive: np.ndarray | None = None) -> BlockedSceneTables:
+                         mat_emissive: np.ndarray | None = None,
+                         with_vmem_p: bool | None = None) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
@@ -386,8 +395,10 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     p8 = (p.reshape(ns, SB, TB, 16).transpose(0, 2, 1, 3)
            .reshape(ns * TB, SB * 16))
 
+    if with_vmem_p is None:
+        with_vmem_p = Tp <= VMEM_TABLE_MAX_TRIS
     return BlockedSceneTables(
-        p=jnp.asarray(p),
+        p=jnp.asarray(p) if with_vmem_p else None,
         p8=jnp.asarray(p8),
         nrm=jnp.asarray(nrm),
         baabb=jnp.asarray(baabb),

@@ -340,7 +340,7 @@ def env_flush_cadence(scene) -> int:
     ``RAY_ENV_EVERY`` overrides; garbage or non-positive values fall back
     to the heuristic (the kernel's deferred branch divides by the cadence,
     so values < 1 must never reach it)."""
-    default = 4 if scene.blocked.p.shape[0] > 1024 else 1
+    default = 4 if scene.blocked.tri_geom.shape[0] > 1024 else 1
     try:
         v = int(os.environ.get("RAY_ENV_EVERY", default))
     except (TypeError, ValueError):

@@ -259,6 +259,8 @@ def build_scene(
     tri_mat_ids = (
         mat_id[tri_geom_ids] if len(tri_geom_ids) else np.zeros(0, np.int32)
     )
+    from ..ops.pallas.tables import VMEM_TABLE_MAX_TRIS
+
     blocked = build_blocked_tables(
         tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
         verts if len(verts) else np.zeros((1, 3), np.float32),
@@ -268,6 +270,11 @@ def build_scene(
         tri_mat=tri_mat_ids,
         mat_albedo=mat_albedo, mat_ior=mat_ior, mat_type=mat_type,
         mat_emission=mat_emission, mat_emissive=mat_emissive,
+        # The VMEM-layout p duplicates p8 bitwise; above the VMEM kernel
+        # ceiling it is dead weight (536 MB at 8.4M tris) unless the
+        # VMEM intersector was forced explicitly:
+        with_vmem_p=(len(tri_v) <= VMEM_TABLE_MAX_TRIS
+                     or intersector == "pallas"),
     )
     sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
     disc_geom = disc_gid0 + np.arange(max(len(scene.discs), 1), dtype=np.int32)

@@ -69,12 +69,16 @@ def load_compiled_scene(path: str):
         tri_has_normals[sl] = bool(has_n[g])
     mat_id_arr = host["mat_id"]
     tri_mat = mat_id_arr[np.clip(tri_geom, 0, len(mat_id_arr) - 1)]
+    from ..ops.pallas.tables import VMEM_TABLE_MAX_TRIS
+
     blocked = build_blocked_tables(
         tri_v, verts, tri_geom, tri_prim,
         vert_normals=host["normals"], tri_has_normals=tri_has_normals,
         tri_mat=tri_mat, mat_albedo=host["mat_albedo"],
         mat_ior=host["mat_ior"], mat_type=host["mat_type"],
         mat_emission=host["mat_emission"], mat_emissive=host["mat_emissive"],
+        with_vmem_p=(T <= VMEM_TABLE_MAX_TRIS
+                     or params.intersector == "pallas"),
     )
 
     arrays = SceneArrays(

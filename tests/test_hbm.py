@@ -98,3 +98,44 @@ def test_stress_scene_renders():
     pt = render(arrays, params, mode="path-trace", chunk_size=1024)
     assert np.isfinite(pt.rgb).all()
     assert pt.rgb.max() > 0
+
+
+def test_vmem_p_skipped_at_scale(monkeypatch):
+    """Above VMEM_TABLE_MAX_TRIS the VMEM-layout p table (a bitwise
+    duplicate of p8) is not materialised — 536 MB of device HBM at 8.4M
+    tris. The HBM paths must still render, and the VMEM kernels must
+    raise a clear error rather than crash."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from ipu_ray_lib_tpu.ops.pallas import tables as TBL
+    from ipu_ray_lib_tpu.ops.pallas.intersect_kernel import pallas_intersect
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_stress_scene
+
+    scene = make_stress_scene(16)   # 1058 tris
+    monkeypatch.setattr(TBL, "VMEM_TABLE_MAX_TRIS", 100)
+    arrays, params, _ = build_scene(
+        scene, image_width=32, image_height=32, samples_per_pixel=1,
+        max_path_length=3, intersector="pallas-hbm")
+    assert arrays.blocked.p is None
+    img, done = render_streaming(arrays, params, spp=1)
+    assert done == 32 * 32
+
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (4, 1))
+    with pytest.raises(RuntimeError, match="skipped at build time"):
+        pallas_intersect(arrays.blocked, o, d, jnp.zeros(4),
+                         jnp.full(4, 1e9), interpret=True)
+    pv = dataclasses.replace(params, intersector="pallas")
+    with pytest.raises(RuntimeError, match="skipped at build time"):
+        render_streaming(arrays, pv, spp=1)
+
+    # An explicit pallas build keeps the table:
+    arrays2, params2, _ = build_scene(
+        scene, image_width=32, image_height=32, samples_per_pixel=1,
+        max_path_length=3, intersector="pallas")
+    assert arrays2.blocked.p is not None
