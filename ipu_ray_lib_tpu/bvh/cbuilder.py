@@ -106,11 +106,14 @@ def build_bvh_native(prim_lo, prim_hi, geom_ids, prim_ids, max_leaf_size=1):
     if rc != 0:
         return None
     m = num_nodes.value
+    # Views, not copies: at leaf=1 the node count is 2n-1 of the 2n
+    # capacity, so slicing retains ~nothing extra and the copies were
+    # measurably slow (~20 s at 2M tris, cold pages):
     return CompactBvh(
-        mins=mins[:m].copy(),
-        exts=exts[:m].view(np.float16).copy(),
-        meta=meta[:m].copy(),
-        geom=geom[:m].copy(),
-        miss=miss[:m].copy(),
+        mins=mins[:m],
+        exts=exts[:m].view(np.float16),
+        meta=meta[:m],
+        geom=geom[:m],
+        miss=miss[:m],
         max_depth=max_depth.value,
     )

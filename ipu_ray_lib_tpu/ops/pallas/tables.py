@@ -169,7 +169,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          mat_type: np.ndarray | None = None,
                          mat_emission: np.ndarray | None = None,
                          mat_emissive: np.ndarray | None = None,
-                         with_vmem_p: bool | None = None) -> BlockedSceneTables:
+                         with_vmem_p: bool | None = None,
+                         native_pack: bool = True) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
@@ -185,20 +186,32 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     if vert_normals is None:
         tri_has_normals = np.zeros(T, bool)
 
-    # Convert the (smaller) vertex table to f64 once, then gather — the
-    # gather-then-astype order copies every per-triangle array twice:
-    verts64 = np.asarray(verts, np.float64)
-    p0 = verts64[tri_v[:, 0]]
-    p1 = verts64[tri_v[:, 1]]
-    p2 = verts64[tri_v[:, 2]]
+    # f64 vertex gathers feed the split path, the Morton fallback and
+    # the numpy pack fallback — the treelet + native-packer fast path
+    # touches only f32 bounds (min/max select exactly, so f64-of-f32
+    # bounds == f32 bounds bitwise and the treelet order is unchanged).
+    # Gather lazily so multi-million-triangle imports stay single-pass:
+    _vcache: dict = {}
 
-    if vert_normals is not None:
-        vn64 = np.asarray(vert_normals, np.float64)
-        vn0 = vn64[tri_v[:, 0]]
-        vn1 = vn64[tri_v[:, 1]]
-        vn2 = vn64[tri_v[:, 2]]
-    else:
-        vn0 = vn1 = vn2 = np.zeros_like(p0)
+    def _gather_p64():
+        if "p0" not in _vcache:
+            verts64 = np.asarray(verts, np.float64)
+            _vcache["p0"] = verts64[tri_v[:, 0]]
+            _vcache["p1"] = verts64[tri_v[:, 1]]
+            _vcache["p2"] = verts64[tri_v[:, 2]]
+        return _vcache["p0"], _vcache["p1"], _vcache["p2"]
+
+    def _gather_vn64():
+        if "vn0" not in _vcache:
+            if vert_normals is not None:
+                vn64 = np.asarray(vert_normals, np.float64)
+                _vcache["vn0"] = vn64[tri_v[:, 0]]
+                _vcache["vn1"] = vn64[tri_v[:, 1]]
+                _vcache["vn2"] = vn64[tri_v[:, 2]]
+            else:
+                z = np.zeros((T, 3), np.float64)
+                _vcache["vn0"] = _vcache["vn1"] = _vcache["vn2"] = z
+        return _vcache["vn0"], _vcache["vn1"], _vcache["vn2"]
 
     tri_geom = np.asarray(tri_geom, np.int32)
     tri_prim = np.asarray(tri_prim, np.int32)
@@ -220,12 +233,15 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     if len(tri_mat) < T:
         tri_mat = np.pad(tri_mat, (0, T - len(tri_mat)))
     if split_large:
+        p0, p1, p2 = _gather_p64()
+        vn0, vn1, vn2 = _gather_vn64()
         (p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim,
          tri_has_normals, tri_mat) = _split_large_triangles(
             p0, p1, p2, vn0, vn1, vn2, tri_geom, tri_prim, tri_has_normals,
             tri_mat,
         )
         T = len(p0)
+        _vcache.update(p0=p0, p1=p1, p2=p2, vn0=vn0, vn1=vn1, vn2=vn2)
 
     # Spatial ordering so 128-tri runs form tight blocks. Preferred:
     # depth-first leaf order of the binned-SAH BVH (bvh/builder.py, the
@@ -238,8 +254,19 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         try:
             from ...bvh.builder import INVALID_GEOM_ID, build_bvh
 
-            tlo_o = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
-            thi_o = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+            if not split_large and np.asarray(verts).dtype == np.float32:
+                # f32 shortcut — bitwise-identical bounds (min/max
+                # select exactly) without the 6 f64 gathers:
+                vf = np.asarray(verts)
+                a0 = vf[tri_v[:, 0]]
+                a1 = vf[tri_v[:, 1]]
+                a2 = vf[tri_v[:, 2]]
+                tlo_o = np.minimum(np.minimum(a0, a1), a2)
+                thi_o = np.maximum(np.maximum(a0, a1), a2)
+            else:
+                p0b, p1b, p2b = _gather_p64()
+                tlo_o = np.minimum(np.minimum(p0b, p1b), p2b).astype(np.float32)
+                thi_o = np.maximum(np.maximum(p0b, p1b), p2b).astype(np.float32)
             t_bvh = build_bvh(tlo_o, thi_o, np.zeros(T, np.int64),
                               np.arange(T, dtype=np.int64),
                               max_leaf_size=1)
@@ -251,135 +278,161 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
             order = None
     if order is None:
         # Morton order by centroid:
-        cent = (p0 + p1 + p2) / 3.0
+        p0m, p1m, p2m = _gather_p64()
+        cent = (p0m + p1m + p2m) / 3.0
         lo = cent.min(axis=0)
         span = np.maximum(cent.max(axis=0) - lo, 1e-20)
         q = np.clip(((cent - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
         order = np.argsort(_morton3(q), kind="stable")
-    p0, p1, p2 = p0[order], p1[order], p2[order]
-    vn0, vn1, vn2 = vn0[order], vn1[order], vn2[order]
+    tri_v_o = None if split_large else np.asarray(tri_v, np.int64)[order]
     tri_has_normals = tri_has_normals[order]
     tri_geom = tri_geom[order]
     tri_prim = tri_prim[order]
     tri_mat = tri_mat[order]
-
-    # Plane + barycentric-gradient precompute (as ops/dense.py):
-    e1 = p1 - p0
-    e2 = p2 - p0
-    n = np.cross(e1, e2)
-    nlen = np.linalg.norm(n, axis=-1, keepdims=True)
-    degenerate = nlen[:, 0] < 1e-20
-    n = np.where(degenerate[:, None], 0.0, n / np.maximum(nlen, 1e-30))
-    d00 = np.sum(e1 * e1, axis=-1)
-    d01 = np.sum(e1 * e2, axis=-1)
-    d11 = np.sum(e2 * e2, axis=-1)
-    denom = d00 * d11 - d01 * d01
-    safe = np.where(np.abs(denom) < 1e-30, 1.0, denom)
-    g1 = np.where(degenerate[:, None], 0.0, (e1 * d11[:, None] - e2 * d01[:, None]) / safe[:, None])
-    g2 = np.where(degenerate[:, None], 0.0, (e2 * d00[:, None] - e1 * d01[:, None]) / safe[:, None])
-
-    # Shading-normal basis: interpolated where vertex normals exist,
-    # geometric (unit plane normal) otherwise:
-    hasn = tri_has_normals[:, None]
-    N0 = np.where(hasn, vn0, n)
-    dN1 = np.where(hasn, vn1 - vn0, 0.0)
-    dN2 = np.where(hasn, vn2 - vn0, 0.0)
-
-    # Per-tri material payload (selected via the w1 one-hot dot; see the
-    # module docstring for the bf16-exactness contract):
-    m_safe = np.clip(tri_mat, 0, len(mat_albedo) - 1)
-    mat_alb = np.asarray(mat_albedo, np.float64)[m_safe]
-    mat_id_hi = (m_safe // 256).astype(np.float64)
-    mat_id_lo = (m_safe % 256).astype(np.float64)
-    mat_tp = (
-        np.asarray(mat_type, np.int64)[m_safe]
-        + 4 * np.asarray(mat_emissive, np.int64)[m_safe]
-    ).astype(np.float64)
-    mat_iors = np.asarray(mat_ior, np.float64)[m_safe]
-    mat_em = np.asarray(mat_emission, np.float64)[m_safe]
 
     nb = max(1, -(-T // TB))
     ns = -(-nb // SB)
     nb = ns * SB  # pad block count to a whole number of supers
     Tp = nb * TB
 
-    def padT(a, fill=0.0):
-        # Single-copy pad (np.asarray is a no-op for the already-f64
-        # inputs; .astype + np.pad made two full copies each and
-        # dominated multi-million-triangle builds):
-        a = np.asarray(a, np.float64)
-        if Tp == T:
-            return a
-        shape = (Tp,) + a.shape[1:]
-        # np.zeros is calloc-backed (lazily-zeroed pages) — measurably
-        # faster than np.full's explicit fill at multi-million rows:
-        out = (np.zeros(shape, np.float64) if fill == 0.0
-               else np.full(shape, fill, np.float64))
-        out[:T] = a
-        return out
-
-    n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
-    N0_p, dN1_p, dN2_p = padT(N0), padT(dN1), padT(dN2)
-    mat_alb_p = padT(mat_alb)
-    mat_id_hi_p = padT(mat_id_hi)
-    mat_id_lo_p = padT(mat_id_lo)
-    mat_tp_p = padT(mat_tp)
-    mat_ior_p = padT(mat_iors)
-    mat_em_p = padT(mat_em)
-    p0_p = padT(p0)
-    tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
-    tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
-
-    # nrm: [8, nb*3*TB] — assembled through a [8, nb, 3, TB] view so the
-    # per-block layout is pure vectorised numpy (the python-loop version
-    # took minutes at multi-million-triangle scenes):
-    nrm = np.zeros((8, nb, 3, TB), np.float32)
-
-    def blocked(a):  # [Tp, ...] -> [nb, TB, ...] -> [.., nb, TB]
-        a = a.reshape(nb, TB, -1)
-        return np.moveaxis(a, 2, 0).astype(np.float32)
-
-    nrm[0:3, :, 0] = blocked(N0_p)
-    nrm[0:3, :, 1] = blocked(dN1_p)
-    nrm[0:3, :, 2] = blocked(dN2_p)
-    nrm[3:6, :, 0] = blocked(mat_alb_p)
-    nrm[6, :, 0] = mat_id_hi_p.reshape(nb, TB)
-    nrm[7, :, 0] = mat_id_lo_p.reshape(nb, TB)
-    nrm[3, :, 1] = mat_tp_p.reshape(nb, TB)
-    nrm[4, :, 1] = mat_ior_p.reshape(nb, TB)
-    nrm[5:8, :, 1] = blocked(mat_em_p)
-    nrm = nrm.reshape(8, nb * 3 * TB)
-
-    # p: [nb*TB, 16]
-    p = np.zeros((Tp, 16), np.float32)
-    p[:, 0] = np.sum(n_p * p0_p, axis=-1)
-    p[:, 1] = np.sum(g1_p * p0_p, axis=-1)
-    p[:, 2] = np.sum(g2_p * p0_p, axis=-1)
-    p[:, 3:6] = n_p
-    p[:, 6:9] = g1_p
-    p[:, 9:12] = g2_p
-    # Watertight acceptance-widening bound terms (utils/constants.py
-    # WATERTIGHT_EPS_SCALE), pre-scaled by the constant so the kernel
-    # computes eps = p12 + p13 * (|o|_inf + E_t) in two ops:
-    # col 12 = WT * S_tri = WT * (|g1p0|+|g2p0|), col 13 = WT * G_tri =
-    # WT * (||g1||_1 + ||g2||_1), col 14 = |tnp0| (for E_t without an
-    # in-kernel abs). Padding rows stay 0 (eps = 0):
     from ...utils.constants import WATERTIGHT_EPS_SCALE as _WT_
 
-    p[:, 12] = _WT_ * (np.abs(p[:, 1]) + np.abs(p[:, 2]))
-    p[:, 13] = _WT_ * (np.abs(g1_p).sum(axis=-1)
-                       + np.abs(g2_p).sum(axis=-1))
-    p[:, 14] = np.abs(p[:, 0])
+    # Native one-pass packer (csrc/table_packer.cpp) — bitwise twin of
+    # the numpy block below (gated by tests/test_table_packer.py); the
+    # numpy path remains the fallback and the parity reference. Only
+    # f32 inputs qualify (the native packer promotes f32 -> f64 the way
+    # the numpy path does; other dtypes take the fallback):
+    packed = None
+    if (native_pack and tri_v_o is not None
+            and np.asarray(verts).dtype == np.float32
+            and (vert_normals is None
+                 or np.asarray(vert_normals).dtype == np.float32)):
+        from .cpack import pack_tables_native
 
-    # Block/super/sub-block AABBs over real triangles, vectorised via
-    # padded grouped reductions (padding rows get inverted boxes that can
-    # never be hit):
-    tlo = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
-    thi = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
-    tlo_p = np.full((Tp, 3), np.inf, np.float32)
-    thi_p = np.full((Tp, 3), -np.inf, np.float32)
-    tlo_p[:T] = tlo
-    thi_p[:T] = thi
+        m_safe_o = np.clip(tri_mat, 0, len(mat_albedo) - 1)
+        packed = pack_tables_native(
+            verts, tri_v_o, vert_normals, tri_has_normals, m_safe_o,
+            mat_albedo, mat_ior, mat_type, mat_emissive, mat_emission,
+            nb, float(_WT_))
+    if packed is not None:
+        p, nrm, tlo_p, thi_p = packed
+    else:
+        p0, p1, p2 = _gather_p64()
+        vn0, vn1, vn2 = _gather_vn64()
+        p0, p1, p2 = p0[order], p1[order], p2[order]
+        vn0, vn1, vn2 = vn0[order], vn1[order], vn2[order]
+
+        # Plane + barycentric-gradient precompute (as ops/dense.py):
+        e1 = p1 - p0
+        e2 = p2 - p0
+        n = np.cross(e1, e2)
+        nlen = np.linalg.norm(n, axis=-1, keepdims=True)
+        degenerate = nlen[:, 0] < 1e-20
+        n = np.where(degenerate[:, None], 0.0, n / np.maximum(nlen, 1e-30))
+        d00 = np.sum(e1 * e1, axis=-1)
+        d01 = np.sum(e1 * e2, axis=-1)
+        d11 = np.sum(e2 * e2, axis=-1)
+        denom = d00 * d11 - d01 * d01
+        safe = np.where(np.abs(denom) < 1e-30, 1.0, denom)
+        g1 = np.where(degenerate[:, None], 0.0, (e1 * d11[:, None] - e2 * d01[:, None]) / safe[:, None])
+        g2 = np.where(degenerate[:, None], 0.0, (e2 * d00[:, None] - e1 * d01[:, None]) / safe[:, None])
+
+        # Shading-normal basis: interpolated where vertex normals exist,
+        # geometric (unit plane normal) otherwise:
+        hasn = tri_has_normals[:, None]
+        N0 = np.where(hasn, vn0, n)
+        dN1 = np.where(hasn, vn1 - vn0, 0.0)
+        dN2 = np.where(hasn, vn2 - vn0, 0.0)
+
+        # Per-tri material payload (selected via the w1 one-hot dot; see the
+        # module docstring for the bf16-exactness contract):
+        m_safe = np.clip(tri_mat, 0, len(mat_albedo) - 1)
+        mat_alb = np.asarray(mat_albedo, np.float64)[m_safe]
+        mat_id_hi = (m_safe // 256).astype(np.float64)
+        mat_id_lo = (m_safe % 256).astype(np.float64)
+        mat_tp = (
+            np.asarray(mat_type, np.int64)[m_safe]
+            + 4 * np.asarray(mat_emissive, np.int64)[m_safe]
+        ).astype(np.float64)
+        mat_iors = np.asarray(mat_ior, np.float64)[m_safe]
+        mat_em = np.asarray(mat_emission, np.float64)[m_safe]
+
+        def padT(a, fill=0.0):
+            # Single-copy pad (np.asarray is a no-op for the already-f64
+            # inputs; .astype + np.pad made two full copies each and
+            # dominated multi-million-triangle builds):
+            a = np.asarray(a, np.float64)
+            if Tp == T:
+                return a
+            shape = (Tp,) + a.shape[1:]
+            # np.zeros is calloc-backed (lazily-zeroed pages) — measurably
+            # faster than np.full's explicit fill at multi-million rows:
+            out = (np.zeros(shape, np.float64) if fill == 0.0
+                   else np.full(shape, fill, np.float64))
+            out[:T] = a
+            return out
+
+        n_p, g1_p, g2_p = padT(n), padT(g1), padT(g2)
+        N0_p, dN1_p, dN2_p = padT(N0), padT(dN1), padT(dN2)
+        mat_alb_p = padT(mat_alb)
+        mat_id_hi_p = padT(mat_id_hi)
+        mat_id_lo_p = padT(mat_id_lo)
+        mat_tp_p = padT(mat_tp)
+        mat_ior_p = padT(mat_iors)
+        mat_em_p = padT(mat_em)
+        p0_p = padT(p0)
+
+        # nrm: [8, nb*3*TB] — assembled through a [8, nb, 3, TB] view so the
+        # per-block layout is pure vectorised numpy (the python-loop version
+        # took minutes at multi-million-triangle scenes):
+        nrm = np.zeros((8, nb, 3, TB), np.float32)
+
+        def blocked(a):  # [Tp, ...] -> [nb, TB, ...] -> [.., nb, TB]
+            a = a.reshape(nb, TB, -1)
+            return np.moveaxis(a, 2, 0).astype(np.float32)
+
+        nrm[0:3, :, 0] = blocked(N0_p)
+        nrm[0:3, :, 1] = blocked(dN1_p)
+        nrm[0:3, :, 2] = blocked(dN2_p)
+        nrm[3:6, :, 0] = blocked(mat_alb_p)
+        nrm[6, :, 0] = mat_id_hi_p.reshape(nb, TB)
+        nrm[7, :, 0] = mat_id_lo_p.reshape(nb, TB)
+        nrm[3, :, 1] = mat_tp_p.reshape(nb, TB)
+        nrm[4, :, 1] = mat_ior_p.reshape(nb, TB)
+        nrm[5:8, :, 1] = blocked(mat_em_p)
+        nrm = nrm.reshape(8, nb * 3 * TB)
+
+        # p: [nb*TB, 16]
+        p = np.zeros((Tp, 16), np.float32)
+        p[:, 0] = np.sum(n_p * p0_p, axis=-1)
+        p[:, 1] = np.sum(g1_p * p0_p, axis=-1)
+        p[:, 2] = np.sum(g2_p * p0_p, axis=-1)
+        p[:, 3:6] = n_p
+        p[:, 6:9] = g1_p
+        p[:, 9:12] = g2_p
+        # Watertight acceptance-widening bound terms (utils/constants.py
+        # WATERTIGHT_EPS_SCALE), pre-scaled by the constant so the kernel
+        # computes eps = p12 + p13 * (|o|_inf + E_t) in two ops:
+        # col 12 = WT * S_tri = WT * (|g1p0|+|g2p0|), col 13 = WT * G_tri =
+        # WT * (||g1||_1 + ||g2||_1), col 14 = |tnp0| (for E_t without an
+        # in-kernel abs). Padding rows stay 0 (eps = 0):
+        p[:, 12] = _WT_ * (np.abs(p[:, 1]) + np.abs(p[:, 2]))
+        p[:, 13] = _WT_ * (np.abs(g1_p).sum(axis=-1)
+                           + np.abs(g2_p).sum(axis=-1))
+        p[:, 14] = np.abs(p[:, 0])
+
+        # Block/super/sub-block AABBs over real triangles, vectorised via
+        # padded grouped reductions (padding rows get inverted boxes that can
+        # never be hit):
+        tlo = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+        thi = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+        tlo_p = np.full((Tp, 3), np.inf, np.float32)
+        thi_p = np.full((Tp, 3), -np.inf, np.float32)
+        tlo_p[:T] = tlo
+        thi_p[:T] = thi
+
+    tg = np.pad(tri_geom, (0, Tp - T), constant_values=-1)
+    tp = np.pad(tri_prim, (0, Tp - T), constant_values=-1)
 
     def group_aabb(lo, hi, g):
         n = lo.shape[0] // g

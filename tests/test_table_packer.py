@@ -1,0 +1,76 @@
+"""Native table packer vs the numpy twin: bitwise parity.
+
+The native packer (csrc/table_packer.cpp, bound via ops/pallas/cpack.py)
+replaces the per-triangle f64 precompute of build_blocked_tables. Its
+contract is BITWISE equality with the numpy expressions — any drift
+would silently change the acceptance geometry of every kernel, so the
+gate compares every field of BlockedSceneTables across real scenes
+(Cornell+monkey GLB: vertex normals + materials + emissive; stress
+heightfield: pad rows + multi-super; tiny scene: single-block edge).
+"""
+
+import numpy as np
+import pytest
+
+
+def _tables_for(scene_desc, native):
+    """build_scene with the packer forced on/off; returns blocked tables."""
+    from ipu_ray_lib_tpu.ops.pallas import tables as TBL
+    from ipu_ray_lib_tpu.scene.build import build_scene
+
+    orig = TBL.build_blocked_tables
+
+    def wrapped(*a, **kw):
+        kw["native_pack"] = native
+        return orig(*a, **kw)
+
+    # build_scene resolves build_blocked_tables from the tables module
+    # at call time, so patching the module attribute is sufficient:
+    TBL.build_blocked_tables = wrapped
+    try:
+        arrays, _, _ = build_scene(
+            scene_desc, image_width=16, image_height=16,
+            samples_per_pixel=1, intersector="pallas")
+        return arrays.blocked
+    finally:
+        TBL.build_blocked_tables = orig
+
+
+def _assert_tables_equal(a, b):
+    for name in ("p", "p8", "nrm", "baabb", "baabb32", "saabb",
+                 "tri_geom", "tri_prim"):
+        fa, fb = getattr(a, name), getattr(b, name)
+        if fa is None or fb is None:
+            assert fa is None and fb is None, name
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(fa), np.asarray(fb),
+            err_msg=f"native vs numpy mismatch in {name}")
+
+
+def test_native_pack_available():
+    from ipu_ray_lib_tpu.ops.pallas.cpack import _load
+
+    assert _load() is not None, (
+        "native packer failed to build — make -C csrc")
+
+
+@pytest.mark.parametrize("scene_name", ["cornell_glb", "stress", "tiny"])
+def test_native_pack_bitwise_matches_numpy(scene_name):
+    import os
+
+    from ipu_ray_lib_tpu.scene.builtin import (make_cornell_box_scene,
+                                               make_stress_scene)
+
+    if scene_name == "cornell_glb":
+        glb = os.path.join(os.path.dirname(__file__), "..", "assets",
+                           "monkey_bust.glb")
+        scene = make_cornell_box_scene(
+            glb if os.path.exists(glb) else None, box_only=False)
+    elif scene_name == "stress":
+        scene = make_stress_scene(24)   # 2402 tris: pad rows, 3 supers
+    else:
+        scene = make_cornell_box_scene(None, box_only=True)
+    a = _tables_for(scene, native=True)
+    b = _tables_for(scene, native=False)
+    _assert_tables_equal(a, b)
