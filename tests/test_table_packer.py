@@ -74,3 +74,40 @@ def test_native_pack_bitwise_matches_numpy(scene_name):
     a = _tables_for(scene, native=True)
     b = _tables_for(scene, native=False)
     _assert_tables_equal(a, b)
+
+
+def test_native_pack_random_soup_bitwise():
+    """Randomized triangle soup incl. degenerate triangles (repeated
+    vertices), mixed has-normals flags and many materials — the edge
+    cases the structured scenes can't cover (degenerate n/g zeroing,
+    id hi/lo split above 256, emissive payload rows)."""
+    from ipu_ray_lib_tpu.ops.pallas.tables import build_blocked_tables
+
+    rng = np.random.default_rng(7)
+    T, V, M = 700, 400, 300
+    tri_v = rng.integers(0, V, (T, 3)).astype(np.int32)
+    tri_v[::97, 1] = tri_v[::97, 0]        # degenerate: repeated vertex
+    tri_v[::131] = tri_v[::131, 0:1]       # fully collapsed
+    verts = rng.normal(0, 10, (V, 3)).astype(np.float32)
+    vn = rng.normal(0, 1, (V, 3)).astype(np.float32)
+    hasn = rng.random(T) < 0.5
+    tri_mat = rng.integers(0, M, T).astype(np.int32)
+    kw = dict(
+        vert_normals=vn, tri_has_normals=hasn, tri_mat=tri_mat,
+        mat_albedo=rng.random((M, 3)).astype(np.float32),
+        mat_ior=(1 + rng.random(M)).astype(np.float32),
+        mat_type=rng.integers(0, 4, M).astype(np.int32),
+        mat_emissive=rng.integers(0, 2, M).astype(np.int32),
+        mat_emission=rng.random((M, 3)).astype(np.float32),
+    )
+    gids = np.zeros(T, np.int32)
+    pids = np.arange(T, dtype=np.int32)
+    a = build_blocked_tables(tri_v, verts, gids, pids, native_pack=True, **kw)
+    b = build_blocked_tables(tri_v, verts, gids, pids, native_pack=False, **kw)
+    _assert_tables_equal(a, b)
+    # and without vertex normals at all:
+    a = build_blocked_tables(tri_v, verts, gids, pids, native_pack=True,
+                             **{**kw, "vert_normals": None})
+    b = build_blocked_tables(tri_v, verts, gids, pids, native_pack=False,
+                             **{**kw, "vert_normals": None})
+    _assert_tables_equal(a, b)
