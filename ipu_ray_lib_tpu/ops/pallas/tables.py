@@ -170,7 +170,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          mat_emission: np.ndarray | None = None,
                          mat_emissive: np.ndarray | None = None,
                          with_vmem_p: bool | None = None,
-                         native_pack: bool = True) -> BlockedSceneTables:
+                         native_pack: bool = True,
+                         tri_order: np.ndarray | None = None) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
         tri_v = np.zeros((1, 3), np.int64)
@@ -250,7 +251,16 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     # and its AABB is much tighter than a Morton snake's (round 3; the
     # Morton order remains the fallback):
     order = None
-    if T > TB:
+    if tri_order is not None and not split_large and T > TB:
+        # Caller-supplied DFS leaf order (build_scene reuses the scene
+        # BVH's triangle leaf order — one SAH build per import instead of
+        # two; finding 43's remaining pole). Validate it is a permutation
+        # of [0, T); anything else falls through to the internal build:
+        cand = np.asarray(tri_order, np.int64).ravel()
+        if (len(cand) == T and cand.min() >= 0 and cand.max() < T
+                and np.bincount(cand, minlength=T).all()):
+            order = cand
+    if order is None and T > TB:
         try:
             from ...bvh.builder import INVALID_GEOM_ID, build_bvh
 

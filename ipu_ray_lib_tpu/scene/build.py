@@ -261,6 +261,24 @@ def build_scene(
     )
     from ..ops.pallas.tables import VMEM_TABLE_MAX_TRIS
 
+    # Reuse the scene BVH's depth-first triangle leaf order as the
+    # blocked tables' SAH-treelet ordering (the flattened compact layout
+    # emits one leaf node per primitive in DFS order for any leaf size),
+    # saving the second full SAH build the tables would otherwise run
+    # (finding 43: ~25 s each at 2M tris). Sphere/disc leaves are
+    # filtered out; local primIDs rebase to global triangle ids via
+    # mesh_first_tri:
+    tri_order = None
+    if len(tri_v):
+        from ..bvh.builder import INVALID_GEOM_ID
+
+        leaf = bvh.geom != INVALID_GEOM_ID
+        lg = bvh.geom[leaf].astype(np.int64)
+        lp = bvh.meta[leaf].astype(np.int64)
+        tri_leaf = lg < len(scene.meshes)
+        first_tri = np.asarray(mesh_first_tri, np.int64)
+        tri_order = first_tri[lg[tri_leaf]] + lp[tri_leaf]
+
     blocked = build_blocked_tables(
         tri_v if len(tri_v) else np.zeros((0, 3), np.int32),
         verts if len(verts) else np.zeros((1, 3), np.float32),
@@ -275,6 +293,7 @@ def build_scene(
         # VMEM intersector was forced explicitly:
         with_vmem_p=(len(tri_v) <= VMEM_TABLE_MAX_TRIS
                      or intersector == "pallas"),
+        tri_order=tri_order,
     )
     sphere_geom = sphere_gid0 + np.arange(max(len(scene.spheres), 1), dtype=np.int32)
     disc_geom = disc_gid0 + np.arange(max(len(scene.discs), 1), dtype=np.int32)
