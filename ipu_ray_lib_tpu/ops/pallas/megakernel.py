@@ -251,7 +251,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems, bflag_ref,
-                 bw_ref, wf_ref,
+                 wf_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
@@ -426,20 +426,17 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             bt_ref[:] = jnp.where(better, bt, best_t)
             if _timing_no_dots:
                 return
-            # DEFERRED payload: the walk records only the winner's global
-            # triangle row and barycentrics; the normal/material one-hot
-            # MXU dots run ONCE after the walk, for just the blocks that
-            # actually won a lane (a handful vs every walked block —
-            # round-2 measured the inline dots at ~9% of kernel time).
-            # Bitwise-identical payload: the final dot uses the same
-            # one-hot and nrm slice the last `better` merge would have:
-            sel = (tri_lane == bi) & ok
-            b1w = jnp.sum(jnp.where(sel, b1, 0.0), axis=0, keepdims=True)
-            b2w = jnp.sum(jnp.where(sel, b2, 0.0), axis=0, keepdims=True)
+            # DEFERRED payload: the walk records ONLY the winner's global
+            # triangle row (one merged write); barycentrics are re-derived
+            # in the post-walk pass from a one-hot extraction of the
+            # winner's p-row — the same arithmetic on [1, br] vectors, so
+            # the payload stays bitwise identical while the walk drops the
+            # per-pair winner-extraction ops (sel + two masked sums,
+            # ~6 VPU ops/pair; the normal/material MXU dots were already
+            # deferred — round-2 measured them inline at ~9% of kernel
+            # time):
             row_g = bi + blk * TBW                    # global tri row
             ki_ref[7:8, :] = jnp.where(better, row_g, ki_ref[7:8, :])
-            bw_ref[0:1, :] = jnp.where(better, b1w, bw_ref[0:1, :])
-            bw_ref[1:2, :] = jnp.where(better, b2w, bw_ref[1:2, :])
 
         if _timing_no_dots:
             # Plausible fixed material so path statistics stay realistic:
@@ -705,12 +702,42 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 def _p(b=b):
                     rel = row - b * TB
                     w1 = (tri128 == rel).astype(f32)
+                    # Re-derive the winner's barycentrics from its p-row,
+                    # extracted by the one-hot (HIGHEST precision keeps the
+                    # extraction exact: the 3-way bf16 split of an f32 is
+                    # exact and one-hot columns are bf16-exact, so value*1
+                    # sums back bitwise — the default MXU f32 path would
+                    # round the coefficients through bf16, finding 14).
+                    # The [1, br] recompute below repeats do_block's exact
+                    # op sequence on the same scalars, so b1/b2 match the
+                    # in-walk values bitwise:
+                    pc = jax.lax.dot_general(
+                        p_ref[pl.ds(b * TB, TB), 0:12], w1,
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=f32)      # [12, br]
+                    on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
+                    dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
+                    og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
+                    dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
+                    og2w = pc[9:10] * o[0] + pc[10:11] * o[1] + pc[11:12] * o[2]
+                    dg2w = pc[9:10] * d[0] + pc[10:11] * d[1] + pc[11:12] * d[2]
+                    r_w = pl.reciprocal(dn_w, approx=True)
+                    r_w = r_w * (2.0 - dn_w * r_w)
+                    t_w = (pc[0:1] - on_w) * r_w
+                    # Lanes whose winner lives in another block extract an
+                    # all-zero row (dn_w == 0 -> t_w is NaN); their one-hot
+                    # column is all zero anyway — mask to keep the NaN out
+                    # of the weight product:
+                    mine = blkw == b
+                    b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
+                    b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
                     # w2/w3 barycentric weights touch ONLY normal rows
                     # 0-2: segments 1/2's spare rows carry material data
                     # whose weighted leakage was a real radiometry bug
                     # (finding 30):
-                    w2 = w1 * bw_ref[0:1, :]
-                    w3 = w1 * bw_ref[1:2, :]
+                    w2 = w1 * b1w
+                    w3 = w1 * b2w
                     c0 = b * 3 * TB
                     n_cand = jax.lax.dot_general(
                         nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
@@ -1284,8 +1311,7 @@ def megakernel_path_trace(
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((SB, 1), jnp.int32),      # in-super block flags
-            # Deferred-payload winner state (VMEM walks only):
-            pltpu.VMEM((2, br) if not hbm else (1, 1), jnp.float32),
+            # Deferred-payload winner-block flags (VMEM walks only):
             pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)
                        if not hbm else (1, 1), jnp.int32),
         ],
