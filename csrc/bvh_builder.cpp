@@ -105,71 +105,125 @@ static uint16_t f32_to_f16_not_smaller(float f) {
 struct Node {
   V3 lo, hi;
   int left = -1, right = -1;
-  int64_t first = 0, count = 0;  // leaf primitive range into the order array
+  int64_t first = 0, count = 0;  // leaf primitive range into the ref array
+};
+
+// Contiguous per-primitive record, partitioned in place. Streaming the
+// 32-byte refs beats the previous index-array design (every pass was a
+// random gather through `order` on a machine with one core and a small
+// cache); the double-precision centroid is recomputed from the f32
+// bounds exactly as the old stored-centroid arrays were filled, so bin
+// assignment is unchanged.
+struct PrimRef {
+  V3 lo, hi;
+  int64_t id;
+};
+
+static inline double ref_cent(const PrimRef& r, int axis) {
+  const float* lo = &r.lo.x;
+  const float* hi = &r.hi.x;
+  return 0.5 * ((double)lo[axis] + (double)hi[axis]);
+}
+
+// Centroid bounds (double, exact min/max — propagating the per-bin
+// unions to children gives bitwise the same bounds a direct pass over
+// the child range would).
+struct CBounds {
+  double lo[3], hi[3];
+  void reset() {
+    for (int a = 0; a < 3; ++a) {
+      lo[a] = 1e300;
+      hi[a] = -1e300;
+    }
+  }
+  void add(const PrimRef& r) {
+    for (int a = 0; a < 3; ++a) {
+      double c = ref_cent(r, a);
+      lo[a] = std::min(lo[a], c);
+      hi[a] = std::max(hi[a], c);
+    }
+  }
+  void merge(const CBounds& o) {
+    for (int a = 0; a < 3; ++a) {
+      lo[a] = std::min(lo[a], o.lo[a]);
+      hi[a] = std::max(hi[a], o.hi[a]);
+    }
+  }
+};
+
+struct ChildInfo {
+  V3 glo, ghi;  // geometry bounds
+  CBounds cb;   // centroid bounds
+  bool valid = false;
 };
 
 struct Builder {
-  const float* plo;
-  const float* phi;
-  std::vector<double> cx, cy, cz;  // centroids
-  std::vector<int64_t> order;
+  std::vector<PrimRef> refs;
   std::vector<Node> nodes;
   int32_t max_leaf;
 
-  V3 prim_lo(int64_t i) const { return {plo[3 * i], plo[3 * i + 1], plo[3 * i + 2]}; }
-  V3 prim_hi(int64_t i) const { return {phi[3 * i], phi[3 * i + 1], phi[3 * i + 2]}; }
-
-  int make_node(int64_t first, int64_t count) {
-    V3 lo{std::numeric_limits<float>::infinity(), INFINITY, INFINITY};
-    V3 hi{-INFINITY, -INFINITY, -INFINITY};
-    for (int64_t k = first; k < first + count; ++k) {
-      lo = vmin(lo, prim_lo(order[k]));
-      hi = vmax(hi, prim_hi(order[k]));
-    }
+  int make_node_b(const V3& lo, const V3& hi, int64_t first, int64_t count) {
     nodes.push_back(Node{lo, hi, -1, -1, first, count});
     return (int)nodes.size() - 1;
   }
 
-  // Partition [first, first+count) in `order`; returns left count or 0
-  // to make a leaf.
-  int64_t split(int64_t first, int64_t count) {
-    if (count <= max_leaf) return 0;
-    double clo[3] = {1e300, 1e300, 1e300}, chi[3] = {-1e300, -1e300, -1e300};
+  // One sequential pass computing both geometry and centroid bounds —
+  // used for the root and the rare degenerate-split children where the
+  // binned sweep didn't produce them.
+  void range_bounds(int64_t first, int64_t count, V3* glo, V3* ghi,
+                    CBounds* cb) {
+    V3 lo{std::numeric_limits<float>::infinity(), INFINITY, INFINITY};
+    V3 hi{-INFINITY, -INFINITY, -INFINITY};
+    cb->reset();
     for (int64_t k = first; k < first + count; ++k) {
-      int64_t p = order[k];
-      double c[3] = {cx[p], cy[p], cz[p]};
-      for (int a = 0; a < 3; ++a) {
-        clo[a] = std::min(clo[a], c[a]);
-        chi[a] = std::max(chi[a], c[a]);
-      }
+      const PrimRef& r = refs[k];
+      lo = vmin(lo, r.lo);
+      hi = vmax(hi, r.hi);
+      cb->add(r);
     }
+    *glo = lo;
+    *ghi = hi;
+  }
+
+  // Partition [first, first+count); returns left count or 0 to make a
+  // leaf. Centroid bounds come in from the parent's sweep; child
+  // geometry AND centroid bounds go out via the per-bin accumulators
+  // (exact min/max unions), so interior nodes cost two sequential
+  // passes total (bin + partition) instead of the previous four
+  // gather passes (centroid pass, bin pass, partition, per-child
+  // bounds pass).
+  int64_t split(int64_t first, int64_t count, const CBounds& cb,
+                ChildInfo* left, ChildInfo* right) {
+    if (count <= max_leaf) return 0;
     int axis = 0;
-    double ext = chi[0] - clo[0];
+    double ext = cb.hi[0] - cb.lo[0];
     for (int a = 1; a < 3; ++a) {
-      if (chi[a] - clo[a] > ext) {
-        ext = chi[a] - clo[a];
+      if (cb.hi[a] - cb.lo[a] > ext) {
+        ext = cb.hi[a] - cb.lo[a];
         axis = a;
       }
     }
-    auto cent = [&](int64_t p) -> double {
-      return axis == 0 ? cx[p] : (axis == 1 ? cy[p] : cz[p]);
-    };
     if (ext <= 0.0) {
       return count / 2;  // degenerate: split by order
     }
+    double clo_axis = cb.lo[axis];
     double scale = kNumBins * (1.0 - 1e-6) / ext;
     int64_t bin_count[kNumBins] = {0};
     V3 bin_lo[kNumBins], bin_hi[kNumBins];
+    CBounds bin_cb[kNumBins];
     for (int b = 0; b < kNumBins; ++b) {
       bin_lo[b] = {INFINITY, INFINITY, INFINITY};
       bin_hi[b] = {-INFINITY, -INFINITY, -INFINITY};
+      bin_cb[b].reset();
     }
     for (int64_t k = first; k < first + count; ++k) {
-      int64_t p = order[k];
-      int b = std::min((int)((cent(p) - clo[axis]) * scale), kNumBins - 1);
+      const PrimRef& r = refs[k];
+      int b = std::min((int)((ref_cent(r, axis) - clo_axis) * scale),
+                       kNumBins - 1);
       bin_count[b]++;
-      bin_lo[b] = vmin(bin_lo[b], prim_lo(p));
-      bin_hi[b] = vmax(bin_hi[b], prim_hi(p));
+      bin_lo[b] = vmin(bin_lo[b], r.lo);
+      bin_hi[b] = vmax(bin_hi[b], r.hi);
+      bin_cb[b].add(r);
     }
     // Suffix sweep:
     float rcost[kNumBins];
@@ -201,35 +255,68 @@ struct Builder {
     }
     if (best < 0) {
       // All in one bin: median split on centroid order:
-      std::nth_element(order.begin() + first,
-                       order.begin() + first + count / 2,
-                       order.begin() + first + count,
-                       [&](int64_t a, int64_t b2) { return cent(a) < cent(b2); });
+      std::nth_element(refs.begin() + first, refs.begin() + first + count / 2,
+                       refs.begin() + first + count,
+                       [&](const PrimRef& a, const PrimRef& b2) {
+                         return ref_cent(a, axis) < ref_cent(b2, axis);
+                       });
       return count / 2;
     }
-    auto mid = std::partition(
-        order.begin() + first, order.begin() + first + count,
-        [&](int64_t p) {
-          int b = std::min((int)((cent(p) - clo[axis]) * scale), kNumBins - 1);
-          return b <= best;
-        });
-    return mid - (order.begin() + first);
+    auto mid = std::partition(refs.begin() + first,
+                              refs.begin() + first + count,
+                              [&](const PrimRef& r) {
+                                int b = std::min(
+                                    (int)((ref_cent(r, axis) - clo_axis) *
+                                          scale),
+                                    kNumBins - 1);
+                                return b <= best;
+                              });
+    // Child bounds from the bin unions (exact):
+    left->glo = {INFINITY, INFINITY, INFINITY};
+    left->ghi = {-INFINITY, -INFINITY, -INFINITY};
+    left->cb.reset();
+    right->glo = {INFINITY, INFINITY, INFINITY};
+    right->ghi = {-INFINITY, -INFINITY, -INFINITY};
+    right->cb.reset();
+    for (int b = 0; b < kNumBins; ++b) {
+      if (!bin_count[b]) continue;
+      ChildInfo* side = (b <= best) ? left : right;
+      side->glo = vmin(side->glo, bin_lo[b]);
+      side->ghi = vmax(side->ghi, bin_hi[b]);
+      side->cb.merge(bin_cb[b]);
+    }
+    left->valid = right->valid = true;
+    return mid - (refs.begin() + first);
   }
 
-  void build_recursive() {
-    std::vector<int> stack{0};
+  void build_iterative(const CBounds& root_cb) {
+    struct SFrame {
+      int node;
+      CBounds cb;
+    };
+    std::vector<SFrame> stack;
+    stack.push_back({0, root_cb});
+    ChildInfo li, ri;
     while (!stack.empty()) {
-      int ni = stack.back();
+      SFrame f = stack.back();
       stack.pop_back();
+      int ni = f.node;
       int64_t first = nodes[ni].first, count = nodes[ni].count;
-      int64_t lc = split(first, count);
+      li.valid = ri.valid = false;
+      int64_t lc = split(first, count, f.cb, &li, &ri);
       if (lc <= 0 || lc >= count) continue;
-      int left = make_node(first, lc);
-      int right = make_node(first + lc, count - lc);
+      if (!li.valid) {
+        // Degenerate split (order-median / one-bin): one fallback pass
+        // per child — rare:
+        range_bounds(first, lc, &li.glo, &li.ghi, &li.cb);
+        range_bounds(first + lc, count - lc, &ri.glo, &ri.ghi, &ri.cb);
+      }
+      int left = make_node_b(li.glo, li.ghi, first, lc);
+      int right = make_node_b(ri.glo, ri.ghi, first + lc, count - lc);
       nodes[ni].left = left;
       nodes[ni].right = right;
-      stack.push_back(right);
-      stack.push_back(left);
+      stack.push_back({right, ri.cb});
+      stack.push_back({left, li.cb});
     }
   }
 };
@@ -245,22 +332,24 @@ extern "C" int bvh_build_compact(
     int32_t* out_num_nodes, int32_t* out_max_depth) {
   if (n <= 0) return -1;
   Builder b;
-  b.plo = prim_lo;
-  b.phi = prim_hi;
   b.max_leaf = std::max(max_leaf_size, 1);
-  b.cx.resize(n);
-  b.cy.resize(n);
-  b.cz.resize(n);
+  b.refs.resize(n);
+  V3 root_lo{std::numeric_limits<float>::infinity(), INFINITY, INFINITY};
+  V3 root_hi{-INFINITY, -INFINITY, -INFINITY};
+  CBounds root_cb;
+  root_cb.reset();
   for (int64_t i = 0; i < n; ++i) {
-    b.cx[i] = 0.5 * ((double)prim_lo[3 * i] + prim_hi[3 * i]);
-    b.cy[i] = 0.5 * ((double)prim_lo[3 * i + 1] + prim_hi[3 * i + 1]);
-    b.cz[i] = 0.5 * ((double)prim_lo[3 * i + 2] + prim_hi[3 * i + 2]);
+    PrimRef& r = b.refs[i];
+    r.lo = {prim_lo[3 * i], prim_lo[3 * i + 1], prim_lo[3 * i + 2]};
+    r.hi = {prim_hi[3 * i], prim_hi[3 * i + 1], prim_hi[3 * i + 2]};
+    r.id = i;
+    root_lo = vmin(root_lo, r.lo);
+    root_hi = vmax(root_hi, r.hi);
+    root_cb.add(r);
   }
-  b.order.resize(n);
-  for (int64_t i = 0; i < n; ++i) b.order[i] = i;
   b.nodes.reserve(2 * n);
-  b.make_node(0, n);
-  b.build_recursive();
+  b.make_node_b(root_lo, root_hi, 0, n);
+  b.build_iterative(root_cb);
 
   // Emitted subtree sizes (leaves expand to one node per primitive):
   const auto& nodes = b.nodes;
@@ -306,7 +395,7 @@ extern "C" int bvh_build_compact(
       int64_t k = nd.count;
       for (int64_t j = 0; j < k; ++j) {
         int64_t me = f.pos + j;
-        int64_t p = b.order[nd.first + j];
+        int64_t p = b.refs[nd.first + j].id;
         out_mins[3 * me] = nd.lo.x;
         out_mins[3 * me + 1] = nd.lo.y;
         out_mins[3 * me + 2] = nd.lo.z;

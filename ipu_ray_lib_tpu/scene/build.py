@@ -137,7 +137,11 @@ def build_scene(
     for m in scene.meshes:
         mesh_first_tri.append(tri_base)
         mesh_has_normals.append(1 if m.has_normals else 0)
-        tri_list.append(m.triangles.astype(np.int64) + vert_base)
+        # Rebase straight into i32 (device index dtype) — the i64
+        # round-trip double-copied 48 MB/Mtri on big imports. Vertex
+        # counts are bounded far below 2^31 by device memory:
+        t32 = m.triangles.astype(np.int32, copy=False)
+        tri_list.append(t32 + np.int32(vert_base) if vert_base else t32)
         vert_list.append(m.vertices)
         if m.has_normals:
             norm_list.append(m.normals)
@@ -147,11 +151,17 @@ def build_scene(
         tri_base += len(m.triangles)
 
     tri_v = (
-        np.concatenate(tri_list).astype(np.int32)
-        if tri_list else np.zeros((0, 3), np.int32)
+        np.concatenate(tri_list) if len(tri_list) > 1
+        else (np.ascontiguousarray(tri_list[0]) if tri_list
+              else np.zeros((0, 3), np.int32))
     )
-    verts = np.concatenate(vert_list) if vert_list else np.zeros((0, 3), np.float32)
-    normals = np.concatenate(norm_list) if norm_list else np.zeros((0, 3), np.float32)
+    def _cat(lst, dt):
+        if not lst:
+            return np.zeros((0, 3), dt)
+        return lst[0] if len(lst) == 1 else np.concatenate(lst)
+
+    verts = _cat(vert_list, np.float32)
+    normals = _cat(norm_list, np.float32)
 
     # ---- Geometry registry (ordering defines geomIDs) -------------------
     geom_type, geom_index = [], []
