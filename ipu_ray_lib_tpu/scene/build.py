@@ -14,6 +14,7 @@ discs — src/app_utils.cpp:321-339) so material tables carry over.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -278,8 +279,11 @@ def build_scene(
     # (finding 43: ~25 s each at 2M tris). Sphere/disc leaves are
     # filtered out; local primIDs rebase to global triangle ids via
     # mesh_first_tri:
+    # RAY_TABLE_ORDER=internal forces the tables' own tri-only SAH build
+    # (A/B attribution: on mixed scenes the scene-BVH order interleaves
+    # around sphere/disc leaves, so block layouts differ slightly):
     tri_order = None
-    if len(tri_v):
+    if len(tri_v) and os.environ.get("RAY_TABLE_ORDER") != "internal":
         from ..bvh.builder import INVALID_GEOM_ID
 
         leaf = bvh.geom != INVALID_GEOM_ID

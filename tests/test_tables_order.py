@@ -46,7 +46,10 @@ def _blocked(scene, force_internal):
     return arrays.blocked, seen["tri_order_passed"]
 
 
-def test_scene_bvh_order_reuse_bitwise_on_tri_only_scene():
+def test_scene_bvh_order_reuse_bitwise_on_tri_only_scene(monkeypatch):
+    # The RAY_TABLE_ORDER=internal escape hatch (scene/build.py) disables
+    # exactly the reuse this test pins — neutralise it:
+    monkeypatch.delenv("RAY_TABLE_ORDER", raising=False)
     sc = _tri_only_stress()
     a, passed = _blocked(sc, force_internal=False)
     b, _ = _blocked(sc, force_internal=True)
