@@ -51,13 +51,16 @@ extern "C" int pack_blocked_tables(
     int64_t T,
     int64_t nb,                  // blocks (Tp = nb*TB)
     double wt_scale,             // WATERTIGHT_EPS_SCALE
-    float* p,                    // [nb*TB, 16]   pre-zeroed
+    int64_t sb,                  // blocks per super (p8 layout only)
+    int32_t p8_layout,           // 0: p rows [nb*TB, 16]; 1: p8 supers
+    float* p,                    // [nb*TB, 16] or [ns*TB, sb*16], zeroed
     float* nrm,                  // [8, nb*3*TB]  pre-zeroed
     float* tlo,                  // [nb*TB, 3]    pre-filled +inf
     float* thi)                  // [nb*TB, 3]    pre-filled -inf
 {
     const int64_t stride = nb * 3 * TB;  // nrm row stride
     const float wt_f = (float)wt_scale;
+    const int64_t p8_row_w = sb * 16;    // p8 row width (floats)
 
     for (int64_t i = 0; i < T; ++i) {
         const int64_t v0 = tri_v[i * 3 + 0];
@@ -96,7 +99,20 @@ extern "C" int pack_blocked_tables(
         }
 
         // ---- p row --------------------------------------------------
-        float* pr = p + i * 16;
+        // p8 layout (tables.py p8 contract): one super = a dense
+        // [TB, SB*16] slab; block b of super s sits at columns
+        // [b*16, (b+1)*16) of rows [s*TB, (s+1)*TB). Writing it here
+        // skips the 2x-table transpose copy python would do (and, above
+        // the VMEM table ceiling, the row-layout p entirely):
+        float* pr;
+        if (p8_layout) {
+            const int64_t sup = i / (sb * TB);
+            const int64_t blk = (i / TB) % sb;
+            const int64_t row = sup * TB + i % TB;
+            pr = p + row * p8_row_w + blk * 16;
+        } else {
+            pr = p + i * 16;
+        }
         pr[0] = (float)dot3(n, p0);
         pr[1] = (float)dot3(g1, p0);
         pr[2] = (float)dot3(g2, p0);

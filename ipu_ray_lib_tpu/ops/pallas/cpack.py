@@ -61,7 +61,8 @@ def _load():
             f32p, f32p, i32p, i32p, f32p,          # mat tables
             ctypes.c_int64, ctypes.c_int64,        # T, nb
             ctypes.c_double,                       # wt_scale
-            f32p, f32p, f32p, f32p,                # p, nrm, tlo, thi
+            ctypes.c_int64, ctypes.c_int32,        # sb, p8_layout
+            f32p, f32p, f32p, f32p,                # p (or p8), nrm, tlo, thi
         ]
         _lib = lib
         return _lib
@@ -69,10 +70,17 @@ def _load():
 
 def pack_tables_native(verts, tri_v, vert_normals, has_normals, tri_mat,
                        mat_albedo, mat_ior, mat_type, mat_emissive,
-                       mat_emission, nb, wt_scale):
+                       mat_emission, nb, wt_scale, *,
+                       p8_layout=False, sb=16):
     """Run the native packer; returns (p, nrm, tlo_p, thi_p) f32 arrays
     or None if the library is unavailable. Inputs must already be in
-    treelet order; tri_mat must be pre-clipped to [0, M)."""
+    treelet order; tri_mat must be pre-clipped to [0, M).
+
+    With ``p8_layout=True`` the first output is the HBM-streaming super
+    layout ([ns*TB, sb*16], tables.py p8 contract — bitwise the
+    transpose of the row-layout p) written directly, skipping the p
+    materialisation + transpose copy entirely; nb must then be a whole
+    number of supers."""
     lib = _load()
     if lib is None:
         return None
@@ -80,6 +88,8 @@ def pack_tables_native(verts, tri_v, vert_normals, has_normals, tri_mat,
     TB = 128
     T = len(tri_v)
     Tp = nb * TB
+    if p8_layout and nb % sb:
+        raise ValueError(f"p8_layout needs nb ({nb}) % sb ({sb}) == 0")
     verts = np.ascontiguousarray(verts, np.float32).reshape(-1, 3)
     tri_v = np.ascontiguousarray(tri_v, np.int32).reshape(-1, 3)
     has_n = np.ascontiguousarray(has_normals, np.uint8)
@@ -96,7 +106,8 @@ def pack_tables_native(verts, tri_v, vert_normals, has_normals, tri_mat,
         vn = None
         vn_ptr = ctypes.POINTER(ctypes.c_float)()
 
-    p = np.zeros((Tp, 16), np.float32)
+    p = np.zeros((Tp // sb, sb * 16) if p8_layout else (Tp, 16),
+                 np.float32)
     nrm = np.zeros((8, nb * 3 * TB), np.float32)
     tlo = np.full((Tp, 3), np.inf, np.float32)
     thi = np.full((Tp, 3), -np.inf, np.float32)
@@ -111,6 +122,7 @@ def pack_tables_native(verts, tri_v, vert_normals, has_normals, tri_mat,
         ptr(mat_type, ctypes.c_int32), ptr(mat_emissive, ctypes.c_int32),
         ptr(mat_emission, ctypes.c_float),
         ctypes.c_int64(T), ctypes.c_int64(nb), ctypes.c_double(wt_scale),
+        ctypes.c_int64(sb), ctypes.c_int32(1 if p8_layout else 0),
         ptr(p, ctypes.c_float), ptr(nrm, ctypes.c_float),
         ptr(tlo, ctypes.c_float), ptr(thi, ctypes.c_float),
     )

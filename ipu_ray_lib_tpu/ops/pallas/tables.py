@@ -312,7 +312,10 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     # numpy path remains the fallback and the parity reference. Only
     # f32 inputs qualify (the native packer promotes f32 -> f64 the way
     # the numpy path does; other dtypes take the fallback):
+    if with_vmem_p is None:
+        with_vmem_p = Tp <= VMEM_TABLE_MAX_TRIS
     packed = None
+    p8 = None
     if (native_pack and tri_v_o is not None
             and np.asarray(verts).dtype == np.float32
             and (vert_normals is None
@@ -320,12 +323,17 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         from .cpack import pack_tables_native
 
         m_safe_o = np.clip(tri_mat, 0, len(mat_albedo) - 1)
+        # Above the VMEM table ceiling only the super-layout p8 is kept —
+        # have the packer write it directly (skips materialising +
+        # transposing the row-layout p, ~2 full-table copies at 2M tris):
         packed = pack_tables_native(
             verts, tri_v_o, vert_normals, tri_has_normals, m_safe_o,
             mat_albedo, mat_ior, mat_type, mat_emissive, mat_emission,
-            nb, float(_WT_))
+            nb, float(_WT_), p8_layout=not with_vmem_p, sb=SB)
     if packed is not None:
         p, nrm, tlo_p, thi_p = packed
+        if not with_vmem_p:
+            p8, p = p, None
     else:
         p0, p1, p2 = _gather_p64()
         vn0, vn1, vn2 = _gather_vn64()
@@ -455,11 +463,10 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     baabb32 = group_aabb(tlo_p, thi_p, SUBB)
     saabb = group_aabb(tlo_p, thi_p, SB * TB)
 
-    p8 = (p.reshape(ns, SB, TB, 16).transpose(0, 2, 1, 3)
-           .reshape(ns * TB, SB * 16))
+    if p8 is None:
+        p8 = (p.reshape(ns, SB, TB, 16).transpose(0, 2, 1, 3)
+               .reshape(ns * TB, SB * 16))
 
-    if with_vmem_p is None:
-        with_vmem_p = Tp <= VMEM_TABLE_MAX_TRIS
     return BlockedSceneTables(
         p=jnp.asarray(p) if with_vmem_p else None,
         p8=jnp.asarray(p8),

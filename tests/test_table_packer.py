@@ -111,3 +111,38 @@ def test_native_pack_random_soup_bitwise():
     b = build_blocked_tables(tri_v, verts, gids, pids, native_pack=False,
                              **{**kw, "vert_normals": None})
     _assert_tables_equal(a, b)
+
+
+def test_native_pack_p8_direct_bitwise():
+    """Above the VMEM table ceiling the packer writes the p8 super layout
+    directly (csrc p8_layout=1) — it must equal the transpose of the
+    row-layout p bitwise, with the VMEM p skipped."""
+    from ipu_ray_lib_tpu.ops.pallas.tables import build_blocked_tables
+
+    rng = np.random.default_rng(11)
+    T, V, M = 2500, 900, 40          # 20 blocks -> 3 supers, pad rows
+    tri_v = rng.integers(0, V, (T, 3)).astype(np.int32)
+    verts = rng.normal(0, 10, (V, 3)).astype(np.float32)
+    vn = rng.normal(0, 1, (V, 3)).astype(np.float32)
+    kw = dict(
+        vert_normals=vn,
+        tri_has_normals=rng.random(T) < 0.5,
+        tri_mat=rng.integers(0, M, T).astype(np.int32),
+        mat_albedo=rng.random((M, 3)).astype(np.float32),
+        mat_ior=(1 + rng.random(M)).astype(np.float32),
+        mat_type=rng.integers(0, 4, M).astype(np.int32),
+        mat_emissive=rng.integers(0, 2, M).astype(np.int32),
+        mat_emission=rng.random((M, 3)).astype(np.float32),
+    )
+    gids = np.zeros(T, np.int32)
+    pids = np.arange(T, dtype=np.int32)
+    a = build_blocked_tables(tri_v, verts, gids, pids, native_pack=True,
+                             with_vmem_p=False, **kw)   # p8-direct path
+    b = build_blocked_tables(tri_v, verts, gids, pids, native_pack=False,
+                             with_vmem_p=False, **kw)   # numpy transpose
+    c = build_blocked_tables(tri_v, verts, gids, pids, native_pack=True,
+                             with_vmem_p=True, **kw)    # row-p + transpose
+    assert a.p is None and b.p is None and c.p is not None
+    np.testing.assert_array_equal(np.asarray(a.p8), np.asarray(b.p8))
+    np.testing.assert_array_equal(np.asarray(a.p8), np.asarray(c.p8))
+    _assert_tables_equal(a, b)
