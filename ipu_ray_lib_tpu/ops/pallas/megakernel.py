@@ -250,12 +250,13 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  econ_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
-                 cull_ref, tin_ref, env_ref, p_buf, nrm_buf, sems, bflag_ref,
-                 wf_ref,
+                 cull_ref, cullq_ref, tin_ref, env_ref, p_buf, nrm_buf, sems,
+                 bflag_ref, wf_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
-                 use_cull=True, sub=1, reflag=0, env_cfg=None, env_every=1,
+                 use_cull=True, sub=1, subq=1, reflag=0, env_cfg=None,
+                 env_every=1,
                  hbm=False, two_level=False, hbm_reflag=64,
                  _timing_no_dots=False, _count_oracle=False):
     i = pl.program_id(0)
@@ -374,17 +375,42 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 # test so they never flag (they cannot produce hits, only
                 # wasted walks):
                 bhit = (tin <= tout) & (baabb_ref[rs, 0:1] < _BIG)
-                anyv = jnp.max(bhit.astype(i32), axis=1, keepdims=True)
-                cull_ref[rs, :] = anyv
+                bh_i = bhit.astype(i32)
+                cull_ref[rs, :] = jnp.max(bh_i, axis=1, keepdims=True)
+                # Sub-bundle (lane-quarter) flags: a random width-(br/subq)
+                # slice of an incoherent bundle needs far fewer blocks than
+                # the full union (experiments/subbundle_sim.py: Q=4 cuts
+                # pair-ops 1.86x on the production lane mix with NO ray
+                # sorting — the union's width effect, not coherence), so
+                # the walk tests each flagged quarter separately:
+                if subq > 1:
+                    wq = br // subq
+                    for qq in range(subq):
+                        cullq_ref[rs, qq:qq + 1] = jnp.max(
+                            bh_i[:, qq * wq:(qq + 1) * wq],
+                            axis=1, keepdims=True)
                 if reflag > 0:
                     # Conservative per-lane lower bound on any hit t in
                     # each block, kept for mid-walk flag refreshes:
                     tin_ref[rs, :] = jnp.where(bhit, tin * _SLAB_LO, _INF)
 
         TBW = TB // sub
+        WQ = br // subq
 
-        def do_block(blk):
-            best_t = bt_ref[:]
+        def do_block(blk, q=0):
+            # With subq > 1 the dense test runs on one width-WQ lane
+            # quarter (static q, 128-aligned slices) — same math, same
+            # merge order, bitwise-identical per-lane results; a lane
+            # only ever needs blocks its own slab interval admits, so
+            # quarter flags are as conservative as bundle flags:
+            if subq == 1:
+                best_t = bt_ref[:]
+                oq, dq, omq = o, d, o_mag
+            else:
+                best_t = bt_ref[:, pl.ds(q * WQ, WQ)]
+                oq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in o)
+                dq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in d)
+                omq = o_mag[:, q * WQ:(q + 1) * WQ]
             pb = p_ref[pl.ds(blk * TBW, TBW), :]           # [TBW, 16]
             tnp0 = pb[:, 0:1]
             g1p0 = pb[:, 1:2]
@@ -395,12 +421,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         + pb[:, c0 + 1:c0 + 2] * rr[1]
                         + pb[:, c0 + 2:c0 + 3] * rr[2])
 
-            on = tdot(3, o)
-            dn = tdot(3, d)
-            og1 = tdot(6, o)
-            dg1 = tdot(6, d)
-            og2 = tdot(9, o)
-            dg2 = tdot(9, d)
+            on = tdot(3, oq)
+            dn = tdot(3, dq)
+            og1 = tdot(6, oq)
+            dg1 = tdot(6, dq)
+            og2 = tdot(9, oq)
+            dg2 = tdot(9, dq)
             r = pl.reciprocal(dn, approx=True)
             r = r * (2.0 - dn * r)
             t = (tnp0 - on) * r
@@ -413,18 +439,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # src/Mesh.cpp:8-104 contract):
             et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
             eps = jnp.minimum(
-                pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                pb[:, 12:13] + pb[:, 13:14] * (omq + et),
                 np.float32(1e-3))
             ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
                   & (t > 0.0))
             tm = jnp.where(ok, t, _INF)
             bt = jnp.min(tm, axis=0, keepdims=True)
-            tri_lane = jax.lax.broadcasted_iota(i32, (TBW, br), 0)
+            tri_lane = jax.lax.broadcasted_iota(i32, (TBW, WQ), 0)
             bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
                          axis=0, keepdims=True)
             better = (bt < best_t) & (bt < _INF)
-            bt_ref[:] = jnp.where(better, bt, best_t)
             if _timing_no_dots:
+                if subq == 1:
+                    bt_ref[:] = jnp.where(better, bt, best_t)
+                else:
+                    bt_ref[:, pl.ds(q * WQ, WQ)] = jnp.where(
+                        better, bt, best_t)
                 return
             # DEFERRED payload: the walk records ONLY the winner's global
             # triangle row (one merged write); barycentrics are re-derived
@@ -436,7 +466,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # deferred — round-2 measured them inline at ~9% of kernel
             # time):
             row_g = bi + blk * TBW                    # global tri row
-            ki_ref[7:8, :] = jnp.where(better, row_g, ki_ref[7:8, :])
+            if subq == 1:
+                bt_ref[:] = jnp.where(better, bt, best_t)
+                ki_ref[7:8, :] = jnp.where(better, row_g, ki_ref[7:8, :])
+            else:
+                lcs = pl.ds(q * WQ, WQ)
+                bt_ref[:, lcs] = jnp.where(better, bt, best_t)
+                ki_ref[7:8, lcs] = jnp.where(better, row_g,
+                                             ki_ref[7:8, lcs])
 
         if _timing_no_dots:
             # Plausible fixed material so path statistics stay realistic:
@@ -656,8 +693,18 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 jax.lax.fori_loop(b0, b1_, super_body, 0)
         elif use_cull:
             def walk_body(blk, _):
-                pl.when(cull_ref[blk, 0] > 0)(
-                    functools.partial(do_block, blk))
+                if subq == 1:
+                    pl.when(cull_ref[blk, 0] > 0)(
+                        functools.partial(do_block, blk))
+                else:
+                    # Outer any-quarter gate keeps the scalar-read count
+                    # near today's; per-quarter gates only run for the
+                    # ~U1 blocks any lane needs:
+                    @pl.when(cull_ref[blk, 0] > 0)
+                    def _q(blk=blk):
+                        for qq in range(subq):
+                            pl.when(cullq_ref[blk, qq] > 0)(
+                                functools.partial(do_block, blk, qq))
                 return 0
 
             # Walk in reflag+1 segments; before each later segment, refresh
@@ -673,9 +720,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 if s > 0:
                     # strict <: INF entry bounds (no slab hit) must stay
                     # unflagged even against INF best_t (no hit yet):
-                    rem = tin_ref[b0:nbs, :] < bt_ref[:]
-                    cull_ref[b0:nbs, :] = jnp.max(
-                        rem.astype(i32), axis=1, keepdims=True)
+                    rem = (tin_ref[b0:nbs, :] < bt_ref[:]).astype(i32)
+                    cull_ref[b0:nbs, :] = jnp.max(rem, axis=1,
+                                                  keepdims=True)
+                    if subq > 1:
+                        for qq in range(subq):
+                            cullq_ref[b0:nbs, qq:qq + 1] = jnp.max(
+                                rem[:, qq * WQ:(qq + 1) * WQ],
+                                axis=1, keepdims=True)
                 # blocks-walked counter (diagnostics; negligible cost):
                 ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
                     cull_ref[b0:b1_, :], axis=0, keepdims=True)
@@ -1143,7 +1195,7 @@ def _analytic_tables(scene):
 @functools.partial(
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
-                     "br", "interpret", "use_cull", "sub", "reflag",
+                     "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "env_cfg", "env_every", "hbm", "hbm_reflag",
                      "return_stats", "_timing_no_dots", "_count_oracle"),
 )
@@ -1163,6 +1215,10 @@ def megakernel_path_trace(
     interpret: bool = False,
     use_cull: bool = True,
     sub: int | None = None,
+    subq: int = 1,     # lane-quarter walk granularity (1/2/4): each
+                       # width-(br/subq) lane slice walks only ITS
+                       # flagged blocks (experiments/subbundle_sim.py:
+                       # Q=4 cuts pair-ops 1.86x on the production mix)
     reflag: int = 3,   # mid-walk refresh count; swept per-br at the
                        # bench workload (experiments/reflag_sweep.py,
                        # alternating A/B, reproducible to 4 digits):
@@ -1268,6 +1324,12 @@ def megakernel_path_trace(
     nbs_c = nb_kern * sub if cull_on else 1
     reflag = reflag if cull_on else 0
     reflag_on = reflag > 0
+    # Lane-quarter walks: flat VMEM walk only, slices must be whole
+    # (8, 128) vregs:
+    if subq not in (1, 2, 4):
+        raise ValueError(f"subq must be 1, 2 or 4, got {subq}")
+    if hbm or two_level or not cull_on or br % (128 * subq):
+        subq = 1
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1297,6 +1359,8 @@ def megakernel_path_trace(
             pltpu.VMEM((8, br), jnp.float32),    # tp + colour
             pltpu.VMEM((8, br), jnp.int32),      # k/bounce/active/done
             pltpu.VMEM((nbs_c, 1), jnp.int32),   # (sub-)block cull flags
+            # per-lane-quarter cull flags (subq > 1 only):
+            pltpu.VMEM((nbs_c, subq) if subq > 1 else (1, 1), jnp.int32),
             # per-lane entry bounds for mid-walk flag refreshes:
             pltpu.VMEM((nbs_c if reflag_on else 1,
                         br if reflag_on else 1), jnp.float32),
@@ -1330,7 +1394,7 @@ def megakernel_path_trace(
         inv_h=1.0 / params.image_height,
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
-        use_cull=cull_on, sub=sub, reflag=reflag, env_cfg=env_cfg,
+        use_cull=cull_on, sub=sub, subq=subq, reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
         _timing_no_dots=_timing_no_dots, _count_oracle=_count_oracle,

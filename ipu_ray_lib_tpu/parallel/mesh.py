@@ -165,7 +165,7 @@ def render_streaming_sharded(
     cols_sh = cols_np.reshape(n_dev, R_local * J)
 
     from ..render.streaming import (_pick_br, _use_megakernel,
-                                    hbm_reflag_cadence)
+                                    hbm_reflag_cadence, subq_granularity)
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
     env_cfg = env_weights = None
@@ -203,6 +203,7 @@ def render_streaming_sharded(
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every if env_cfg is not None else 1,
                     hbm=params.intersector == "pallas-hbm",
+                    subq=subq_granularity(),
                     # Static cache-key arg read only by the HBM walk —
                     # conditional so RAY_HBM_REFLAG sweeps can't force
                     # VMEM-mode recompiles (same as render_streaming):

@@ -374,6 +374,21 @@ def hbm_reflag_cadence() -> int:
     return v if (v >= 1 and v & (v - 1) == 0) else default
 
 
+def subq_granularity() -> int:
+    """Lane-quarter walk granularity for the flat VMEM megakernel walk
+    (megakernel ``subq``): each width-(br/subq) lane slice walks only its
+    own flagged blocks. experiments/subbundle_sim.py (production lane
+    mix, Cornell+monkey): Q=4 cuts dense pair-ops 1.86x with NO ray
+    sorting — the union's width effect. ``RAY_SUBQ`` overrides (1/2/4);
+    anything else falls back to the default."""
+    default = 1   # pending TPU A/B (sim says 4; gates cost is the risk)
+    try:
+        v = int(os.environ.get("RAY_SUBQ", default))
+    except (TypeError, ValueError):
+        return default
+    return v if v in (1, 2, 4) else default
+
+
 def _use_megakernel(params, env_fn) -> bool:
     """The in-kernel bounce loop covers the pallas intersector; NIF
     environment lights are fused into the kernel as an MXU MLP when the
@@ -463,6 +478,7 @@ def render_streaming(
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every,
                     hbm=hbm,
+                    subq=subq_granularity(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
@@ -501,6 +517,7 @@ def render_streaming(
                 env_cfg=env_cfg, env_weights=env_weights,
                 env_every=env_every,
                 hbm=params.intersector == "pallas-hbm",
+                subq=subq_granularity(),
                 # hbm_reflag is a static cache-key arg read only by the
                 # HBM walk — pass it conditionally so sweeping
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:

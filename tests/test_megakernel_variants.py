@@ -57,6 +57,32 @@ def test_walk_variants_bitwise_identical(mega_scene, kw):
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
 
 
+@pytest.mark.parametrize("subq,kw", [
+    (2, {}),
+    (4, {}),
+    (4, dict(sub=2)),
+    (4, dict(reflag=0)),
+])
+def test_subq_lane_quarter_walk_bitwise_identical(mega_scene, monkeypatch,
+                                                  subq, kw):
+    """Lane-quarter walks (RAY_SUBQ: streaming passes megakernel subq —
+    env-driven here because the call site's explicit kwarg overrides a
+    functools.partial keyword) slice the dense test per flagged quarter;
+    a lane only ever needs blocks its own slab admits, so images must be
+    bitwise-identical."""
+    arrays, params, base = mega_scene
+    monkeypatch.setenv("RAY_SUBQ", str(subq))
+    img, done = _render(arrays, params, **kw)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg=f"subq {subq} {kw}")
+    # Garbage values fall back to the default:
+    from ipu_ray_lib_tpu.render.streaming import subq_granularity
+    monkeypatch.setenv("RAY_SUBQ", "3")
+    assert subq_granularity() == 1
+    monkeypatch.setenv("RAY_SUBQ", "junk")
+    assert subq_granularity() == 1
+
+
 def test_ray_br_override_bitwise_identical(mega_scene, monkeypatch):
     """RAY_BR re-blocks the slot pool into different kernel bundle widths;
     every lane still runs identical per-ray math against identical
