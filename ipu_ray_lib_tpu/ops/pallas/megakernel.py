@@ -562,18 +562,36 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 needed = ((tin_s <= tout_s)
                           & (tin_s * _SLAB_LO < bt_ref[:])
                           & (blo[0] < _BIG))
-                bflag_ref[:] = jnp.max(needed.astype(i32), axis=1,
-                                       keepdims=True)
-
-                for b in range(SB):                        # static unroll
-                    @pl.when(bflag_ref[b, 0] > 0)
-                    def _dense(b=b):
-                        _hbm_dense_block(slot, b)
+                n_i = needed.astype(i32)
+                if subq == 1:
+                    bflag_ref[:] = jnp.max(n_i, axis=1, keepdims=True)
+                    for b in range(SB):                    # static unroll
+                        @pl.when(bflag_ref[b, 0] > 0)
+                        def _dense(b=b):
+                            _hbm_dense_block(slot, b)
+                else:
+                    # Per-lane-quarter member flags (see do_block):
+                    for qq in range(subq):
+                        bflag_ref[:, qq:qq + 1] = jnp.max(
+                            n_i[:, qq * WQ:(qq + 1) * WQ],
+                            axis=1, keepdims=True)
+                    for b in range(SB):                    # static unroll
+                        for qq in range(subq):
+                            pl.when(bflag_ref[b, qq] > 0)(
+                                functools.partial(_hbm_dense_block,
+                                                  slot, b, qq))
 
                 return nxt, cnt + 1
 
-            def _hbm_dense_block(slot, b):
-                    best_t = bt_ref[:]
+            def _hbm_dense_block(slot, b, q=0):
+                    if subq == 1:
+                        best_t = bt_ref[:]
+                        oq, dq, omq = o, d, o_mag
+                    else:
+                        best_t = bt_ref[:, pl.ds(q * WQ, WQ)]
+                        oq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in o)
+                        dq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in d)
+                        omq = o_mag[:, q * WQ:(q + 1) * WQ]
                     pb = p_buf[slot, :, b * 16:(b + 1) * 16]   # [TB, 16]
                     tnp0 = pb[:, 0:1]
                     g1p0 = pb[:, 1:2]
@@ -584,12 +602,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                 + pb[:, c0_ + 1:c0_ + 2] * rr[1]
                                 + pb[:, c0_ + 2:c0_ + 3] * rr[2])
 
-                    on = tdot(3, o)
-                    dn = tdot(3, d)
-                    og1 = tdot(6, o)
-                    dg1 = tdot(6, d)
-                    og2 = tdot(9, o)
-                    dg2 = tdot(9, d)
+                    on = tdot(3, oq)
+                    dn = tdot(3, dq)
+                    og1 = tdot(6, oq)
+                    dg1 = tdot(6, dq)
+                    og2 = tdot(9, oq)
+                    dg2 = tdot(9, dq)
                     r = pl.reciprocal(dn, approx=True)
                     r = r * (2.0 - dn * r)
                     t = (tnp0 - on) * r
@@ -598,18 +616,23 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     # Watertight widened acceptance (see do_block):
                     et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
                     eps = jnp.minimum(
-                pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                pb[:, 12:13] + pb[:, 13:14] * (omq + et),
                 np.float32(1e-3))
                     ok = ((jnp.minimum(b1, b2) >= -eps)
                           & (b1 + b2 <= 1.0 + eps) & (t > 0.0))
                     tm = jnp.where(ok, t, _INF)
                     bt = jnp.min(tm, axis=0, keepdims=True)
-                    tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+                    tri_lane = jax.lax.broadcasted_iota(
+                        i32, (TB, WQ if subq > 1 else br), 0)
                     bi = jnp.min(
                         jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
                         axis=0, keepdims=True)
                     better = (bt < best_t) & (bt < _INF)
-                    bt_ref[:] = jnp.where(better, bt, best_t)
+                    if subq == 1:
+                        bt_ref[:] = jnp.where(better, bt, best_t)
+                    else:
+                        bt_ref[:, pl.ds(q * WQ, WQ)] = jnp.where(
+                            better, bt, best_t)
                     if not _timing_no_dots:
                         onehot = (tri_lane == bi).astype(f32)
                         w1 = onehot
@@ -635,8 +658,15 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         m_cand = jax.lax.dot_general(
                             nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB], w1, nd_,
                             preferred_element_type=f32)
-                        bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
-                        bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+                        if subq == 1:
+                            bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
+                            bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+                        else:
+                            lcs = pl.ds(q * WQ, WQ)
+                            bn_ref[:, lcs] = jnp.where(
+                                better, n_cand, bn_ref[:, lcs])
+                            bm_ref[:, lcs] = jnp.where(
+                                better, m_cand, bm_ref[:, lcs])
 
             _, n_sup = jax.lax.while_loop(
                 lambda c: c[0] < nbs, wbody, (cur0, i32(0)))
@@ -669,14 +699,29 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     needed = ((tin_s <= tout_s)
                               & (tin_s * _SLAB_LO < bt_ref[:])
                               & (blo[0] < _BIG))
-                    bflag_ref[:] = jnp.max(needed.astype(i32), axis=1,
-                                           keepdims=True)
-                    ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
-                        bflag_ref[:], axis=0, keepdims=True)
-                    for b in range(SB):                    # static unroll
-                        @pl.when(bflag_ref[b, 0] > 0)
-                        def _dense(b=b):
-                            do_block(s * SB + b)
+                    n_i = needed.astype(i32)
+                    if subq == 1:
+                        bflag_ref[:] = jnp.max(n_i, axis=1, keepdims=True)
+                        ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                            bflag_ref[:], axis=0, keepdims=True)
+                        for b in range(SB):                # static unroll
+                            @pl.when(bflag_ref[b, 0] > 0)
+                            def _dense(b=b):
+                                do_block(s * SB + b)
+                    else:
+                        # Per-lane-quarter member flags (see do_block):
+                        for qq in range(subq):
+                            bflag_ref[:, qq:qq + 1] = jnp.max(
+                                n_i[:, qq * WQ:(qq + 1) * WQ],
+                                axis=1, keepdims=True)
+                        ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                            jnp.max(n_i, axis=1, keepdims=True),
+                            axis=0, keepdims=True)
+                        for b in range(SB):                # static unroll
+                            for qq in range(subq):
+                                pl.when(bflag_ref[b, qq] > 0)(
+                                    functools.partial(do_block,
+                                                      s * SB + b, qq))
                 return 0
 
             # Mid-walk refreshes of the SUPER flags against the
@@ -1324,11 +1369,11 @@ def megakernel_path_trace(
     nbs_c = nb_kern * sub if cull_on else 1
     reflag = reflag if cull_on else 0
     reflag_on = reflag > 0
-    # Lane-quarter walks: flat VMEM walk only, slices must be whole
-    # (8, 128) vregs:
+    # Lane-quarter walks (flat, two-level and HBM dense tests): slices
+    # must be whole (8, 128) vregs:
     if subq not in (1, 2, 4):
         raise ValueError(f"subq must be 1, 2 or 4, got {subq}")
-    if hbm or two_level or not cull_on or br % (128 * subq):
+    if not cull_on or br % (128 * subq):
         subq = 1
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1374,7 +1419,7 @@ def megakernel_path_trace(
             pltpu.VMEM((2, 8, SB * 3 * TB) if hbm else (1, 8, 128),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((SB, 1), jnp.int32),      # in-super block flags
+            pltpu.VMEM((SB, subq), jnp.int32),   # in-super block flags
             # Deferred-payload winner-block flags (VMEM walks only):
             pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)
                        if not hbm else (1, 1), jnp.int32),

@@ -46,9 +46,6 @@ def mega_scene():
     dict(reflag=1),
     dict(sub=2),
     dict(sub=4),
-    dict(hbm=True),
-    dict(hbm=True, hbm_reflag=1),
-    dict(hbm=True, hbm_reflag=64),
 ])
 def test_walk_variants_bitwise_identical(mega_scene, kw):
     arrays, params, base = mega_scene
@@ -200,9 +197,22 @@ def test_slab_chunking_bitwise_identical(mega_scene, monkeypatch):
     MK.megakernel_path_trace.clear_cache()
     try:
         img, done = _render(arrays, params)
-        assert done == 48 * 32
-        np.testing.assert_array_equal(img, base)
-        img, done = _render(arrays, params, hbm=True)
+    finally:
+        MK.megakernel_path_trace.clear_cache()
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+
+
+def test_slab_chunking_bitwise_identical_hbm(hbm_scene, monkeypatch):
+    """Same chunking contract on the HBM walk — against an hbm-built
+    scene (a partial hbm=True override is call-site-discarded)."""
+    from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
+
+    arrays, params, base = hbm_scene
+    monkeypatch.setattr(MK, "SLAB_CHUNK_ROWS", 8)
+    MK.megakernel_path_trace.clear_cache()
+    try:
+        img, done = _render(arrays, params)
     finally:
         MK.megakernel_path_trace.clear_cache()
     assert done == 48 * 32
@@ -221,3 +231,59 @@ def test_hbm_reflag_cadence_robust(monkeypatch):
     for good in ("1", "4", "64"):
         monkeypatch.setenv("RAY_HBM_REFLAG", good)
         assert hbm_reflag_cadence() == int(good)
+
+
+def test_two_level_subq_bitwise_identical(mega_scene, monkeypatch):
+    """Lane-quarter member flags inside the two-level walk (subq > 1 with
+    super-granularity culling) must stay bitwise-identical too."""
+    from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
+
+    arrays, params, base = mega_scene
+    monkeypatch.setattr(MK, "TWO_LEVEL_MIN_BLOCKS", 1)
+    monkeypatch.setenv("RAY_SUBQ", "4")
+    MK.megakernel_path_trace.clear_cache()
+    try:
+        img, done = _render(arrays, params)
+    finally:
+        MK.megakernel_path_trace.clear_cache()
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+
+
+@pytest.fixture(scope="module")
+def hbm_scene():
+    """A real pallas-hbm build: the streaming call site derives ``hbm``
+    from params.intersector, so a functools.partial hbm=True override is
+    silently discarded (call-site kwargs win) — HBM knob parity must run
+    against an hbm-built scene."""
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_stress_scene
+
+    sc = make_stress_scene(24)
+    arrays, params, _ = build_scene(
+        sc, image_width=48, image_height=32, samples_per_pixel=1,
+        intersector="pallas-hbm")
+    base, done = _render(arrays, params)
+    assert done == 48 * 32
+    return arrays, params, base
+
+
+def test_hbm_subq_bitwise_identical(hbm_scene, monkeypatch):
+    """Quartered dense tests inside the HBM-streamed super walk (inline
+    payload dots sliced per quarter) must stay bitwise-identical."""
+    arrays, params, base = hbm_scene
+    monkeypatch.setenv("RAY_SUBQ", "4")
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base)
+
+
+def test_hbm_reflag_cadence_bitwise_identical(hbm_scene, monkeypatch):
+    """Flag-refresh cadence is pure work-skipping: any RAY_HBM_REFLAG
+    value must render the identical image on the HBM walk."""
+    arrays, params, base = hbm_scene
+    for cad in ("1", "4"):
+        monkeypatch.setenv("RAY_HBM_REFLAG", cad)
+        img, done = _render(arrays, params)
+        assert done == 48 * 32
+        np.testing.assert_array_equal(img, base, err_msg=f"cadence {cad}")
