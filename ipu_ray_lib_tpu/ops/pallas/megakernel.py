@@ -1371,8 +1371,8 @@ def megakernel_path_trace(
     reflag_on = reflag > 0
     # Lane-quarter walks (flat, two-level and HBM dense tests): slices
     # must be whole (8, 128) vregs:
-    if subq not in (1, 2, 4):
-        raise ValueError(f"subq must be 1, 2 or 4, got {subq}")
+    if subq not in (1, 2, 4, 8):
+        raise ValueError(f"subq must be 1, 2, 4 or 8, got {subq}")
     if not cull_on or br % (128 * subq):
         subq = 1
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM

@@ -379,14 +379,15 @@ def subq_granularity() -> int:
     (megakernel ``subq``): each width-(br/subq) lane slice walks only its
     own flagged blocks. experiments/subbundle_sim.py (production lane
     mix, Cornell+monkey): Q=4 cuts dense pair-ops 1.86x with NO ray
-    sorting — the union's width effect. ``RAY_SUBQ`` overrides (1/2/4);
+    sorting — the union's width effect. ``RAY_SUBQ`` overrides (1/2/4/8,
+    8 needs br=1024 — slices must be whole 128-lane vregs);
     anything else falls back to the default."""
     default = 1   # pending TPU A/B (sim says 4; gates cost is the risk)
     try:
         v = int(os.environ.get("RAY_SUBQ", default))
     except (TypeError, ValueError):
         return default
-    return v if v in (1, 2, 4) else default
+    return v if v in (1, 2, 4, 8) else default
 
 
 def _use_megakernel(params, env_fn) -> bool:
