@@ -87,6 +87,7 @@ def main() -> int:
             "bundle_iters": it,
             "blocks_per_iter": round(bw / max(it, 1), 2),
             "pair_tests_per_s": round(bw * 128.0 * br / dt, 1),
+            "subq": stats.get("subq", 1),
         }
     print(json.dumps(record))
     return 0

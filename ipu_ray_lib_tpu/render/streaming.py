@@ -533,6 +533,7 @@ def render_streaming(
                 stats_out["blocks_walked"] = (
                     stats_out.get("blocks_walked", 0) + int(blocks))
                 stats_out["br"] = _pick_br(R, J)
+                stats_out["subq"] = subq_granularity()
                 return flat_d, done
             return out
         accum, done, _iters = streaming_path_trace(
