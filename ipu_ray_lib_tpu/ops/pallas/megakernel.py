@@ -383,7 +383,9 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 # pair-ops 1.86x on the production lane mix with NO ray
                 # sorting — the union's width effect, not coherence), so
                 # the walk tests each flagged quarter separately:
-                if subq > 1:
+                if subq > 1 and not (hbm or two_level):
+                    # Only the flat walk reads cullq (two-level/HBM
+                    # quarter at the dense level via bflag instead):
                     wq = br // subq
                     for qq in range(subq):
                         cullq_ref[rs, qq:qq + 1] = jnp.max(
@@ -1404,8 +1406,10 @@ def megakernel_path_trace(
             pltpu.VMEM((8, br), jnp.float32),    # tp + colour
             pltpu.VMEM((8, br), jnp.int32),      # k/bounce/active/done
             pltpu.VMEM((nbs_c, 1), jnp.int32),   # (sub-)block cull flags
-            # per-lane-quarter cull flags (subq > 1 only):
-            pltpu.VMEM((nbs_c, subq) if subq > 1 else (1, 1), jnp.int32),
+            # per-lane-quarter cull flags (flat walk with subq > 1 only):
+            pltpu.VMEM((nbs_c, subq)
+                       if subq > 1 and not (hbm or two_level) else (1, 1),
+                       jnp.int32),
             # per-lane entry bounds for mid-walk flag refreshes:
             pltpu.VMEM((nbs_c if reflag_on else 1,
                         br if reflag_on else 1), jnp.float32),
