@@ -9,8 +9,9 @@ Each refresh costs a [nbs, br] compare + column max but lets settled
 shrinks.
 
 Usage: python experiments/reflag_sweep.py [size] [spp] [rf...] [br=A,B]
-       defaults: 1440 64 rf 0,1,2,3,5,7 br 1024
-       (numeric args are reflag counts; br=512,1024 adds a br axis)
+                                            [subq=A,B]
+       defaults: 1440 64 rf 0,1,2,3,5,7 br 1024 subq 1
+       (numeric args are reflag counts; br=/subq= add axes)
 """
 
 import functools
@@ -29,10 +30,13 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 1440
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     brs = [1024]
+    subqs = [1]
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
             brs = [int(x) for x in a[3:].split(",")]
+        elif a.startswith("subq="):
+            subqs = [int(x) for x in a[5:].split(",")]
         else:
             reflags.append(int(a))
     reflags = reflags or [0, 1, 2, 3, 5, 7]
@@ -60,11 +64,13 @@ def main():
     log = open(os.path.join(os.path.dirname(__file__), "results.jsonl"), "a")
 
     import itertools
-    for br, rf in itertools.product(brs, reflags):
+    for br, rf, sq in itertools.product(brs, reflags, subqs):
+        if br % (128 * sq):
+            continue
         f = functools.partial(
             megakernel_path_trace, arrays, rows, cols, jnp.uint32(42),
             jnp.int32(n_pix), params=params, slots=R, j_per_slot=J,
-            spp=spp, max_iters=max_iters, br=br, reflag=rf,
+            spp=spp, max_iters=max_iters, br=br, reflag=rf, subq=sq,
             return_stats=True)
         flat, done, iters, blocks = f()  # compile + warm
         dt = float("inf")
@@ -75,7 +81,7 @@ def main():
             dt = min(dt, time.time() - t0)
         iters, blocks = int(iters), int(blocks)
         rec = {"exp": "reflag_sweep", "size": size, "spp": spp,
-               "br": br,
+               "br": br, "subq": sq,
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
                "blocks_per_iter": round(blocks / max(iters, 1), 2),
