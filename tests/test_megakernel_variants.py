@@ -156,15 +156,22 @@ def test_deferred_env_flush_identical(tmp_path):
     arrays, params, _ = build_scene(scene, image_width=48, image_height=32,
                                     samples_per_pixel=2, intersector="pallas")
     imgs = {}
-    for ek in ("1", "5"):
+    for ek, sq in (("1", None), ("5", None), ("1", "4")):
         os.environ["RAY_ENV_EVERY"] = ek
+        if sq is not None:
+            os.environ["RAY_SUBQ"] = sq
         try:
-            imgs[ek], done = S.render_streaming(
+            imgs[ek, sq], done = S.render_streaming(
                 arrays, params, env_fn=env_fn, env_params=env_params, spp=2)
         finally:
             del os.environ["RAY_ENV_EVERY"]
+            os.environ.pop("RAY_SUBQ", None)
         assert done == 48 * 32 * 2
-    np.testing.assert_array_equal(imgs["1"], imgs["5"])
+    np.testing.assert_array_equal(imgs["1", None], imgs["5", None])
+    # Lane-quarter walks with the fused env MLP (parked lanes interact
+    # with the slab pass only through `active`; quarters must not change
+    # the estimator):
+    np.testing.assert_array_equal(imgs["1", None], imgs["1", "4"])
 
 
 def test_env_flush_cadence_robust(mega_scene, monkeypatch):
