@@ -83,11 +83,14 @@ def main() -> int:
     # the implied pair-test rate (128-tri x br-ray blocks):
     if stats.get("iters"):
         it, bw, br = stats["iters"], stats["blocks_walked"], stats["br"]
+        # bw counts quarter-walks when subq > 1 (kernel stats contract);
+        # block-equivalents and pair tests normalise by subq:
+        sq = stats.get("subq", 1)
         record["telemetry"] = {
             "bundle_iters": it,
-            "blocks_per_iter": round(bw / max(it, 1), 2),
-            "pair_tests_per_s": round(bw * 128.0 * br / dt, 1),
-            "subq": stats.get("subq", 1),
+            "blocks_per_iter": round(bw / sq / max(it, 1), 2),
+            "pair_tests_per_s": round(bw * 128.0 * (br // sq) / dt, 1),
+            "subq": sq,
         }
     print(json.dumps(record))
     return 0

@@ -84,7 +84,7 @@ def main():
                "br": br, "subq": sq,
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
-               "blocks_per_iter": round(blocks / max(iters, 1), 2),
+               "blocks_per_iter": round(blocks / sq / max(iters, 1), 2),
                "us_per_iter": round(dt * 1e6 / max(iters, 1), 2),
                "mean": round(mean, 5),
                "ts": time.strftime("%Y-%m-%d %H:%M:%S")}

@@ -717,7 +717,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                 n_i[:, qq * WQ:(qq + 1) * WQ],
                                 axis=1, keepdims=True)
                         ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
-                            jnp.max(n_i, axis=1, keepdims=True),
+                            jnp.sum(bflag_ref[:], axis=1, keepdims=True),
                             axis=0, keepdims=True)
                         for b in range(SB):                # static unroll
                             for qq in range(subq):
@@ -775,9 +775,17 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                             cullq_ref[b0:nbs, qq:qq + 1] = jnp.max(
                                 rem[:, qq * WQ:(qq + 1) * WQ],
                                 axis=1, keepdims=True)
-                # blocks-walked counter (diagnostics; negligible cost):
-                ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
-                    cull_ref[b0:b1_, :], axis=0, keepdims=True)
+                # walk-work counter (diagnostics; negligible cost):
+                # quarter-walks when subq > 1, block-walks otherwise —
+                # the host normalises by subq (streaming stats contract):
+                if subq == 1:
+                    ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                        cull_ref[b0:b1_, :], axis=0, keepdims=True)
+                else:
+                    ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                        jnp.sum(cullq_ref[b0:b1_, :], axis=1,
+                                keepdims=True),
+                        axis=0, keepdims=True)
                 jax.lax.fori_loop(b0, b1_, walk_body, 0)
         else:
             jax.lax.fori_loop(0, nbs, lambda blk, _: (do_block(blk), 0)[1], 0)
@@ -1122,8 +1130,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         cond, body, (jnp.int32(0), jnp.sum((k_cap > 0).astype(i32)))
     )
     done_ref[0:1, :] = ki_ref[3:4, :]
-    # Stats row: lane 0 = iterations, lane 1 = blocks walked (use_cull),
-    # lane 2 = oracle true-need blocks (when _count_oracle):
+    # Stats row: lane 0 = iterations, lane 1 = quarter-walks (== block
+    # walks when subq == 1; the host divides by subq for
+    # block-equivalents), lane 2 = oracle true-need blocks
+    # (when _count_oracle):
     stats = jnp.where(lane == 0, it_end, 0)
     stats = jnp.where(lane == 1, ki_ref[4:5, 0:1], stats)
     stats = jnp.where(lane == 2, ki_ref[6:7, 0:1], stats)
