@@ -23,7 +23,9 @@ depth 3, max path length 10 — then measures per-iteration U1 and the
 quartered unions for several sort keys, plus the live-lane composition
 (bounce-0 share) that motivates the idea.
 
-Run: python experiments/subbundle_sim.py [size] [br] [iters]
+Run: python experiments/subbundle_sim.py [size] [br] [iters] [scene]
+     scene: cornell (default) | stressN (heightfield, grid N -> 2N^2 tris,
+     block crossings over the HBM walk's member blocks)
 """
 
 import os
@@ -65,14 +67,22 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     br = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    which = sys.argv[4] if len(sys.argv) > 4 else "cornell"
 
-    mesh = os.path.join(os.path.dirname(__file__), "..", "assets",
-                        "monkey_bust.glb")
-    mesh = mesh if os.path.exists(mesh) else None
-    scene = make_cornell_box_scene(mesh, box_only=False)
+    if which.startswith("stress"):
+        from ipu_ray_lib_tpu.scene.builtin import make_stress_scene
+
+        scene = make_stress_scene(int(which[6:] or 128))
+        isect = "bvh"
+    else:
+        mesh = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "monkey_bust.glb")
+        mesh = mesh if os.path.exists(mesh) else None
+        scene = make_cornell_box_scene(mesh, box_only=False)
+        isect = "dense"
     arrays, params, _ = build_scene(scene, image_width=size,
                                     image_height=size, samples_per_pixel=1,
-                                    intersector="dense")
+                                    intersector=isect)
     rows_np, cols_np, _ = _pixel_stream(params, 32)
     R = size * size
     tan_theta = np.tan(params.fov_radians / 2)
@@ -109,7 +119,7 @@ def main():
         hit, n1 = scene_intersect_with_normal(
             arrays, jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
             jnp.zeros(br, jnp.float32), jnp.full(br, jnp.inf, jnp.float32),
-            "dense")
+            isect)
         found = np.asarray(hit.found)
         t = np.where(found, np.asarray(hit.t), 1e30)
 
