@@ -281,9 +281,19 @@ def build_scene(
     # mesh_first_tri:
     # RAY_TABLE_ORDER=internal forces the tables' own tri-only SAH build
     # (A/B attribution: on mixed scenes the scene-BVH order interleaves
-    # around sphere/disc leaves, so block layouts differ slightly):
+    # around sphere/disc leaves, so block layouts differ slightly).
+    # Reuse policy: tri-only scenes always (provably bitwise-identical
+    # tables — tests/test_tables_order.py); mixed scenes only above the
+    # VMEM ceiling, where the saved leaf-1 SAH build is seconds-to-
+    # minutes and the slightly different treelet interleave measured
+    # identical block tightness at 131k tris. Small mixed scenes (the
+    # bench class) keep the internal build so measured walk layouts
+    # stay exactly as swept:
+    tri_only = not (len(scene.spheres) or len(scene.discs))
     tri_order = None
-    if len(tri_v) and os.environ.get("RAY_TABLE_ORDER") != "internal":
+    if (len(tri_v)
+            and (tri_only or len(tri_v) > VMEM_TABLE_MAX_TRIS)
+            and os.environ.get("RAY_TABLE_ORDER") != "internal"):
         from ..bvh.builder import INVALID_GEOM_ID
 
         leaf = bvh.geom != INVALID_GEOM_ID
