@@ -33,6 +33,14 @@ Intersection walk (per iteration):
   tests — the reference's 2-stage DRAM pipeline, ref IpuScene.cpp:
   583-618), and a per-super block-level slab+best_t pass gates each
   member block (findings 27/29).
+* **Lane-quarter walks** (``subq`` > 1, any mode): block/member flags are
+  kept per width-(BR/subq) lane slice and the dense tests run per
+  flagged quarter — a random narrow slice of an incoherent bundle needs
+  far fewer blocks than the full union (finding 46:
+  experiments/subbundle_sim.py measures 1.86x fewer pair-ops at Q=4 on
+  the Cornell production mix, 2.85x on the 522k heightfield, with NO
+  ray sorting). Bitwise-identical radiometry: a lane only ever needs
+  blocks its own slab interval admits.
 
 Environment light (``env_cfg``): the NIF Fourier-feature MLP runs
 in-kernel as bf16 [P, BR] MXU slabs with exact f32 biases added after
