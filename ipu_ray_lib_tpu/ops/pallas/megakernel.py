@@ -941,9 +941,16 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # (converged best_t known up front) would still have to walk.
             # tin_ref rows hold tin * _SLAB_LO where the slab hit, INF
             # elsewhere, so one compare against the final best_t gives the
-            # unavoidable per-bundle block count:
-            need = jnp.max((tin_ref[:] < best_t).astype(i32), axis=1,
-                           keepdims=True)
+            # unavoidable per-bundle count (quarter-need when subq > 1,
+            # matching the quarter-walk counter's units):
+            nd_i = (tin_ref[:] < best_t).astype(i32)
+            if subq == 1:
+                need = jnp.max(nd_i, axis=1, keepdims=True)
+            else:
+                need = sum(
+                    jnp.max(nd_i[:, qq * WQ:(qq + 1) * WQ], axis=1,
+                            keepdims=True)
+                    for qq in range(subq))
             ki_ref[6:7, 0:1] = ki_ref[6:7, 0:1] + jnp.sum(
                 need, axis=0, keepdims=True)
 
