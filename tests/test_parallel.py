@@ -137,6 +137,27 @@ def test_streaming_sharded_megakernel_path(cornell_built):
     assert abs(img_sh.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
 
 
+def test_streaming_sharded_subq_bitwise(cornell_built, monkeypatch):
+    """RAY_SUBQ routes through the sharded megakernel path too
+    (parallel/mesh.py reads the same knob as render_streaming); lane-
+    quarter walks must leave the sharded image bitwise unchanged."""
+    import dataclasses
+
+    from ipu_ray_lib_tpu.parallel.mesh import render_streaming_sharded
+
+    arrays, params, _ = cornell_built
+    p = dataclasses.replace(params, window_w=48, window_h=48,
+                            window_c=40, window_r=40, samples_per_pixel=2,
+                            intersector="pallas")
+    mesh = make_ray_mesh()
+    base, done = render_streaming_sharded(arrays, p, mesh, chunk_slots=256)
+    assert done == 48 * 48 * 2
+    monkeypatch.setenv("RAY_SUBQ", "4")
+    img, done = render_streaming_sharded(arrays, p, mesh, chunk_slots=256)
+    assert done == 48 * 48 * 2
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+
+
 def test_streaming_sharded_spp_batching(cornell_built):
     """spp > spp_batch renders in decorrelated on-device-accumulated
     batches (the watchdog discipline); the estimator is identical, so the
