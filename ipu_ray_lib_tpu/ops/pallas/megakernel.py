@@ -264,7 +264,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, reflag=0, env_cfg=None,
-                 env_every=1,
+                 env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
                  _timing_no_dots=False, _count_oracle=False):
     i = pl.program_id(0)
@@ -1086,6 +1086,15 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     (jax.lax.rem(it, i32(env_every)) == i32(env_every - 1))
                     | (jnp.sum(survivors.astype(i32)) == 0)
                 )
+                if env_count > 0:
+                    # Flush-on-count: the MLP's [P, br] cost is per-call,
+                    # so fire as soon as a worthwhile batch of lanes has
+                    # parked instead of waiting out the clock (the cadence
+                    # above remains the max-wait bound that keeps
+                    # max_iters valid). Pure scheduling — the estimator
+                    # is bitwise-identical across triggers.
+                    flush = flush | (
+                        jnp.sum(pending.astype(i32)) >= i32(env_count))
                 pl.when(flush & (jnp.max(pending.astype(i32)) > 0))(_env)
                 env_mask = pending & flush
                 terminated = killed | over | env_mask
@@ -1268,7 +1277,7 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
-                     "env_cfg", "env_every", "hbm", "hbm_reflag",
+                     "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
                      "return_stats", "_timing_no_dots", "_count_oracle"),
 )
 def megakernel_path_trace(
@@ -1301,6 +1310,10 @@ def megakernel_path_trace(
     env_cfg=None,
     env_weights=None,
     env_every: int = 1,
+    env_count: int = 0,   # flush-on-count: fire the deferred env flush as
+                          # soon as >= this many lanes are parked (0 = off;
+                          # env_every stays the max-wait clock). Only
+                          # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
     return_stats: bool = False,
@@ -1469,7 +1482,8 @@ def megakernel_path_trace(
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, subq=subq, reflag=reflag, env_cfg=env_cfg,
-        env_every=env_every if env_cfg is not None else 1, hbm=hbm,
+        env_every=env_every if env_cfg is not None else 1,
+        env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
         _timing_no_dots=_timing_no_dots, _count_oracle=_count_oracle,
     )

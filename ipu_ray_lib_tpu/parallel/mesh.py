@@ -173,13 +173,15 @@ def render_streaming_sharded(
         from ..ops.pallas.megakernel import megakernel_path_trace, pack_env_mlp
 
         if env_fn is not None:
-            from ..render.streaming import env_flush_cadence
+            from ..render.streaming import env_flush_cadence, env_flush_count
 
             env_cfg, env_weights = pack_env_mlp(
                 env_fn.nif_config, env_params)
             env_every = env_flush_cadence(scene)
+            env_count = env_flush_count() if env_every > 1 else 0
         else:
             env_every = 1
+            env_count = 0
 
     def make_shard_fn(spp_b):
         max_iters = J * spp_b * params.max_path_length + 16
@@ -202,6 +204,7 @@ def render_streaming_sharded(
                     max_iters=max_iters, br=_pick_br(R_local, J),
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every if env_cfg is not None else 1,
+                    env_count=env_count if env_cfg is not None else 0,
                     hbm=params.intersector == "pallas-hbm",
                     subq=subq_granularity(),
                     # Static cache-key arg read only by the HBM walk —

@@ -341,11 +341,30 @@ def env_flush_cadence(scene) -> int:
     to the heuristic (the kernel's deferred branch divides by the cadence,
     so values < 1 must never reach it)."""
     default = 4 if scene.blocked.tri_geom.shape[0] > 1024 else 1
+    if env_flush_count() > 0:
+        # Flush-on-count active: the cadence is only the max-wait bound,
+        # so give the count trigger room to assemble batches (an explicit
+        # RAY_ENV_EVERY still wins below):
+        default = max(default, 16)
     try:
         v = int(os.environ.get("RAY_ENV_EVERY", default))
     except (TypeError, ValueError):
         return default
     return max(1, v) if v > 0 else default
+
+
+def env_flush_count() -> int:
+    """Flush-on-count threshold for the deferred env flush (megakernel
+    ``env_count``): fire the fused MLP as soon as this many lanes are
+    parked instead of waiting out the cadence clock. 0 (default)
+    disables; ``RAY_ENV_COUNT`` overrides. Pure scheduling — the
+    estimator is identical across triggers
+    (tests/test_megakernel_variants.py)."""
+    try:
+        v = int(os.environ.get("RAY_ENV_COUNT", 0))
+    except (TypeError, ValueError):
+        return 0
+    return max(0, v)
 
 
 # Watchdog discipline for megakernel dispatches: device time scales with
@@ -451,11 +470,13 @@ def render_streaming(
 
     env_cfg = env_weights = None
     env_every = 1
+    env_count = 0
     if use_mega and env_fn is not None:
         from ..ops.pallas.megakernel import pack_env_mlp
 
         env_cfg, env_weights = pack_env_mlp(env_fn.nif_config, env_params)
         env_every = env_flush_cadence(scene)
+        env_count = env_flush_count() if env_every > 1 else 0
 
     if compile_only:
         from ..runtime.config import CompileProgress
@@ -477,7 +498,7 @@ def render_streaming(
                     params=params, slots=R, j_per_slot=J, spp=b,
                     max_iters=max_iters, br=_pick_br(R, J),
                     env_cfg=env_cfg, env_weights=env_weights,
-                    env_every=env_every,
+                    env_every=env_every, env_count=env_count,
                     hbm=hbm,
                     subq=subq_granularity(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
@@ -516,7 +537,7 @@ def render_streaming(
                 params=params, slots=R, j_per_slot=J, spp=spp_b,
                 max_iters=max_iters, br=_pick_br(R, J),
                 env_cfg=env_cfg, env_weights=env_weights,
-                env_every=env_every,
+                env_every=env_every, env_count=env_count,
                 hbm=params.intersector == "pallas-hbm",
                 subq=subq_granularity(),
                 # hbm_reflag is a static cache-key arg read only by the

@@ -156,22 +156,29 @@ def test_deferred_env_flush_identical(tmp_path):
     arrays, params, _ = build_scene(scene, image_width=48, image_height=32,
                                     samples_per_pixel=2, intersector="pallas")
     imgs = {}
-    for ek, sq in (("1", None), ("5", None), ("1", "4")):
+    for ek, sq, ec in (("1", None, None), ("5", None, None),
+                       ("1", "4", None), ("5", None, "64")):
         os.environ["RAY_ENV_EVERY"] = ek
         if sq is not None:
             os.environ["RAY_SUBQ"] = sq
+        if ec is not None:
+            os.environ["RAY_ENV_COUNT"] = ec
         try:
-            imgs[ek, sq], done = S.render_streaming(
+            imgs[ek, sq, ec], done = S.render_streaming(
                 arrays, params, env_fn=env_fn, env_params=env_params, spp=2)
         finally:
             del os.environ["RAY_ENV_EVERY"]
             os.environ.pop("RAY_SUBQ", None)
+            os.environ.pop("RAY_ENV_COUNT", None)
         assert done == 48 * 32 * 2
-    np.testing.assert_array_equal(imgs["1", None], imgs["5", None])
+    base = imgs["1", None, None]
+    np.testing.assert_array_equal(base, imgs["5", None, None])
     # Lane-quarter walks with the fused env MLP (parked lanes interact
     # with the slab pass only through `active`; quarters must not change
     # the estimator):
-    np.testing.assert_array_equal(imgs["1", None], imgs["1", "4"])
+    np.testing.assert_array_equal(base, imgs["1", "4", None])
+    # Flush-on-count (RAY_ENV_COUNT) only moves flush timing — identical:
+    np.testing.assert_array_equal(base, imgs["5", None, "64"])
 
 
 def test_env_flush_cadence_robust(mega_scene, monkeypatch):
@@ -186,6 +193,24 @@ def test_env_flush_cadence_robust(mega_scene, monkeypatch):
         assert env_flush_cadence(arrays) == default, bad
     monkeypatch.setenv("RAY_ENV_EVERY", "7")
     assert env_flush_cadence(arrays) == 7
+
+
+def test_env_flush_count_robust(mega_scene, monkeypatch):
+    """RAY_ENV_COUNT clamps to >= 0 and survives garbage; when active it
+    widens the default cadence (max-wait) but never an explicit one."""
+    from ipu_ray_lib_tpu.render.streaming import (env_flush_cadence,
+                                                  env_flush_count)
+
+    arrays, _, _ = mega_scene
+    assert env_flush_count() == 0
+    for bad in ("", "lots", "-5"):
+        monkeypatch.setenv("RAY_ENV_COUNT", bad)
+        assert env_flush_count() == 0, bad
+    monkeypatch.setenv("RAY_ENV_COUNT", "96")
+    assert env_flush_count() == 96
+    assert env_flush_cadence(arrays) >= 16   # count active -> max-wait
+    monkeypatch.setenv("RAY_ENV_EVERY", "3")
+    assert env_flush_cadence(arrays) == 3    # explicit cadence still wins
 
 
 def test_slab_chunking_bitwise_identical(mega_scene, monkeypatch):
