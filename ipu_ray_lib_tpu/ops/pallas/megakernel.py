@@ -417,10 +417,19 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 best_t = bt_ref[:]
                 oq, dq, omq = o, d, o_mag
             else:
+                # Load the quarter straight from the refs: lane-slicing an
+                # already-loaded vector gives it an offset layout Mosaic
+                # cannot broadcast ("Invalid input layout" on hardware;
+                # q*WQ is 128-aligned so these loads are tile-aligned and
+                # canonical). omq is recomputed from the loads — same
+                # maths as o_mag, bitwise-identical per lane:
+                lq = slice(q * WQ, (q + 1) * WQ)
                 best_t = bt_ref[:, pl.ds(q * WQ, WQ)]
-                oq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in o)
-                dq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in d)
-                omq = o_mag[:, q * WQ:(q + 1) * WQ]
+                oq = (ray_ref[0:1, lq], ray_ref[1:2, lq], ray_ref[2:3, lq])
+                dq = (ray_ref[3:4, lq], ray_ref[4:5, lq], ray_ref[5:6, lq])
+                omq = jnp.maximum(jnp.maximum(jnp.abs(oq[0]),
+                                              jnp.abs(oq[1])),
+                                  jnp.abs(oq[2]))
             pb = p_ref[pl.ds(blk * TBW, TBW), :]           # [TBW, 16]
             tnp0 = pb[:, 0:1]
             g1p0 = pb[:, 1:2]
@@ -598,10 +607,18 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         best_t = bt_ref[:]
                         oq, dq, omq = o, d, o_mag
                     else:
+                        # Ref-load the quarter (see do_block: sliced
+                        # loaded vectors carry offset layouts Mosaic
+                        # cannot broadcast on hardware):
+                        lq = slice(q * WQ, (q + 1) * WQ)
                         best_t = bt_ref[:, pl.ds(q * WQ, WQ)]
-                        oq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in o)
-                        dq = tuple(x[:, q * WQ:(q + 1) * WQ] for x in d)
-                        omq = o_mag[:, q * WQ:(q + 1) * WQ]
+                        oq = (ray_ref[0:1, lq], ray_ref[1:2, lq],
+                              ray_ref[2:3, lq])
+                        dq = (ray_ref[3:4, lq], ray_ref[4:5, lq],
+                              ray_ref[5:6, lq])
+                        omq = jnp.maximum(jnp.maximum(jnp.abs(oq[0]),
+                                                      jnp.abs(oq[1])),
+                                          jnp.abs(oq[2]))
                     pb = p_buf[slot, :, b * 16:(b + 1) * 16]   # [TB, 16]
                     tnp0 = pb[:, 0:1]
                     g1p0 = pb[:, 1:2]
