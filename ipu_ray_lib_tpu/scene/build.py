@@ -248,6 +248,18 @@ def build_scene(
             intersector = "dense"
         else:
             intersector = "bvh"
+    elif intersector == "bvh":
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # Fail fast with guidance instead of letting the dispatch
+            # kill the worker mid-render (a worker crash takes the
+            # device down for every process sharing it):
+            raise ValueError(
+                "intersector='bvh' (threaded jnp BVH) faults the TPU "
+                "worker at ~131k-ray dispatches (PROGRESS.md finding 8) "
+                "and is disabled on TPU; use 'pallas' (<=65k prims) or "
+                "'pallas-hbm' (any size) — 'auto' picks correctly.")
 
     # Dense (MXU) tables are only auto-selected for small scenes and are
     # architecturally hopeless past the VMEM boundary (finding 22: the

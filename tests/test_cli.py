@@ -65,3 +65,24 @@ def test_cli_rejects_bad_args(tmp_path):
         cli.main(["--visualise", "nonsense"])
     with pytest.raises(RuntimeError):
         cli.main(["--render-mode", "path-trace", "--visualise", "normal"])
+
+
+def test_bvh_intersector_rejected_on_tpu(monkeypatch):
+    """An explicit --intersector bvh on the TPU backend must fail fast
+    with guidance (the threaded jnp BVH faults the TPU worker at ~131k
+    rays, PROGRESS.md finding 8) instead of crashing mid-render."""
+    import jax
+    import pytest
+
+    from ipu_ray_lib_tpu.scene.build import build_scene
+    from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="pallas"):
+        build_scene(make_cornell_box_scene(mesh_file=None),
+                    intersector="bvh")
+    # 'auto' keeps resolving to a pallas intersector on TPU:
+    _, params, _ = build_scene(
+        make_cornell_box_scene(mesh_file=None), image_width=48,
+        image_height=32, intersector="auto")
+    assert params.intersector == "pallas"
