@@ -40,7 +40,13 @@ Intersection walk (per iteration):
   experiments/subbundle_sim.py measures 1.86x fewer pair-ops at Q=4 on
   the Cornell production mix, 2.85x on the 522k heightfield, with NO
   ray sorting). Bitwise-identical radiometry: a lane only ever needs
-  blocks its own slab interval admits.
+  blocks its own slab interval admits. **Measured SLOWER on TPU at
+  every width** (finding 47): the dense test is a dependent ~50-op
+  chain, and below 512 lanes per op the VPU cannot hide its latency —
+  per-element cost ~doubles per width halving, cancelling the union
+  win. Default 1; the machinery stays as the measured record of this
+  design point. Quarters must be REF-loaded, never sliced from loaded
+  vectors (lane-offset layouts don't broadcast on hardware Mosaic).
 
 Environment light (``env_cfg``): the NIF Fourier-feature MLP runs
 in-kernel as bf16 [P, BR] MXU slabs with exact f32 biases added after
