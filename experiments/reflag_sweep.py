@@ -9,9 +9,11 @@ Each refresh costs a [nbs, br] compare + column max but lets settled
 shrinks.
 
 Usage: python experiments/reflag_sweep.py [size] [spp] [rf...] [br=A,B]
-                                            [subq=A,B]
+                                            [subq=A,B] [nowalk=1]
        defaults: 1440 64 rf 0,1,2,3,5,7 br 1024 subq 1
-       (numeric args are reflag counts; br=/subq= add axes)
+       (numeric args are reflag counts; br=/subq= add axes; nowalk=1
+       measures the per-iteration fixed cost F(br): walk skipped,
+       synthetic diffuse hit — see megakernel _timing_no_walk)
 """
 
 import functools
@@ -31,10 +33,17 @@ def main():
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     brs = [1024]
     subqs = [1]
+    nowalk = cullonly = stub = False
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
             brs = [int(x) for x in a[3:].split(",")]
+        elif a.startswith("nowalk="):
+            nowalk = bool(int(a[7:]))
+        elif a.startswith("cullonly="):
+            cullonly = bool(int(a[9:]))
+        elif a.startswith("stub="):
+            stub = bool(int(a[5:]))
         elif a.startswith("subq="):
             subqs = [int(x) for x in a[5:].split(",")]
         else:
@@ -71,6 +80,8 @@ def main():
             megakernel_path_trace, arrays, rows, cols, jnp.uint32(42),
             jnp.int32(n_pix), params=params, slots=R, j_per_slot=J,
             spp=spp, max_iters=max_iters, br=br, reflag=rf, subq=sq,
+            _timing_no_walk=nowalk, _timing_cull_only=cullonly,
+            _timing_stub_walk=stub,
             return_stats=True)
         flat, done, iters, blocks = f()  # compile + warm
         dt = float("inf")
@@ -81,7 +92,9 @@ def main():
             dt = min(dt, time.time() - t0)
         iters, blocks = int(iters), int(blocks)
         rec = {"exp": "reflag_sweep", "size": size, "spp": spp,
-               "br": br, "subq": sq,
+               "br": br, "subq": sq, **({"nowalk": 1} if nowalk else {}),
+               **({"cullonly": 1} if cullonly else {}),
+               **({"stub": 1} if stub else {}),
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
                "blocks_per_iter": round(blocks / sq / max(iters, 1), 2),

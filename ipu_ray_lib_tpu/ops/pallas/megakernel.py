@@ -272,7 +272,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  use_cull=True, sub=1, subq=1, reflag=0, env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
-                 _timing_no_dots=False, _count_oracle=False):
+                 _timing_no_dots=False, _timing_no_walk=False,
+                 _timing_cull_only=False, _timing_stub_walk=False,
+                 _count_oracle=False):
+    # Timing-instrumentation ladder (each synthesizes a diffuse hit at
+    # t=1 for every active lane, so radiometry is meaningless but
+    # path-length statistics — and hence the cull flags driving the
+    # walk — stay realistic; measured 2026-08-18, finding 48):
+    #   _timing_no_walk:   no cull pass, no walk        -> F(br)
+    #   _timing_cull_only: cull pass, no walk           -> F + cull
+    #   _timing_stub_walk: cull pass, gated walk loop with a trivial
+    #                      do_block body                -> F + cull + gates
+    #   (full) - (stub)                                 -> dense-test work
+    # All imply the _timing_no_dots payload handling:
+    _timing_synth = (_timing_no_walk or _timing_cull_only
+                     or _timing_stub_walk)
+    _timing_no_dots = _timing_no_dots or _timing_synth
     i = pl.program_id(0)
     f32 = jnp.float32
     i32 = jnp.int32
@@ -356,7 +371,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         # analogue of the reference's per-ray BVH culling
         # (ref: include/CompactBvh.hpp:80-139):
         nbs = nb * sub
-        if use_cull:
+        if use_cull and not _timing_no_walk:
             den = (jnp.where(d[0] == 0.0, f32(1e-30), d[0]),
                    jnp.where(d[1] == 0.0, f32(1e-30), d[1]),
                    jnp.where(d[2] == 0.0, f32(1e-30), d[2]))
@@ -414,6 +429,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         WQ = br // subq
 
         def do_block(blk, q=0):
+            if _timing_stub_walk:
+                # Trivial body: the gate fires and the region is entered,
+                # but no dense work runs — isolates per-invocation
+                # overhead (scalar branch + pipeline refill):
+                bt_ref[:] = bt_ref[:] + f32(1e-30)
+                return
             # With subq > 1 the dense test runs on one width-WQ lane
             # quarter (static q, 128-aligned slices) — same math, same
             # merge order, bitwise-identical per-lane results; a lane
@@ -505,7 +526,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             bn_ref[2:3, :] = jnp.ones((1, br), f32)      # normal (0,0,1)
             bn_ref[3:6, :] = jnp.full((3, br), 0.6, f32)  # albedo
 
-        if hbm:
+        if _timing_no_walk or _timing_cull_only:
+            # Synthetic hit at t=1 for every active lane; no walk at all:
+            bt_ref[:] = jnp.where(active, f32(1.0), t_max)
+        elif hbm:
             # ---- HBM-streamed walk: the scene lives in HBM; each flagged
             # *super* (SB blocks, tables.py) streams its p/nrm slabs through
             # a double-buffered VMEM window while the previous super's dense
@@ -820,6 +844,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 jax.lax.fori_loop(b0, b1_, walk_body, 0)
         else:
             jax.lax.fori_loop(0, nbs, lambda blk, _: (do_block(blk), 0)[1], 0)
+
+        if _timing_stub_walk:
+            # Overwrite whatever the stub bodies accumulated with the
+            # synthetic hit (path statistics as in _timing_no_walk):
+            bt_ref[:] = jnp.where(active, f32(1.0), t_max)
 
         if not hbm and not _timing_no_dots:
             # ---- deferred payload pass: normal/material one-hot dots for
@@ -1301,7 +1330,9 @@ def _analytic_tables(scene):
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
-                     "return_stats", "_timing_no_dots", "_count_oracle"),
+                     "return_stats", "_timing_no_dots", "_timing_no_walk",
+                     "_timing_cull_only", "_timing_stub_walk",
+                     "_count_oracle"),
 )
 def megakernel_path_trace(
     scene,
@@ -1341,6 +1372,9 @@ def megakernel_path_trace(
     hbm_reflag: int = 64,
     return_stats: bool = False,
     _timing_no_dots: bool = False,
+    _timing_no_walk: bool = False,
+    _timing_cull_only: bool = False,
+    _timing_stub_walk: bool = False,
     _count_oracle: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
@@ -1508,7 +1542,10 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
-        _timing_no_dots=_timing_no_dots, _count_oracle=_count_oracle,
+        _timing_no_dots=_timing_no_dots,
+        _timing_no_walk=_timing_no_walk,
+        _timing_cull_only=_timing_cull_only,
+        _timing_stub_walk=_timing_stub_walk, _count_oracle=_count_oracle,
     )
     if env_cfg is not None:
         wmlp, ebias, econst = env_weights
