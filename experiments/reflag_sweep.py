@@ -33,7 +33,7 @@ def main():
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     brs = [1024]
     subqs = [1]
-    nowalk = cullonly = stub = False
+    nowalk = cullonly = stub = compact = False
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
@@ -44,6 +44,8 @@ def main():
             cullonly = bool(int(a[9:]))
         elif a.startswith("stub="):
             stub = bool(int(a[5:]))
+        elif a.startswith("compact="):
+            compact = bool(int(a[8:]))
         elif a.startswith("subq="):
             subqs = [int(x) for x in a[5:].split(",")]
         else:
@@ -81,7 +83,7 @@ def main():
             jnp.int32(n_pix), params=params, slots=R, j_per_slot=J,
             spp=spp, max_iters=max_iters, br=br, reflag=rf, subq=sq,
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
-            _timing_stub_walk=stub,
+            _timing_stub_walk=stub, walk_compact=compact,
             return_stats=True)
         flat, done, iters, blocks = f()  # compile + warm
         dt = float("inf")
@@ -95,6 +97,7 @@ def main():
                "br": br, "subq": sq, **({"nowalk": 1} if nowalk else {}),
                **({"cullonly": 1} if cullonly else {}),
                **({"stub": 1} if stub else {}),
+               **({"compact": 1} if compact else {}),
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
                "blocks_per_iter": round(blocks / sq / max(iters, 1), 2),

@@ -265,11 +265,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  cull_ref, cullq_ref, tin_ref, env_ref, p_buf, nrm_buf, sems,
-                 bflag_ref, wf_ref,
+                 bflag_ref, wf_ref, cidx_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
-                 use_cull=True, sub=1, subq=1, reflag=0, env_cfg=None,
+                 use_cull=True, sub=1, subq=1, compact=False, reflag=0,
+                 env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
                  _timing_no_dots=False, _timing_no_walk=False,
@@ -841,7 +842,63 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         jnp.sum(cullq_ref[b0:b1_, :], axis=1,
                                 keepdims=True),
                         axis=0, keepdims=True)
-                jax.lax.fori_loop(b0, b1_, walk_body, 0)
+                if compact and subq == 1:
+                    # ---- compacted walk (finding 48): the gated fori_loop
+                    # spends ~50% of kernel time on scalar gate machinery
+                    # (one flag load + branch per block, ~47 cycles even
+                    # when NOT taken, plus ~0.33 us pipeline refill per
+                    # taken pl.when region). Instead: rank the flagged
+                    # blocks with a vector cumsum, extract their indices
+                    # into a dense list via a one-hot sum (pure VPU work,
+                    # ~L*128 int ops), and walk exactly `cnt` blocks in a
+                    # branch-free while_loop with dynamic-slice indexing
+                    # (do_block already supports traced block ids). Same
+                    # blocks in the same ascending order — bitwise-
+                    # identical radiometry:
+                    L = b1_ - b0
+                    fl = cull_ref[b0:b1_, :].astype(f32)         # [L, 1]
+                    # Rank the flagged blocks with triangular-ones matmuls
+                    # (Pallas TPU lowers no cumsum; the MXU prefix-count
+                    # is exact under precision=HIGHEST — default f32 dots
+                    # round inputs through bf16, finding 14). excl/incl
+                    # are the exclusive/inclusive flag counts as ROW
+                    # vectors, so the one-hot and the index dot below
+                    # land column-major — the walk needs cidx in sublane-
+                    # major form because Mosaic only allows DYNAMIC
+                    # scalar indexing on the sublane axis:
+                    ri = jax.lax.broadcasted_iota(i32, (L, L), 0)
+                    ci = jax.lax.broadcasted_iota(i32, (L, L), 1)
+                    _hi = jax.lax.Precision.HIGHEST
+                    nd0 = (((0,), (0,)), ((), ()))
+                    excl = jax.lax.dot_general(      # [1, L] flags j < i
+                        fl, (ri < ci).astype(f32), nd0,
+                        precision=_hi, preferred_element_type=f32)
+                    incl = jax.lax.dot_general(      # [1, L] flags j <= i
+                        fl, (ri <= ci).astype(f32), nd0,
+                        precision=_hi, preferred_element_type=f32)
+                    cnt = jnp.sum(fl).astype(i32)
+                    _CW = 128
+                    kio = jax.lax.broadcasted_iota(
+                        i32, (_CW, L), 0).astype(f32)  # slot id per row
+                    rowidx = (jax.lax.broadcasted_iota(
+                        i32, (L, 1), 0).astype(f32)
+                        + f32(b0))                     # global block id
+                    for k0 in range(0, L, _CW):
+                        onehot = ((excl == (kio + f32(k0)))
+                                  & (incl == (kio + f32(k0 + 1)))
+                                  ).astype(f32)      # [_CW, L]
+                        cidx_ref[k0:k0 + _CW, 0:1] = jax.lax.dot_general(
+                            onehot, rowidx, (((1,), (0,)), ((), ())),
+                            precision=_hi,
+                            preferred_element_type=f32).astype(i32)
+
+                    def cbody(k):
+                        do_block(cidx_ref[k, 0])
+                        return k + 1
+
+                    jax.lax.while_loop(lambda k: k < cnt, cbody, i32(0))
+                else:
+                    jax.lax.fori_loop(b0, b1_, walk_body, 0)
         else:
             jax.lax.fori_loop(0, nbs, lambda blk, _: (do_block(blk), 0)[1], 0)
 
@@ -1329,6 +1386,7 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
+                     "walk_compact",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
@@ -1370,6 +1428,10 @@ def megakernel_path_trace(
                           # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
+    walk_compact: bool = False,  # compacted flat walk (finding 48):
+                                 # branch-free index-list walk instead of
+                                 # per-block pl.when gates; bitwise-
+                                 # identical (same blocks, same order)
     return_stats: bool = False,
     _timing_no_dots: bool = False,
     _timing_no_walk: bool = False,
@@ -1472,6 +1534,10 @@ def megakernel_path_trace(
         raise ValueError(f"subq must be 1, 2, 4 or 8, got {subq}")
     if not cull_on or br % (128 * subq):
         subq = 1
+    # Compacted flat walk (finding 48): only the flat VMEM walk uses it,
+    # and only at subq == 1 (quarters keep their per-quarter gates):
+    compact_on = (walk_compact and cull_on and subq == 1
+                  and not (hbm or two_level))
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1522,6 +1588,10 @@ def megakernel_path_trace(
             # Deferred-payload winner-block flags (VMEM walks only):
             pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)
                        if not hbm else (1, 1), jnp.int32),
+            # Compacted-walk index list (flat VMEM walk, finding 48;
+            # sublane-major: dynamic scalar reads only work on sublanes):
+            pltpu.VMEM((-(-nbs_c // 128) * 128, 1)
+                       if compact_on else (1, 1), jnp.int32),
         ],
     )
     if env_cfg is not None and env_every > 1:
@@ -1538,7 +1608,8 @@ def megakernel_path_trace(
         inv_h=1.0 / params.image_height,
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
-        use_cull=cull_on, sub=sub, subq=subq, reflag=reflag, env_cfg=env_cfg,
+        use_cull=cull_on, sub=sub, subq=subq, compact=compact_on,
+        reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,

@@ -46,6 +46,11 @@ def mega_scene():
     dict(reflag=1),
     dict(sub=2),
     dict(sub=4),
+    # Compacted walk (finding 48): branch-free index-list walk must
+    # visit the same blocks in the same order — bitwise:
+    dict(walk_compact=True),
+    dict(walk_compact=True, reflag=1),
+    dict(walk_compact=True, sub=2),
 ])
 def test_walk_variants_bitwise_identical(mega_scene, kw):
     arrays, params, base = mega_scene
