@@ -33,7 +33,7 @@ def main():
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     brs = [1024]
     subqs = [1]
-    nowalk = cullonly = stub = compact = False
+    nowalk = cullonly = stub = compact = nodots = False
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
@@ -46,6 +46,8 @@ def main():
             stub = bool(int(a[5:]))
         elif a.startswith("compact="):
             compact = bool(int(a[8:]))
+        elif a.startswith("nodots="):
+            nodots = bool(int(a[7:]))
         elif a.startswith("subq="):
             subqs = [int(x) for x in a[5:].split(",")]
         else:
@@ -84,6 +86,7 @@ def main():
             spp=spp, max_iters=max_iters, br=br, reflag=rf, subq=sq,
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
+            _timing_no_dots=nodots,
             return_stats=True)
         flat, done, iters, blocks = f()  # compile + warm
         dt = float("inf")
@@ -98,6 +101,7 @@ def main():
                **({"cullonly": 1} if cullonly else {}),
                **({"stub": 1} if stub else {}),
                **({"compact": 1} if compact else {}),
+               **({"nodots": 1} if nodots else {}),
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
                "blocks_per_iter": round(blocks / sq / max(iters, 1), 2),

@@ -429,6 +429,52 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
         TBW = TB // sub
         WQ = br // subq
 
+        def compact_indices(fl_col, base):
+            """Write the row indices of the set entries of ``fl_col`` (a
+            [L, 1] i32 0/1 column; indices offset by ``base``) into
+            ``cidx_ref[:, 0]`` in ascending order; return the count as a
+            traced i32 scalar. Ranks come from triangular-ones matmuls
+            (Pallas TPU lowers no cumsum; the MXU prefix-count is exact
+            under precision=HIGHEST — default f32 dots round inputs
+            through bf16, finding 14). excl/incl are the exclusive /
+            inclusive counts as ROW vectors so the index-extraction dot
+            lands column-major: the consumers need cidx sublane-major
+            because Mosaic only allows DYNAMIC scalar indexing on the
+            sublane axis."""
+            L = fl_col.shape[0]
+            fl = fl_col.astype(f32)
+            ri = jax.lax.broadcasted_iota(i32, (L, L), 0)
+            ci = jax.lax.broadcasted_iota(i32, (L, L), 1)
+            # All values here are integers <= base + L (counts, slots,
+            # block ids); bf16 represents integers exactly up to 256, so
+            # the cheap DEFAULT path (inputs rounded through bf16, f32
+            # accumulate) is EXACT whenever base + L <= 256 — true for
+            # every auto flat-walk config (nbs <= 2*TWO_LEVEL_MIN_BLOCKS).
+            # HIGHEST (~6x the passes) only for explicit big-sub configs:
+            _hi = (jax.lax.Precision.DEFAULT if base + L <= 256
+                   else jax.lax.Precision.HIGHEST)
+            nd0 = (((0,), (0,)), ((), ()))
+            excl = jax.lax.dot_general(      # [1, L] set rows j < i
+                fl, (ri < ci).astype(f32), nd0,
+                precision=_hi, preferred_element_type=f32)
+            incl = jax.lax.dot_general(      # [1, L] set rows j <= i
+                fl, (ri <= ci).astype(f32), nd0,
+                precision=_hi, preferred_element_type=f32)
+            _CW = 128
+            kio = jax.lax.broadcasted_iota(
+                i32, (_CW, L), 0).astype(f32)    # list slot per row
+            rowidx = (jax.lax.broadcasted_iota(
+                i32, (L, 1), 0).astype(f32) + f32(base))
+            for k0 in range(0, L, _CW):
+                onehot = ((excl == (kio + f32(k0)))
+                          & (incl == (kio + f32(k0 + 1)))
+                          ).astype(f32)          # [_CW, L]
+                cidx_ref[k0:k0 + _CW, 0:1] = jax.lax.dot_general(
+                    onehot, rowidx, (((1,), (0,)), ((), ())),
+                    precision=_hi,
+                    preferred_element_type=f32).astype(i32)
+            return jnp.sum(fl).astype(i32)
+
         def do_block(blk, q=0):
             if _timing_stub_walk:
                 # Trivial body: the gate fires and the region is entered,
@@ -843,54 +889,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                 keepdims=True),
                         axis=0, keepdims=True)
                 if compact and subq == 1:
-                    # ---- compacted walk (finding 48): the gated fori_loop
-                    # spends ~50% of kernel time on scalar gate machinery
-                    # (one flag load + branch per block, ~47 cycles even
-                    # when NOT taken, plus ~0.33 us pipeline refill per
-                    # taken pl.when region). Instead: rank the flagged
-                    # blocks with a vector cumsum, extract their indices
-                    # into a dense list via a one-hot sum (pure VPU work,
-                    # ~L*128 int ops), and walk exactly `cnt` blocks in a
+                    # ---- compacted walk (finding 48): rank the flagged
+                    # blocks, extract their indices into a dense sublane-
+                    # major list, and walk exactly `cnt` blocks in a
                     # branch-free while_loop with dynamic-slice indexing
                     # (do_block already supports traced block ids). Same
                     # blocks in the same ascending order — bitwise-
                     # identical radiometry:
-                    L = b1_ - b0
-                    fl = cull_ref[b0:b1_, :].astype(f32)         # [L, 1]
-                    # Rank the flagged blocks with triangular-ones matmuls
-                    # (Pallas TPU lowers no cumsum; the MXU prefix-count
-                    # is exact under precision=HIGHEST — default f32 dots
-                    # round inputs through bf16, finding 14). excl/incl
-                    # are the exclusive/inclusive flag counts as ROW
-                    # vectors, so the one-hot and the index dot below
-                    # land column-major — the walk needs cidx in sublane-
-                    # major form because Mosaic only allows DYNAMIC
-                    # scalar indexing on the sublane axis:
-                    ri = jax.lax.broadcasted_iota(i32, (L, L), 0)
-                    ci = jax.lax.broadcasted_iota(i32, (L, L), 1)
-                    _hi = jax.lax.Precision.HIGHEST
-                    nd0 = (((0,), (0,)), ((), ()))
-                    excl = jax.lax.dot_general(      # [1, L] flags j < i
-                        fl, (ri < ci).astype(f32), nd0,
-                        precision=_hi, preferred_element_type=f32)
-                    incl = jax.lax.dot_general(      # [1, L] flags j <= i
-                        fl, (ri <= ci).astype(f32), nd0,
-                        precision=_hi, preferred_element_type=f32)
-                    cnt = jnp.sum(fl).astype(i32)
-                    _CW = 128
-                    kio = jax.lax.broadcasted_iota(
-                        i32, (_CW, L), 0).astype(f32)  # slot id per row
-                    rowidx = (jax.lax.broadcasted_iota(
-                        i32, (L, 1), 0).astype(f32)
-                        + f32(b0))                     # global block id
-                    for k0 in range(0, L, _CW):
-                        onehot = ((excl == (kio + f32(k0)))
-                                  & (incl == (kio + f32(k0 + 1)))
-                                  ).astype(f32)      # [_CW, L]
-                        cidx_ref[k0:k0 + _CW, 0:1] = jax.lax.dot_general(
-                            onehot, rowidx, (((1,), (0,)), ((), ())),
-                            precision=_hi,
-                            preferred_element_type=f32).astype(i32)
+                    cnt = compact_indices(cull_ref[b0:b1_, :], b0)
 
                     def cbody(k):
                         do_block(cidx_ref[k, 0])
@@ -921,67 +927,96 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
             nd_ = (((1,), (0,)), ((), ()))
 
-            def wpay(b, _):
-                @pl.when(wf_ref[b, 0] > 0)
-                def _p(b=b):
-                    rel = row - b * TB
-                    w1 = (tri128 == rel).astype(f32)
-                    # Re-derive the winner's barycentrics from its p-row,
-                    # extracted by the one-hot (HIGHEST precision keeps the
-                    # extraction exact: the 3-way bf16 split of an f32 is
-                    # exact and one-hot columns are bf16-exact, so value*1
-                    # sums back bitwise — the default MXU f32 path would
-                    # round the coefficients through bf16, finding 14).
-                    # The [1, br] recompute below repeats do_block's exact
-                    # op sequence on the same scalars, so b1/b2 match the
-                    # in-walk values bitwise:
-                    pc = jax.lax.dot_general(
-                        p_ref[pl.ds(b * TB, TB), 0:12], w1,
-                        (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=f32)      # [12, br]
-                    on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
-                    dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
-                    og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
-                    dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
-                    og2w = pc[9:10] * o[0] + pc[10:11] * o[1] + pc[11:12] * o[2]
-                    dg2w = pc[9:10] * d[0] + pc[10:11] * d[1] + pc[11:12] * d[2]
-                    r_w = pl.reciprocal(dn_w, approx=True)
-                    r_w = r_w * (2.0 - dn_w * r_w)
-                    t_w = (pc[0:1] - on_w) * r_w
-                    # Lanes whose winner lives in another block extract an
-                    # all-zero row (dn_w == 0 -> t_w is NaN); their one-hot
-                    # column is all zero anyway — mask to keep the NaN out
-                    # of the weight product:
-                    mine = blkw == b
-                    b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
-                    b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
-                    # w2/w3 barycentric weights touch ONLY normal rows
-                    # 0-2: segments 1/2's spare rows carry material data
-                    # whose weighted leakage was a real radiometry bug
-                    # (finding 30):
-                    w2 = w1 * b1w
-                    w3 = w1 * b2w
-                    c0 = b * 3 * TB
-                    n_cand = jax.lax.dot_general(
-                        nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
+            def pay_block(b):
+                rel = row - b * TB
+                w1 = (tri128 == rel).astype(f32)
+                # Re-derive the winner's barycentrics from its p-row,
+                # extracted by the one-hot. The extraction must be EXACT
+                # (the [1, br] recompute below repeats do_block's exact
+                # op sequence on the same scalars, so b1/b2 match the
+                # in-walk values bitwise). Precision.HIGHEST does that
+                # but costs ~6 bf16 MXU passes; a manual 3-way bf16
+                # split needs only 3: hi/mid/lo carry f32's 24 mantissa
+                # bits exactly (each residual is exactly representable),
+                # the one-hot is bf16-exact, every product is exact in
+                # the f32 accumulator, and hi+(mid+lo sums) reconstruct
+                # the original f32 bitwise (hi+mid fits 18 bits; the
+                # final add hits the exactly-representable x). Default
+                # f32 dots would round through ONE bf16 pass (finding
+                # 14) — not enough:
+                pb12 = p_ref[pl.ds(b * TB, TB), 0:12]
+                hi_s = pb12.astype(jnp.bfloat16)
+                r1_s = pb12 - hi_s.astype(f32)
+                mid_s = r1_s.astype(jnp.bfloat16)
+                lo_s = (r1_s - mid_s.astype(f32)).astype(jnp.bfloat16)
+                w1b = w1.astype(jnp.bfloat16)
+                nd0p = (((0,), (0,)), ((), ()))
+                pc = (jax.lax.dot_general(
+                          hi_s, w1b, nd0p, preferred_element_type=f32)
+                      + jax.lax.dot_general(
+                          mid_s, w1b, nd0p, preferred_element_type=f32)
+                      + jax.lax.dot_general(
+                          lo_s, w1b, nd0p,
+                          preferred_element_type=f32))   # [12, br]
+                on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
+                dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
+                og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
+                dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
+                og2w = pc[9:10] * o[0] + pc[10:11] * o[1] + pc[11:12] * o[2]
+                dg2w = pc[9:10] * d[0] + pc[10:11] * d[1] + pc[11:12] * d[2]
+                r_w = pl.reciprocal(dn_w, approx=True)
+                r_w = r_w * (2.0 - dn_w * r_w)
+                t_w = (pc[0:1] - on_w) * r_w
+                # Lanes whose winner lives in another block extract an
+                # all-zero row (dn_w == 0 -> t_w is NaN); their one-hot
+                # column is all zero anyway — mask to keep the NaN out
+                # of the weight product:
+                mine = blkw == b
+                b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
+                b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
+                # w2/w3 barycentric weights touch ONLY normal rows
+                # 0-2: segments 1/2's spare rows carry material data
+                # whose weighted leakage was a real radiometry bug
+                # (finding 30):
+                w2 = w1 * b1w
+                w3 = w1 * b2w
+                c0 = b * 3 * TB
+                n_cand = jax.lax.dot_general(
+                    nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
+                    preferred_element_type=f32)
+                n_interp = (
+                    jax.lax.dot_general(
+                        nrm_ref[0:3, pl.ds(c0 + TB, TB)], w2, nd_,
                         preferred_element_type=f32)
-                    n_interp = (
-                        jax.lax.dot_general(
-                            nrm_ref[0:3, pl.ds(c0 + TB, TB)], w2, nd_,
-                            preferred_element_type=f32)
-                        + jax.lax.dot_general(
-                            nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)], w3, nd_,
-                            preferred_element_type=f32))
-                    m_cand = jax.lax.dot_general(
-                        nrm_ref[:, pl.ds(c0 + TB, TB)], w1, nd_,
-                        preferred_element_type=f32)
-                    bn_ref[:] = bn_ref[:] + jnp.concatenate(
-                        [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
-                    bm_ref[:] = bm_ref[:] + m_cand
-                return 0
+                    + jax.lax.dot_general(
+                        nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)], w3, nd_,
+                        preferred_element_type=f32))
+                m_cand = jax.lax.dot_general(
+                    nrm_ref[:, pl.ds(c0 + TB, TB)], w1, nd_,
+                    preferred_element_type=f32)
+                bn_ref[:] = bn_ref[:] + jnp.concatenate(
+                    [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
+                bm_ref[:] = bm_ref[:] + m_cand
 
-            jax.lax.fori_loop(0, NBLK, wpay, 0)
+            if compact:
+                # Compacted winner-block dispatch (finding 48; cidx_ref
+                # is free again — the walk is done). Winner contributions
+                # are lane-disjoint and zero elsewhere, so dispatch order
+                # is bitwise-irrelevant; ascending order is kept anyway:
+                cntw = compact_indices(wf_ref[:], 0)
+
+                def pbody(k):
+                    pay_block(cidx_ref[k, 0])
+                    return k + 1
+
+                jax.lax.while_loop(lambda k: k < cntw, pbody, i32(0))
+            else:
+                def wpay(b, _):
+                    pl.when(wf_ref[b, 0] > 0)(
+                        functools.partial(pay_block, b))
+                    return 0
+
+                jax.lax.fori_loop(0, NBLK, wpay, 0)
             ki_ref[7:8, :] = jnp.full((1, br), -1, i32)
 
         best_t = bt_ref[:]
