@@ -1447,13 +1447,15 @@ def megakernel_path_trace(
                        # width-(br/subq) lane slice walks only ITS
                        # flagged blocks (experiments/subbundle_sim.py:
                        # Q=4 cuts pair-ops 1.86x on the production mix)
-    reflag: int = 3,   # mid-walk refresh count; swept per-br at the
-                       # bench workload (experiments/reflag_sweep.py,
-                       # alternating A/B, reproducible to 4 digits):
-                       # br=512 (production): rf3=8.27 > rf7=8.14
-                       # Mpaths/s; the rf7 win only exists at br=1024
-                       # (7.88 vs 7.79), where refreshes amortise over
-                       # 2x the lanes. Production br is 512 -> keep 3.
+    reflag: int | None = None,
+                       # mid-walk refresh count; swept per-br at the
+                       # bench workload (experiments/reflag_sweep.py).
+                       # None resolves per mode: 1 for the compacted
+                       # flat walk (each extra segment re-runs the
+                       # rank/extract prep: rf1 9.22 >= rf3 9.19 > rf5
+                       # 8.64 Mpaths/s at br=512, 2026-08-18), 3 for the
+                       # gated flat and two-level walks (the 64k-tri
+                       # two-level scene loses 27% at rf1).
     env_cfg=None,
     env_weights=None,
     env_every: int = 1,
@@ -1463,10 +1465,14 @@ def megakernel_path_trace(
                           # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
-    walk_compact: bool = False,  # compacted flat walk (finding 48):
-                                 # branch-free index-list walk instead of
-                                 # per-block pl.when gates; bitwise-
-                                 # identical (same blocks, same order)
+    walk_compact: bool = True,   # compacted flat walk + winner-payload
+                                 # dispatch (finding 48): branch-free
+                                 # index-list walks instead of per-block
+                                 # pl.when gates; bitwise-identical (same
+                                 # blocks, same order). A/B 2026-08-18:
+                                 # 9.22 vs 8.15 Mpaths/s at br512/rf1.
+                                 # RAY_WALK_COMPACT=0 restores the gated
+                                 # walk (A/B escape hatch).
     return_stats: bool = False,
     _timing_no_dots: bool = False,
     _timing_no_walk: bool = False,
@@ -1529,6 +1535,13 @@ def megakernel_path_trace(
                      and tables.num_blocks > TWO_LEVEL_MIN_BLOCKS
                      and tables.num_supers > 1)
         nb_kern = tables.num_supers if two_level else tables.num_blocks
+        if reflag is None:
+            # Mode default: the compacted flat walk prefers ONE refresh
+            # (every segment re-runs the rank/extract prep); the gated
+            # flat and two-level walks keep the swept 3 (the 64k-tri
+            # two-level scene loses 27% at rf1):
+            reflag = 1 if (walk_compact and not two_level
+                           and subq == 1) else 3
         if (cull_on and not two_level and reflag > 0
                 and nb_kern * sub * br * 4 > (4 << 20)):
             # The reflag entry-bound scratch is [nb*sub, br] f32; near the

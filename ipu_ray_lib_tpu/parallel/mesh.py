@@ -165,7 +165,8 @@ def render_streaming_sharded(
     cols_sh = cols_np.reshape(n_dev, R_local * J)
 
     from ..render.streaming import (_pick_br, _use_megakernel,
-                                    hbm_reflag_cadence, subq_granularity)
+                                    hbm_reflag_cadence, subq_granularity,
+                                    walk_compact_enabled)
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
     env_cfg = env_weights = None
@@ -207,6 +208,7 @@ def render_streaming_sharded(
                     env_count=env_count if env_cfg is not None else 0,
                     hbm=params.intersector == "pallas-hbm",
                     subq=subq_granularity(),
+                    walk_compact=walk_compact_enabled(),
                     # Static cache-key arg read only by the HBM walk —
                     # conditional so RAY_HBM_REFLAG sweeps can't force
                     # VMEM-mode recompiles (same as render_streaming):
