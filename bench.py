@@ -90,6 +90,8 @@ def main() -> int:
             "bundle_iters": it,
             "blocks_per_iter": round(bw / sq / max(it, 1), 2),
             "pair_tests_per_s": round(bw * 128.0 * (br // sq) / dt, 1),
+            "winner_blocks_per_iter": round(
+                stats.get("winner_blocks", 0) / max(it, 1), 2),
             "subq": sq,
         }
     print(json.dumps(record))

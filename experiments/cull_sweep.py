@@ -50,11 +50,11 @@ def main():
             megakernel_path_trace, arrays, rows, cols, jnp.uint32(42),
             jnp.int32(n_pix), params=params, slots=R, j_per_slot=J, spp=spp,
             max_iters=max_iters, br=br, use_cull=use_cull, return_stats=True)
-        flat, done, iters, blocks = f()  # compile + warm
+        flat, done, iters, blocks, *_ = f()  # compile + warm
         dt = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            flat, done, iters, blocks = f()
+            flat, done, iters, blocks, *_ = f()
             mean = float(jnp.mean(flat))
             dt = min(dt, time.time() - t0)
         iters, blocks = int(iters), int(blocks)

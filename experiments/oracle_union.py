@@ -64,7 +64,7 @@ def main():
     out = run()
     [o.block_until_ready() for o in out]
     t0 = time.time()
-    flat, done, iters, walked, oracle = [np.asarray(o) for o in run()]
+    flat, done, iters, walked, oracle, *_ = [np.asarray(o) for o in run()]
     dt = time.time() - t0
     nb = arrays.blocked.num_blocks * sub
     print(f"size {size} spp {spp} sub {sub} reflag {reflag}: "

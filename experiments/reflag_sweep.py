@@ -34,6 +34,8 @@ def main():
     brs = [1024]
     subqs = [1]
     nowalk = cullonly = stub = compact = nodots = False
+    pay2 = prep2 = False
+    wu = pu = 1
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
@@ -48,6 +50,14 @@ def main():
             compact = bool(int(a[8:]))
         elif a.startswith("nodots="):
             nodots = bool(int(a[7:]))
+        elif a.startswith("pay2="):
+            pay2 = bool(int(a[5:]))
+        elif a.startswith("prep2="):
+            prep2 = bool(int(a[6:]))
+        elif a.startswith("wu="):
+            wu = int(a[3:])
+        elif a.startswith("pu="):
+            pu = int(a[3:])
         elif a.startswith("subq="):
             subqs = [int(x) for x in a[5:].split(",")]
         else:
@@ -87,24 +97,32 @@ def main():
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots,
+            _timing_double_pay=pay2, _timing_double_prep=prep2,
+            walk_unroll=wu, pay_unroll=pu,
             return_stats=True)
-        flat, done, iters, blocks = f()  # compile + warm
+        flat, done, iters, blocks, *rest = f()  # compile + warm
         dt = float("inf")
         for _ in range(3):
             t0 = time.time()
-            flat, done, iters, blocks = f()
+            flat, done, iters, blocks, *rest = f()
             mean = float(jnp.mean(flat))
             dt = min(dt, time.time() - t0)
         iters, blocks = int(iters), int(blocks)
+        winners = int(rest[-1]) if rest else 0
         rec = {"exp": "reflag_sweep", "size": size, "spp": spp,
                "br": br, "subq": sq, **({"nowalk": 1} if nowalk else {}),
                **({"cullonly": 1} if cullonly else {}),
                **({"stub": 1} if stub else {}),
                **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
+               **({"pay2": 1} if pay2 else {}),
+               **({"prep2": 1} if prep2 else {}),
+               **({"wu": wu} if wu != 1 else {}),
+               **({"pu": pu} if pu != 1 else {}),
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,
                "blocks_per_iter": round(blocks / sq / max(iters, 1), 2),
+               "winners_per_iter": round(winners / max(iters, 1), 2),
                "us_per_iter": round(dt * 1e6 / max(iters, 1), 2),
                "mean": round(mean, 5),
                "ts": time.strftime("%Y-%m-%d %H:%M:%S")}

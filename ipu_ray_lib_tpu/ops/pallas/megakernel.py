@@ -270,11 +270,13 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
+                 walk_unroll=1, pay_unroll=1,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
+                 _timing_double_pay=False, _timing_double_prep=False,
                  _count_oracle=False):
     # Timing-instrumentation ladder (each synthesizes a diffuse hit at
     # t=1 for every active lane, so radiometry is meaningless but
@@ -285,7 +287,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     #   _timing_stub_walk: cull pass, gated walk loop with a trivial
     #                      do_block body                -> F + cull + gates
     #   (full) - (stub)                                 -> dense-test work
-    # All imply the _timing_no_dots payload handling:
+    # Marginal-cost probes (radiometry/stats BITWISE unchanged — the
+    # doubled region is idempotent, so the wall-time delta vs the base
+    # run is an exact attribution with no path-statistic drift):
+    #   _timing_double_pay:  run the deferred payload pass twice
+    #   _timing_double_prep: run each segment's compact rank/extract twice
+    # All synth variants imply the _timing_no_dots payload handling:
     _timing_synth = (_timing_no_walk or _timing_cull_only
                      or _timing_stub_walk)
     _timing_no_dots = _timing_no_dots or _timing_synth
@@ -897,10 +904,23 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     # blocks in the same ascending order — bitwise-
                     # identical radiometry:
                     cnt = compact_indices(cull_ref[b0:b1_, :], b0)
+                    if _timing_double_prep:
+                        # Idempotent re-run: same flags, same writes —
+                        # the marginal time IS the prep cost:
+                        cnt = compact_indices(cull_ref[b0:b1_, :], b0)
 
                     def cbody(k):
+                        # walk_unroll > 1: U dense tests per while-loop
+                        # iteration amortise the per-iteration scalar
+                        # branch + pipeline refill. Tail slots clamp to
+                        # the LAST list entry: re-walking a block is a
+                        # bitwise no-op (improvement is strict <), so
+                        # order and results are identical to U=1:
                         do_block(cidx_ref[k, 0])
-                        return k + 1
+                        for u in range(1, walk_unroll):
+                            do_block(cidx_ref[jnp.minimum(k + u, cnt - 1),
+                                              0])
+                        return k + walk_unroll
 
                     jax.lax.while_loop(lambda k: k < cnt, cbody, i32(0))
                 else:
@@ -921,13 +941,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             row = ki_ref[7:8, :]
             blkw = row // i32(TB)                 # -1 for no-hit lanes
             NBLK = nrm_ref.shape[1] // (3 * TB)
-            nb_iota = jax.lax.broadcasted_iota(i32, (NBLK, br), 0)
-            wf_ref[:] = jnp.max((nb_iota == blkw).astype(i32), axis=1,
-                                keepdims=True)
             tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
             nd_ = (((1,), (0,)), ((), ()))
 
             def pay_block(b):
+                # Loads clamp b into range (pay_unroll tail slots pass
+                # b == NBLK); the one-hot/mine masks use the UNCLAMPED b,
+                # so an out-of-range slot contributes exact zeros:
+                bs = jnp.minimum(b, i32(NBLK - 1))
                 rel = row - b * TB
                 w1 = (tri128 == rel).astype(f32)
                 # Re-derive the winner's barycentrics from its p-row,
@@ -944,20 +965,23 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 # final add hits the exactly-representable x). Default
                 # f32 dots would round through ONE bf16 pass (finding
                 # 14) — not enough:
-                pb12 = p_ref[pl.ds(b * TB, TB), 0:12]
+                pb12 = p_ref[pl.ds(bs * TB, TB), 0:12]
                 hi_s = pb12.astype(jnp.bfloat16)
                 r1_s = pb12 - hi_s.astype(f32)
                 mid_s = r1_s.astype(jnp.bfloat16)
                 lo_s = (r1_s - mid_s.astype(f32)).astype(jnp.bfloat16)
                 w1b = w1.astype(jnp.bfloat16)
                 nd0p = (((0,), (0,)), ((), ()))
-                pc = (jax.lax.dot_general(
-                          hi_s, w1b, nd0p, preferred_element_type=f32)
-                      + jax.lax.dot_general(
-                          mid_s, w1b, nd0p, preferred_element_type=f32)
-                      + jax.lax.dot_general(
-                          lo_s, w1b, nd0p,
-                          preferred_element_type=f32))   # [12, br]
+                # ONE [TB, 36] dot instead of three [TB, 12] dots: the
+                # hi/mid/lo splits ride as extra columns (each row's
+                # contraction is element-for-element the same bf16
+                # products with the same f32 accumulate, so the exact-
+                # reconstruction argument — and the bits — are
+                # unchanged), and the MXU invocation count drops 3x:
+                pcs = jax.lax.dot_general(
+                    jnp.concatenate([hi_s, mid_s, lo_s], axis=1), w1b,
+                    nd0p, preferred_element_type=f32)    # [36, br]
+                pc = (pcs[0:12] + pcs[12:24]) + pcs[24:36]   # [12, br]
                 on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
                 dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
                 og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
@@ -974,49 +998,84 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 mine = blkw == b
                 b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
                 b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
-                # w2/w3 barycentric weights touch ONLY normal rows
-                # 0-2: segments 1/2's spare rows carry material data
-                # whose weighted leakage was a real radiometry bug
-                # (finding 30):
-                w2 = w1 * b1w
-                w3 = w1 * b2w
-                c0 = b * 3 * TB
-                n_cand = jax.lax.dot_general(
-                    nrm_ref[:, pl.ds(c0, TB)], w1, nd_,
-                    preferred_element_type=f32)
-                n_interp = (
-                    jax.lax.dot_general(
-                        nrm_ref[0:3, pl.ds(c0 + TB, TB)], w2, nd_,
-                        preferred_element_type=f32)
-                    + jax.lax.dot_general(
-                        nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)], w3, nd_,
-                        preferred_element_type=f32))
-                m_cand = jax.lax.dot_general(
-                    nrm_ref[:, pl.ds(c0 + TB, TB)], w1, nd_,
-                    preferred_element_type=f32)
+                c0 = bs * 3 * TB
+                # ONE [22, TB] dot replaces four: rows 0-7 candidate
+                # normal block (n_cand), 8-15 material block (m_cand),
+                # 16-18 / 19-21 the two vertex-normal interp blocks.
+                # The old form dotted the interp blocks against
+                # w2 = w1 * b1w; since b1w is constant along the
+                # contraction axis and w1 is an exact 0/1 one-hot,
+                # N·(w1*b1w) == (N·w1) * b1w term-for-term — and the
+                # DEFAULT-precision dot rounds its inputs through bf16,
+                # so scaling AFTER the dot by bf16-rounded b1w/b2w
+                # multiplies the identical bf16 factors in the same f32
+                # arithmetic: bitwise-identical payload, two fewer MXU
+                # dispatches and no [TB, br] w2/w3 weight builds.
+                # Interp weights touch ONLY normal rows 0-2: segments
+                # 1/2's spare rows carry material data whose weighted
+                # leakage was a real radiometry bug (finding 30):
+                cand = jax.lax.dot_general(
+                    jnp.concatenate(
+                        [nrm_ref[:, pl.ds(c0, TB)],
+                         nrm_ref[:, pl.ds(c0 + TB, TB)],
+                         nrm_ref[0:3, pl.ds(c0 + TB, TB)],
+                         nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)]], axis=0),
+                    w1, nd_, preferred_element_type=f32)     # [22, br]
+                b1b = b1w.astype(jnp.bfloat16).astype(f32)
+                b2b = b2w.astype(jnp.bfloat16).astype(f32)
+                n_interp = cand[16:19] * b1b + cand[19:22] * b2b
                 bn_ref[:] = bn_ref[:] + jnp.concatenate(
-                    [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
-                bm_ref[:] = bm_ref[:] + m_cand
+                    [cand[0:3] + n_interp, cand[3:8]], axis=0)
+                bm_ref[:] = bm_ref[:] + cand[8:16]
 
-            if compact:
-                # Compacted winner-block dispatch (finding 48; cidx_ref
-                # is free again — the walk is done). Winner contributions
-                # are lane-disjoint and zero elsewhere, so dispatch order
-                # is bitwise-irrelevant; ascending order is kept anyway:
-                cntw = compact_indices(wf_ref[:], 0)
+            def run_payload():
+                nb_iota = jax.lax.broadcasted_iota(i32, (NBLK, br), 0)
+                wf_ref[:] = jnp.max((nb_iota == blkw).astype(i32), axis=1,
+                                    keepdims=True)
+                if compact:
+                    # Compacted winner-block dispatch (finding 48;
+                    # cidx_ref is free again — the walk is done). Winner
+                    # contributions are lane-disjoint and zero elsewhere,
+                    # so dispatch order is bitwise-irrelevant; ascending
+                    # order is kept anyway:
+                    cntw = compact_indices(wf_ref[:], 0)
 
-                def pbody(k):
-                    pay_block(cidx_ref[k, 0])
-                    return k + 1
+                    def pbody(k):
+                        # pay_unroll > 1 amortises the per-iteration
+                        # branch/refill like walk_unroll; accumulation
+                        # is NOT idempotent, so tail slots pass the
+                        # out-of-range NBLK sentinel (zero one-hot —
+                        # exact-zero contribution) instead of re-running
+                        # a block:
+                        pay_block(cidx_ref[k, 0])
+                        for u in range(1, pay_unroll):
+                            bu = jnp.where(
+                                k + u < cntw,
+                                cidx_ref[jnp.minimum(k + u, cntw - 1), 0],
+                                i32(NBLK))
+                            pay_block(bu)
+                        return k + pay_unroll
 
-                jax.lax.while_loop(lambda k: k < cntw, pbody, i32(0))
-            else:
-                def wpay(b, _):
-                    pl.when(wf_ref[b, 0] > 0)(
-                        functools.partial(pay_block, b))
-                    return 0
+                    jax.lax.while_loop(lambda k: k < cntw, pbody, i32(0))
+                else:
+                    def wpay(b, _):
+                        pl.when(wf_ref[b, 0] > 0)(
+                            functools.partial(pay_block, b))
+                        return 0
 
-                jax.lax.fori_loop(0, NBLK, wpay, 0)
+                    jax.lax.fori_loop(0, NBLK, wpay, 0)
+
+            run_payload()
+            # Winner-blocks diagnostic (stats lane 3; negligible cost):
+            ki_ref[4:5, 1:2] = ki_ref[4:5, 1:2] + jnp.sum(
+                wf_ref[:], axis=0, keepdims=True)
+            if _timing_double_pay:
+                # bn/bm accumulate from zero (zeroed at iteration start,
+                # untouched by the non-hbm walk), so re-zero + re-run is
+                # idempotent; the marginal time IS the payload-pass cost:
+                bn_ref[:] = jnp.zeros((8, br), f32)
+                bm_ref[:] = jnp.zeros((8, br), f32)
+                run_payload()
             ki_ref[7:8, :] = jnp.full((1, br), -1, i32)
 
         best_t = bt_ref[:]
@@ -1301,10 +1360,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     # Stats row: lane 0 = iterations, lane 1 = quarter-walks (== block
     # walks when subq == 1; the host divides by subq for
     # block-equivalents), lane 2 = oracle true-need blocks
-    # (when _count_oracle):
+    # (when _count_oracle), lane 3 = deferred-payload winner blocks:
     stats = jnp.where(lane == 0, it_end, 0)
     stats = jnp.where(lane == 1, ki_ref[4:5, 0:1], stats)
     stats = jnp.where(lane == 2, ki_ref[6:7, 0:1], stats)
+    stats = jnp.where(lane == 3, ki_ref[4:5, 1:2], stats)
     done_ref[1:2, :] = stats
 
 
@@ -1421,10 +1481,11 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
-                     "walk_compact",
+                     "walk_compact", "walk_unroll", "pay_unroll",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
+                     "_timing_double_pay", "_timing_double_prep",
                      "_count_oracle"),
 )
 def megakernel_path_trace(
@@ -1465,6 +1526,19 @@ def megakernel_path_trace(
                           # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
+    walk_unroll: int = 2,        # dense tests per compact-walk loop
+                                 # iteration (amortises branch/refill;
+                                 # tail re-walks are bitwise no-ops).
+                                 # Swept 2026-08-18 at br512/rf1: wu2
+                                 # 16.65 < wu1 16.9 < wu4 17.55 us/iter
+                                 # (pad re-walks are real dense tests,
+                                 # so wide unrolls lose).
+    pay_unroll: int = 4,         # pay_blocks per payload loop iteration
+                                 # (tail slots use the zero-contribution
+                                 # NBLK sentinel). Swept: pu4 15.84 <
+                                 # pu2 16.13 < pu1 16.9 us/iter; pu8 ==
+                                 # pu4. wu2+pu4 together: 15.57 us/iter,
+                                 # 10.32 Mpaths/s (from 9.51).
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -1478,6 +1552,8 @@ def megakernel_path_trace(
     _timing_no_walk: bool = False,
     _timing_cull_only: bool = False,
     _timing_stub_walk: bool = False,
+    _timing_double_pay: bool = False,
+    _timing_double_prep: bool = False,
     _count_oracle: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
@@ -1657,6 +1733,7 @@ def megakernel_path_trace(
         aspect=params.image_width / params.image_height,
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, subq=subq, compact=compact_on,
+        walk_unroll=max(1, walk_unroll), pay_unroll=max(1, pay_unroll),
         reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
@@ -1664,7 +1741,10 @@ def megakernel_path_trace(
         _timing_no_dots=_timing_no_dots,
         _timing_no_walk=_timing_no_walk,
         _timing_cull_only=_timing_cull_only,
-        _timing_stub_walk=_timing_stub_walk, _count_oracle=_count_oracle,
+        _timing_stub_walk=_timing_stub_walk,
+        _timing_double_pay=_timing_double_pay,
+        _timing_double_prep=_timing_double_prep,
+        _count_oracle=_count_oracle,
     )
     if env_cfg is not None:
         wmlp, ebias, econst = env_weights
@@ -1691,10 +1771,13 @@ def megakernel_path_trace(
     n_done = jnp.sum(done[0]).astype(jnp.uint32)
     if return_stats:
         # Per grid step: lane 0 = iterations, lane 1 = blocks walked,
-        # lane 2 = oracle true-need blocks (when _count_oracle).
+        # lane 2 = oracle true-need blocks (when _count_oracle), lane 3 =
+        # deferred-payload winner blocks (always last element).
         steps = done[1].reshape(nrb, br)
         if _count_oracle:
             return (flat, n_done, jnp.sum(steps[:, 0]),
-                    jnp.sum(steps[:, 1]), jnp.sum(steps[:, 2]))
-        return flat, n_done, jnp.sum(steps[:, 0]), jnp.sum(steps[:, 1])
+                    jnp.sum(steps[:, 1]), jnp.sum(steps[:, 2]),
+                    jnp.sum(steps[:, 3]))
+        return (flat, n_done, jnp.sum(steps[:, 0]), jnp.sum(steps[:, 1]),
+                jnp.sum(steps[:, 3]))
     return flat, n_done

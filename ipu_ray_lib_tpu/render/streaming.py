@@ -560,10 +560,12 @@ def render_streaming(
                 interpret=jax.default_backend() != "tpu",
             )
             if stats_out is not None:
-                flat_d, done, iters, blocks = out
+                flat_d, done, iters, blocks, winners = out
                 stats_out["iters"] = stats_out.get("iters", 0) + int(iters)
                 stats_out["blocks_walked"] = (
                     stats_out.get("blocks_walked", 0) + int(blocks))
+                stats_out["winner_blocks"] = (
+                    stats_out.get("winner_blocks", 0) + int(winners))
                 stats_out["br"] = _pick_br(R, J)
                 stats_out["subq"] = subq_granularity()
                 return flat_d, done
