@@ -14,7 +14,11 @@ Hypotheses (round 3, post-SAH-treelets):
   16-super cadence was never swept at this scale.
 
 Usage: python experiments/hbm_sweep.py [grid=N] [br=A,B,..] [rf=A,B,..]
+                                         [probe=scan|refine|dense]
        defaults: grid=512, br=512, rf=16   (TPU)
+       probe= doubles one cost centre idempotently (megakernel
+       _timing_double_*): the marginal wall time vs the base run is an
+       exact attribution of that centre.
 """
 
 import itertools
@@ -29,9 +33,12 @@ import numpy as np
 
 
 def main():
-    grid, brs, rfs = 512, [512], [16]
+    grid, brs, rfs, probe, paygate = 512, [512], [16], None, None
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
+        if k == "probe":
+            probe = v
+            continue
         vals = [int(x) for x in v.split(",")]
         if k == "grid":
             grid = vals[0]
@@ -39,8 +46,14 @@ def main():
             brs = vals
         elif k == "rf":
             rfs = vals
+        elif k == "paygate":
+            paygate = bool(vals[0])
         else:
             raise SystemExit(f"unknown arg {a!r}")
+    mega_kwargs = {f"_timing_double_{probe}": True} if probe else {}
+    if paygate is not None:
+        mega_kwargs["hbm_pay_gate"] = paygate
+    mega_kwargs = mega_kwargs or None
 
     from ipu_ray_lib_tpu.render.streaming import render_streaming
     from ipu_ray_lib_tpu.scene.build import build_scene
@@ -58,19 +71,25 @@ def main():
         os.environ["RAY_BR"] = str(br)
         os.environ["RAY_HBM_REFLAG"] = str(rf)
         t0 = time.time()
-        render_streaming(arrays, params, stats_out={})  # compile + warm
+        render_streaming(arrays, params, stats_out={},
+                         _mega_kwargs=mega_kwargs)  # compile + warm
         compile_s = time.time() - t0
         best, stats = float("inf"), {}
         for _ in range(2):
             stats = {}
             t0 = time.time()
-            img, done = render_streaming(arrays, params, stats_out=stats)
+            img, done = render_streaming(arrays, params, stats_out=stats,
+                                         _mega_kwargs=mega_kwargs)
             best = min(best, time.time() - t0)
         iters = max(1, stats.get("iters", 0))
         rec = {"exp": "hbm_sweep", "grid": grid, "br": br, "rf": rf,
+               **({"probe": probe} if probe else {}),
+               **({"paygate": int(paygate)} if paygate is not None else {}),
                "mpaths": paths / best / 1e6, "s": best,
                "mean": float(img.mean()), "iters": int(iters),
                "supers_per_iter": stats.get("blocks_walked", 0) / iters,
+               # hbm: the winner stats lane carries member blocks walked
+               "members_per_iter": stats.get("winner_blocks", 0) / iters,
                "compile_s": round(compile_s, 1),
                "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
         log.write(json.dumps(rec) + "\n")
@@ -78,6 +97,7 @@ def main():
         print(f"br={br} rf={rf}: {rec['mpaths']:.3f} Mpaths/s "
               f"({best:.2f}s, mean {img.mean():.5f}, iters {iters}, "
               f"supers/iter {rec['supers_per_iter']:.1f}, "
+              f"members/iter {rec['members_per_iter']:.1f}, "
               f"us/iter {best * 1e6 / iters:.1f})", flush=True)
 
 

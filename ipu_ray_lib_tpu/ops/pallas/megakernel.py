@@ -274,9 +274,13 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
+                 hbm_pay_gate=True,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
                  _timing_double_pay=False, _timing_double_prep=False,
+                 _timing_double_scan=False, _timing_double_refine=False,
+                 _timing_double_dense=False, _timing_double_gate=False,
+                 _timing_double_dma=False,
                  _count_oracle=False):
     # Timing-instrumentation ladder (each synthesizes a diffuse hit at
     # t=1 for every active lane, so radiometry is meaningless but
@@ -292,6 +296,17 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     # run is an exact attribution with no path-statistic drift):
     #   _timing_double_pay:  run the deferred payload pass twice
     #   _timing_double_prep: run each segment's compact rank/extract twice
+    #   _timing_double_scan:   (hbm) run each find_next scalar scan twice
+    #   _timing_double_refine: (hbm) run each super's member-refinement
+    #                          slab pass twice (bflag writes idempotent)
+    #   _timing_double_dense:  (hbm) run each gated member dense test
+    #                          twice (best_t improvements are strict <,
+    #                          so the re-run writes nothing)
+    #   _timing_double_gate:   (hbm) add a second, trivial-body pl.when
+    #                          per member flag (marginal = gate cost)
+    #   _timing_double_dma:    (hbm) re-issue + re-wait each super's two
+    #                          DMAs after the first wait (same source,
+    #                          same destination: marginal = DMA overhead)
     # All synth variants imply the _timing_no_dots payload handling:
     _timing_synth = (_timing_no_walk or _timing_cull_only
                      or _timing_stub_walk)
@@ -634,6 +649,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         cull_ref[:] = jnp.max(
                             rem.astype(i32), axis=1, keepdims=True)
                 nxt = find_next(cur + 1)
+                if _timing_double_scan:
+                    # find_next is pure: the re-run's marginal wall time
+                    # IS the scalar scan cost:
+                    nxt = find_next(cur + 1)
 
                 @pl.when(nxt < nbs)
                 def _startn():
@@ -642,42 +661,74 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 
                 for dma in dmas(slot, cur):
                     dma.wait()
+                if _timing_double_dma:
+                    # Same source, same destination — marginal wall time
+                    # IS the per-super DMA issue/wait overhead:
+                    for dma in dmas(slot, cur):
+                        dma.start()
+                    for dma in dmas(slot, cur):
+                        dma.wait()
 
                 # Block-level refinement inside the flagged super: one
                 # vectorised [SB, br] slab pass against the member block
                 # AABBs + the *current* best_t, one lane-reduce, then
                 # scalar-gated dense tests (skips blocks the bundle passes
                 # beside, and blocks whose customers already settled):
-                blo = [bfine_ref[pl.ds(cur * SB, SB), a:a + 1]
-                       for a in range(3)]
-                bhi = [bfine_ref[pl.ds(cur * SB, SB), a + 3:a + 4]
-                       for a in range(3)]
-                tin_s = jnp.zeros((SB, br), f32)
-                tout_s = jnp.where(active, _BIG, f32(-1.0))
-                for a in range(3):
-                    t0_ = (blo[a] - o[a]) * inv[a]
-                    t1_ = (bhi[a] - o[a]) * inv[a]
-                    tin_s = jnp.maximum(tin_s, jnp.minimum(t0_, t1_))
-                    tout_s = jnp.minimum(
-                        tout_s, jnp.maximum(t0_, t1_) * _SLAB_SCALE)
-                # Same inverted-pad-box mask as the VMEM cull: member
-                # blocks past the last real triangle must never flag:
-                needed = ((tin_s <= tout_s)
-                          & (tin_s * _SLAB_LO < bt_ref[:])
-                          & (blo[0] < _BIG))
-                n_i = needed.astype(i32)
+                def refine(cur=cur):
+                    blo = [bfine_ref[pl.ds(cur * SB, SB), a:a + 1]
+                           for a in range(3)]
+                    bhi = [bfine_ref[pl.ds(cur * SB, SB), a + 3:a + 4]
+                           for a in range(3)]
+                    tin_s = jnp.zeros((SB, br), f32)
+                    tout_s = jnp.where(active, _BIG, f32(-1.0))
+                    for a in range(3):
+                        t0_ = (blo[a] - o[a]) * inv[a]
+                        t1_ = (bhi[a] - o[a]) * inv[a]
+                        tin_s = jnp.maximum(tin_s, jnp.minimum(t0_, t1_))
+                        tout_s = jnp.minimum(
+                            tout_s, jnp.maximum(t0_, t1_) * _SLAB_SCALE)
+                    # Same inverted-pad-box mask as the VMEM cull: member
+                    # blocks past the last real triangle must never flag:
+                    needed = ((tin_s <= tout_s)
+                              & (tin_s * _SLAB_LO < bt_ref[:])
+                              & (blo[0] < _BIG))
+                    n_i = needed.astype(i32)
+                    if subq == 1:
+                        bflag_ref[:] = jnp.max(n_i, axis=1, keepdims=True)
+                    else:
+                        # Per-lane-quarter member flags (see do_block):
+                        for qq in range(subq):
+                            bflag_ref[:, qq:qq + 1] = jnp.max(
+                                n_i[:, qq * WQ:(qq + 1) * WQ],
+                                axis=1, keepdims=True)
+
+                refine()
+                if _timing_double_refine:
+                    # bflag writes are idempotent (same inputs, same
+                    # flags): the marginal time IS the refinement cost:
+                    refine()
                 if subq == 1:
-                    bflag_ref[:] = jnp.max(n_i, axis=1, keepdims=True)
+                    # Member-blocks-walked diagnostic — rides the winner-
+                    # blocks stats lane (the deferred winner pass never
+                    # runs in hbm mode, so the lane is free):
+                    ki_ref[4:5, 1:2] = ki_ref[4:5, 1:2] + jnp.sum(
+                        bflag_ref[:], axis=0, keepdims=True)
                     for b in range(SB):                    # static unroll
                         @pl.when(bflag_ref[b, 0] > 0)
                         def _dense(b=b):
                             _hbm_dense_block(slot, b)
+                            if _timing_double_dense:
+                                # Re-run writes nothing (improvement is
+                                # strict <): marginal time IS the gated
+                                # dense-test cost:
+                                _hbm_dense_block(slot, b)
+                        if _timing_double_gate:
+                            @pl.when(bflag_ref[b, 0] > 0)
+                            def _gate2():
+                                # Trivial idempotent body: the marginal
+                                # time IS the per-member gate cost:
+                                bt_ref[:] = bt_ref[:] + f32(0.0)
                 else:
-                    # Per-lane-quarter member flags (see do_block):
-                    for qq in range(subq):
-                        bflag_ref[:, qq:qq + 1] = jnp.max(
-                            n_i[:, qq * WQ:(qq + 1) * WQ],
-                            axis=1, keepdims=True)
                     for b in range(SB):                    # static unroll
                         for qq in range(subq):
                             pl.when(bflag_ref[b, qq] > 0)(
@@ -745,39 +796,59 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         bt_ref[:, pl.ds(q * WQ, WQ)] = jnp.where(
                             better, bt, best_t)
                     if not _timing_no_dots:
-                        onehot = (tri_lane == bi).astype(f32)
-                        w1 = onehot
-                        w2 = onehot * jnp.where(ok, b1, 0.0)
-                        w3 = onehot * jnp.where(ok, b2, 0.0)
-                        nd_ = (((1,), (0,)), ((), ()))
-                        nb0 = b * 3 * TB
-                        # w2/w3 interpolation restricted to rows 0-2
-                        # (material rows ride segments 1/2 — see do_block):
-                        n_cand = jax.lax.dot_general(
-                            nrm_buf[slot, :, nb0:nb0 + TB], w1, nd_,
-                            preferred_element_type=f32)
-                        n_interp = (
-                            jax.lax.dot_general(
-                                nrm_buf[slot, 0:3, nb0 + TB:nb0 + 2 * TB],
-                                w2, nd_, preferred_element_type=f32)
-                            + jax.lax.dot_general(
-                                nrm_buf[slot, 0:3,
-                                        nb0 + 2 * TB:nb0 + 3 * TB],
-                                w3, nd_, preferred_element_type=f32))
-                        n_cand = jnp.concatenate(
-                            [n_cand[0:3] + n_interp, n_cand[3:8]], axis=0)
-                        m_cand = jax.lax.dot_general(
-                            nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB], w1, nd_,
-                            preferred_element_type=f32)
-                        if subq == 1:
-                            bn_ref[:] = jnp.where(better, n_cand, bn_ref[:])
-                            bm_ref[:] = jnp.where(better, m_cand, bm_ref[:])
+                        def payload():
+                            onehot = (tri_lane == bi).astype(f32)
+                            w1 = onehot
+                            w2 = onehot * jnp.where(ok, b1, 0.0)
+                            w3 = onehot * jnp.where(ok, b2, 0.0)
+                            nd_ = (((1,), (0,)), ((), ()))
+                            nb0 = b * 3 * TB
+                            # w2/w3 interpolation restricted to rows 0-2
+                            # (material rows ride segments 1/2 — see
+                            # do_block):
+                            n_cand = jax.lax.dot_general(
+                                nrm_buf[slot, :, nb0:nb0 + TB], w1, nd_,
+                                preferred_element_type=f32)
+                            n_interp = (
+                                jax.lax.dot_general(
+                                    nrm_buf[slot, 0:3,
+                                            nb0 + TB:nb0 + 2 * TB],
+                                    w2, nd_, preferred_element_type=f32)
+                                + jax.lax.dot_general(
+                                    nrm_buf[slot, 0:3,
+                                            nb0 + 2 * TB:nb0 + 3 * TB],
+                                    w3, nd_, preferred_element_type=f32))
+                            n_cand2 = jnp.concatenate(
+                                [n_cand[0:3] + n_interp, n_cand[3:8]],
+                                axis=0)
+                            m_cand = jax.lax.dot_general(
+                                nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB],
+                                w1, nd_, preferred_element_type=f32)
+                            if subq == 1:
+                                bn_ref[:] = jnp.where(
+                                    better, n_cand2, bn_ref[:])
+                                bm_ref[:] = jnp.where(
+                                    better, m_cand, bm_ref[:])
+                            else:
+                                lcs = pl.ds(q * WQ, WQ)
+                                bn_ref[:, lcs] = jnp.where(
+                                    better, n_cand2, bn_ref[:, lcs])
+                                bm_ref[:, lcs] = jnp.where(
+                                    better, m_cand, bm_ref[:, lcs])
+
+                        if hbm_pay_gate:
+                            # Winner-gated payload (the VMEM walk's
+                            # finding-39 deferral, expressed in-slab): a
+                            # walked block that improved NO lane would
+                            # write nothing through jnp.where(better, .)
+                            # — skipping its one-hot + 4 MXU dots +
+                            # [TB, br] w2/w3 builds is bitwise-identical,
+                            # and only ~winners/iter of the walked blocks
+                            # pass the gate:
+                            pl.when(jnp.max(better.astype(i32)) > 0)(
+                                payload)
                         else:
-                            lcs = pl.ds(q * WQ, WQ)
-                            bn_ref[:, lcs] = jnp.where(
-                                better, n_cand, bn_ref[:, lcs])
-                            bm_ref[:, lcs] = jnp.where(
-                                better, m_cand, bm_ref[:, lcs])
+                            payload()
 
             _, n_sup = jax.lax.while_loop(
                 lambda c: c[0] < nbs, wbody, (cur0, i32(0)))
@@ -1483,9 +1554,13 @@ def _analytic_tables(scene):
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
+                     "hbm_pay_gate",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
                      "_timing_double_pay", "_timing_double_prep",
+                     "_timing_double_scan", "_timing_double_refine",
+                     "_timing_double_dense", "_timing_double_gate",
+                     "_timing_double_dma",
                      "_count_oracle"),
 )
 def megakernel_path_trace(
@@ -1526,6 +1601,10 @@ def megakernel_path_trace(
                           # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
+    hbm_pay_gate: bool = True,   # winner-gated in-slab payload (the
+                                 # finding-39 deferral for the HBM walk):
+                                 # bitwise-identical by construction,
+                                 # knob kept for A/B + gating tests.
     walk_unroll: int = 2,        # dense tests per compact-walk loop
                                  # iteration (amortises branch/refill;
                                  # tail re-walks are bitwise no-ops).
@@ -1554,6 +1633,11 @@ def megakernel_path_trace(
     _timing_stub_walk: bool = False,
     _timing_double_pay: bool = False,
     _timing_double_prep: bool = False,
+    _timing_double_scan: bool = False,
+    _timing_double_refine: bool = False,
+    _timing_double_dense: bool = False,
+    _timing_double_gate: bool = False,
+    _timing_double_dma: bool = False,
     _count_oracle: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
@@ -1738,12 +1822,18 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
+        hbm_pay_gate=hbm_pay_gate,
         _timing_no_dots=_timing_no_dots,
         _timing_no_walk=_timing_no_walk,
         _timing_cull_only=_timing_cull_only,
         _timing_stub_walk=_timing_stub_walk,
         _timing_double_pay=_timing_double_pay,
         _timing_double_prep=_timing_double_prep,
+        _timing_double_scan=_timing_double_scan,
+        _timing_double_refine=_timing_double_refine,
+        _timing_double_dense=_timing_double_dense,
+        _timing_double_gate=_timing_double_gate,
+        _timing_double_dma=_timing_double_dma,
         _count_oracle=_count_oracle,
     )
     if env_cfg is not None:

@@ -438,6 +438,7 @@ def render_streaming(
     seed: int | None = None,
     stats_out: dict | None = None,
     compile_only: bool = False,
+    _mega_kwargs: dict | None = None,
 ):
     """Full-window streaming render; returns (rgb [H, W, 3] numpy, done).
 
@@ -556,6 +557,10 @@ def render_streaming(
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:
                 **({"hbm_reflag": hbm_reflag_cadence()}
                    if params.intersector == "pallas-hbm" else {}),
+                # Timing-probe plumbing for experiments/ (the megakernel's
+                # _timing_double_* marginal-cost knobs); never set in
+                # production paths:
+                **(_mega_kwargs or {}),
                 return_stats=stats_out is not None,
                 interpret=jax.default_backend() != "tpu",
             )
