@@ -33,7 +33,7 @@ import numpy as np
 
 
 def main():
-    grid, brs, rfs, probe, paygate = 512, [512], [16], None, None
+    grid, brs, rfs, probe, paygate, pbstage = 512, [512], [16], None, None, None
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         if k == "probe":
@@ -48,11 +48,15 @@ def main():
             rfs = vals
         elif k == "paygate":
             paygate = bool(vals[0])
+        elif k == "pbstage":
+            pbstage = bool(vals[0])
         else:
             raise SystemExit(f"unknown arg {a!r}")
     mega_kwargs = {f"_timing_double_{probe}": True} if probe else {}
     if paygate is not None:
         mega_kwargs["hbm_pay_gate"] = paygate
+    if pbstage is not None:
+        mega_kwargs["hbm_pb_stage"] = pbstage
     mega_kwargs = mega_kwargs or None
 
     from ipu_ray_lib_tpu.render.streaming import render_streaming
@@ -85,6 +89,7 @@ def main():
         rec = {"exp": "hbm_sweep", "grid": grid, "br": br, "rf": rf,
                **({"probe": probe} if probe else {}),
                **({"paygate": int(paygate)} if paygate is not None else {}),
+               **({"pbstage": int(pbstage)} if pbstage is not None else {}),
                "mpaths": paths / best / 1e6, "s": best,
                "mean": float(img.mean()), "iters": int(iters),
                "supers_per_iter": stats.get("blocks_walked", 0) / iters,

@@ -265,7 +265,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  cull_ref, cullq_ref, tin_ref, env_ref, p_buf, nrm_buf, sems,
-                 bflag_ref, wf_ref, cidx_ref,
+                 bflag_ref, wf_ref, cidx_ref, pbs_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
@@ -274,7 +274,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
-                 hbm_pay_gate=True,
+                 hbm_pay_gate=True, hbm_pb_stage=False,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
                  _timing_double_pay=False, _timing_double_prep=False,
@@ -754,7 +754,13 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                         omq = jnp.maximum(jnp.maximum(jnp.abs(oq[0]),
                                                       jnp.abs(oq[1])),
                                           jnp.abs(oq[2]))
-                    pb = p_buf[slot, :, b * 16:(b + 1) * 16]   # [TB, 16]
+                    if hbm_pb_stage:
+                        # One relayout copy -> canonical lane-offset-0
+                        # coefficient columns (see pbs_ref scratch note):
+                        pbs_ref[:] = p_buf[slot, :, b * 16:(b + 1) * 16]
+                        pb = pbs_ref[:]                        # [TB, 16]
+                    else:
+                        pb = p_buf[slot, :, b * 16:(b + 1) * 16]
                     tnp0 = pb[:, 0:1]
                     g1p0 = pb[:, 1:2]
                     g2p0 = pb[:, 2:3]
@@ -1554,7 +1560,7 @@ def _analytic_tables(scene):
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
-                     "hbm_pay_gate",
+                     "hbm_pay_gate", "hbm_pb_stage",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
                      "_timing_double_pay", "_timing_double_prep",
@@ -1605,6 +1611,17 @@ def megakernel_path_trace(
                                  # finding-39 deferral for the HBM walk):
                                  # bitwise-identical by construction,
                                  # knob kept for A/B + gating tests.
+    hbm_pb_stage: bool = False,  # stage each walked member block's
+                                 # [TB, 16] p slab through a lane-offset-0
+                                 # scratch before the coefficient-column
+                                 # broadcasts (identical values/maths —
+                                 # bitwise). MEASURED NEGATIVE 2026-08-18
+                                 # (522k: 511.9 vs 468.8 us/iter): the
+                                 # copy costs more than any mid-tile
+                                 # lane-slice relayout it avoids — HBM
+                                 # dense tests already run at the VMEM
+                                 # walk's per-pair cost (~17.7 ps/pair).
+                                 # Knob kept as the measured record.
     walk_unroll: int = 2,        # dense tests per compact-walk loop
                                  # iteration (amortises branch/refill;
                                  # tail re-walks are bitwise no-ops).
@@ -1800,6 +1817,12 @@ def megakernel_path_trace(
             # sublane-major: dynamic scalar reads only work on sublanes):
             pltpu.VMEM((-(-nbs_c // 128) * 128, 1)
                        if compact_on else (1, 1), jnp.int32),
+            # HBM member-block p staging: one relayout copy per walked
+            # block so the 16 coefficient-column broadcasts read from
+            # lane offset 0 (mid-tile lane slices at offsets 16..112
+            # force a Mosaic relayout per use — measured at ~2x the
+            # VMEM walk's per-block dense cost):
+            pltpu.VMEM((TB, 16) if hbm else (1, 1), jnp.float32),
         ],
     )
     if env_cfg is not None and env_every > 1:
@@ -1822,7 +1845,7 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
-        hbm_pay_gate=hbm_pay_gate,
+        hbm_pay_gate=hbm_pay_gate, hbm_pb_stage=hbm_pb_stage,
         _timing_no_dots=_timing_no_dots,
         _timing_no_walk=_timing_no_walk,
         _timing_cull_only=_timing_cull_only,

@@ -315,6 +315,22 @@ def test_hbm_subq_bitwise_identical(hbm_scene, monkeypatch):
     np.testing.assert_array_equal(img, base)
 
 
+@pytest.mark.parametrize("kw", [
+    # The base fixture runs both optimisations at their defaults (on);
+    # turning each off must not change a bit — the gate only skips
+    # payload work for blocks that improved no lane, and the staging
+    # copy feeds identical values to identical maths:
+    dict(hbm_pay_gate=False),
+    dict(hbm_pb_stage=False),
+    dict(hbm_pay_gate=False, hbm_pb_stage=False),
+])
+def test_hbm_payload_knobs_bitwise_identical(hbm_scene, kw):
+    arrays, params, base = hbm_scene
+    img, done = _render(arrays, params, **kw)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
+
+
 def test_hbm_reflag_cadence_bitwise_identical(hbm_scene, monkeypatch):
     """Flag-refresh cadence is pure work-skipping: any RAY_HBM_REFLAG
     value must render the identical image on the HBM walk."""
