@@ -37,16 +37,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_kernel import super_cull_lists_bundle
-from .tables import SB, TB, BlockedSceneTables
+from .tables import PN_SUPER as PNS, SB, TB, BlockedSceneTables
 
 BR = 1024
 RB_PER_CALL = 32       # ray blocks per pallas_call (bounds SMEM lists)
 _INF = np.float32(np.inf)
 
 
-def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
+def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm,
                 out_t_ref, out_i_ref, out_n_ref, out_m_ref,
-                p_buf, nrm_buf, sems, bt_ref, bi_ref, bn_ref, bm_ref,
+                p_buf, sems, bt_ref, bi_ref, bn_ref, bm_ref,
                 *, br, ns):
     i = pl.program_id(0)
     rays = rays_ref[:]                     # [8, br]
@@ -64,15 +64,13 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
 
     def dmas(slot, j):
         sup = list_ref[i, j]
-        # p8 layout: one super = a dense [TB, SB*16] slab (block b at
-        # columns [b*16, (b+1)*16) — tables.py p8 contract):
+        # pn8 layout: one super = a dense [PN_SUPER, SB*16] slab — p8
+        # block columns in rows [0, TB), the members' nrm payload chunks
+        # below (tables.py pn8 contract). One DMA per super:
         return (
             pltpu.make_async_copy(
-                p_hbm.at[pl.ds(sup * TB, TB), :], p_buf.at[slot],
+                p_hbm.at[pl.ds(sup * PNS, PNS), :], p_buf.at[slot],
                 sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                nrm_hbm.at[:, pl.ds(sup * SB * 3 * TB, SB * 3 * TB)],
-                nrm_buf.at[slot], sems.at[slot, 1]),
         )
 
     @pl.when(count > 0)
@@ -94,7 +92,7 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
         sup = list_ref[i, j]
         for b in range(SB):                                # static unroll
             best_t = bt_ref[:]
-            pb = p_buf[slot, :, b * 16:(b + 1) * 16]       # [TB, 16]
+            pb = p_buf[slot, 0:TB, b * 16:(b + 1) * 16]    # [TB, 16]
             tnp0 = pb[:, 0:1]
             g1p0 = pb[:, 1:2]
             g2p0 = pb[:, 2:3]
@@ -132,23 +130,29 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, nrm_hbm,
             bi = jnp.min(jnp.where(tm <= bt, lane, jnp.int32(0x7FFFFFFF)),
                          axis=0, keepdims=True)
             onehot = (lane == bi).astype(jnp.float32)
-            nrm_blk = nrm_buf[slot, :, b * 3 * TB:(b + 1) * 3 * TB]
             w1 = onehot
             w2 = onehot * jnp.where(ok, b1, 0.0)
             w3 = onehot * jnp.where(ok, b2, 0.0)
             nd = (((1,), (0,)), ((), ()))
-            # w2/w3 interpolation restricted to rows 0-2 (material rows
-            # ride segments 1/2 — see intersect_kernel.py):
+            # Member b's nrm payload chunks sit below the p slab in the
+            # fused super (tables.py pn8): chunk j at rows
+            # [TB + (b*3+j)*8, +8). w2/w3 interpolation restricted to
+            # rows 0-2 (material rows ride chunks 1/2 — see
+            # intersect_kernel.py):
+            c0 = TB + b * 3 * 8
             n_cand = jax.lax.dot_general(
-                nrm_blk[:, 0:TB], w1, nd, preferred_element_type=jnp.float32)
+                p_buf[slot, c0:c0 + 8, :], w1, nd,
+                preferred_element_type=jnp.float32)
             n_interp = (
-                jax.lax.dot_general(nrm_blk[0:3, TB:2 * TB], w2, nd,
+                jax.lax.dot_general(p_buf[slot, c0 + 8:c0 + 11, :], w2, nd,
                                     preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(nrm_blk[0:3, 2 * TB:3 * TB], w3, nd,
+                + jax.lax.dot_general(p_buf[slot, c0 + 16:c0 + 19, :],
+                                      w3, nd,
                                       preferred_element_type=jnp.float32))
             n_cand = jnp.concatenate([n_cand[0:3] + n_interp, n_cand[3:8]],
                                      axis=0)
-            m_cand = jax.lax.dot_general(nrm_blk[:, TB:2 * TB], w1, nd,
+            m_cand = jax.lax.dot_general(p_buf[slot, c0 + 8:c0 + 16, :],
+                                         w1, nd,
                                          preferred_element_type=jnp.float32)
             bi_glob = bi + (sup * SB + b) * TB
 
@@ -197,8 +201,7 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
         grid=(nrb,),
         in_specs=[
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),   # rays
-            pl.BlockSpec(memory_space=pltpu.ANY),                  # p (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),                  # nrm (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),                  # pn8 (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, br), lambda i, c_, o_, d_: (0, i)),
@@ -207,9 +210,8 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TB, SB * 16), jnp.float32),     # p slabs (packed)
-            pltpu.VMEM((2, 8, SB * 3 * TB), jnp.float32),  # nrm slabs
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, PNS, SB * 16), jnp.float32),  # fused pn8 slabs
+            pltpu.SemaphoreType.DMA((2, 1)),
             pltpu.VMEM((1, br), jnp.float32),
             pltpu.VMEM((1, br), jnp.int32),
             pltpu.VMEM((8, br), jnp.float32),
@@ -227,7 +229,7 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, order, dists, rays, tables.p8, tables.nrm)
+    )(counts, order, dists, rays, tables.pn8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "br"))

@@ -84,7 +84,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.constants import PI_BY_2, PI_BY_4, RAY_EPSILON
-from .tables import SB, TB, BlockedSceneTables
+from .tables import PN_SUPER as PNS, SB, TB, BlockedSceneTables
 
 BR = 1024          # ray slots per kernel block
 _INF = np.float32(np.inf)
@@ -264,7 +264,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  econ_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
-                 cull_ref, cullq_ref, tin_ref, env_ref, p_buf, nrm_buf, sems,
+                 cull_ref, cullq_ref, tin_ref, env_ref, p_buf, sems,
                  bflag_ref, wf_ref, cidx_ref, pbs_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
@@ -608,15 +608,16 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # 583-618) with the in-kernel bounce loop — unbounded scene
             # size at megakernel iteration cost:
             def dmas(slot, sup):
-                # p8 layout: one super = a dense [TB, SB*16] slab (block b
-                # at columns [b*16, (b+1)*16) — tables.py p8 contract):
+                # pn8 layout: one super = a dense [PN_SUPER, SB*16] slab
+                # — rows [0, TB) the p8 block columns (block b at columns
+                # [b*16, (b+1)*16)), rows [TB, PN_SUPER) the members' nrm
+                # payload chunks (tables.py pn8 contract). ONE DMA per
+                # super: the p+nrm copy pair measured 86 us/iter of
+                # issue/wait overhead on the 522k scene (dma probe):
                 return (
                     pltpu.make_async_copy(
-                        p_ref.at[pl.ds(sup * TB, TB), :],
+                        p_ref.at[pl.ds(sup * PNS, PNS), :],
                         p_buf.at[slot], sems.at[slot, 0]),
-                    pltpu.make_async_copy(
-                        nrm_ref.at[:, pl.ds(sup * SB * 3 * TB, SB * 3 * TB)],
-                        nrm_buf.at[slot], sems.at[slot, 1]),
                 )
 
             def find_next(j0):
@@ -757,10 +758,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     if hbm_pb_stage:
                         # One relayout copy -> canonical lane-offset-0
                         # coefficient columns (see pbs_ref scratch note):
-                        pbs_ref[:] = p_buf[slot, :, b * 16:(b + 1) * 16]
+                        pbs_ref[:] = p_buf[slot, 0:TB, b * 16:(b + 1) * 16]
                         pb = pbs_ref[:]                        # [TB, 16]
                     else:
-                        pb = p_buf[slot, :, b * 16:(b + 1) * 16]
+                        pb = p_buf[slot, 0:TB, b * 16:(b + 1) * 16]
                     tnp0 = pb[:, 0:1]
                     g1p0 = pb[:, 1:2]
                     g2p0 = pb[:, 2:3]
@@ -808,27 +809,28 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                             w2 = onehot * jnp.where(ok, b1, 0.0)
                             w3 = onehot * jnp.where(ok, b2, 0.0)
                             nd_ = (((1,), (0,)), ((), ()))
-                            nb0 = b * 3 * TB
+                            # Member b's nrm payload chunks sit below the
+                            # p slab in the fused super (tables.py pn8):
+                            # chunk j at rows [TB + (b*3+j)*8, +8).
                             # w2/w3 interpolation restricted to rows 0-2
-                            # (material rows ride segments 1/2 — see
+                            # (material rows ride chunks 1/2 — see
                             # do_block):
+                            c0 = TB + b * 3 * 8
                             n_cand = jax.lax.dot_general(
-                                nrm_buf[slot, :, nb0:nb0 + TB], w1, nd_,
+                                p_buf[slot, c0:c0 + 8, :], w1, nd_,
                                 preferred_element_type=f32)
                             n_interp = (
                                 jax.lax.dot_general(
-                                    nrm_buf[slot, 0:3,
-                                            nb0 + TB:nb0 + 2 * TB],
+                                    p_buf[slot, c0 + 8:c0 + 11, :],
                                     w2, nd_, preferred_element_type=f32)
                                 + jax.lax.dot_general(
-                                    nrm_buf[slot, 0:3,
-                                            nb0 + 2 * TB:nb0 + 3 * TB],
+                                    p_buf[slot, c0 + 16:c0 + 19, :],
                                     w3, nd_, preferred_element_type=f32))
                             n_cand2 = jnp.concatenate(
                                 [n_cand[0:3] + n_interp, n_cand[3:8]],
                                 axis=0)
                             m_cand = jax.lax.dot_general(
-                                nrm_buf[slot, :, nb0 + TB:nb0 + 2 * TB],
+                                p_buf[slot, c0 + 8:c0 + 16, :],
                                 w1, nd_, preferred_element_type=f32)
                             if subq == 1:
                                 bn_ref[:] = jnp.where(
@@ -1691,7 +1693,11 @@ def megakernel_path_trace(
         reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
         nb_kern = tables.num_supers
         baabb = tables.saabb
-        p_in, nrm_in = tables.p8, tables.nrm
+        # The fused pn8 slab carries both the p coefficients and the nrm
+        # payload chunks (one DMA per super); the VMEM nrm table is
+        # unused here (and not built at all above the VMEM ceiling):
+        p_in = tables.pn8
+        nrm_in = jnp.zeros((8, 128), jnp.float32)
     else:
         cull_on = use_cull and tables.num_blocks > 1
         if sub is None:
@@ -1802,13 +1808,12 @@ def megakernel_path_trace(
             # env radiance staging (when an env MLP is fused in):
             pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
                        jnp.float32),
-            # HBM-streaming slab windows + DMA semaphores (p8 packing:
-            # one super = [TB, SB*16] — 64 KB per slot, was 512 KB wide):
-            pltpu.VMEM((2, TB, SB * 16) if hbm else (1, 8, 128),
+            # HBM-streaming slab window + DMA semaphore (pn8 packing:
+            # one super = [PN_SUPER, SB*16] — 160 KB per slot, p + nrm
+            # fused so each super costs ONE DMA start/wait):
+            pltpu.VMEM((2, PNS, SB * 16) if hbm else (1, 8, 128),
                        jnp.float32),
-            pltpu.VMEM((2, 8, SB * 3 * TB) if hbm else (1, 8, 128),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 1)),
             pltpu.VMEM((SB, subq), jnp.int32),   # in-super block flags
             # Deferred-payload winner-block flags (VMEM walks only):
             pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)

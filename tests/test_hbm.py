@@ -65,23 +65,30 @@ def test_render_path_trace_hbm_matches_pallas(cornell):
     assert np.allclose(img_hbm, img_v, atol=2e-3)
 
 
-def test_p8_super_packing_contract():
-    """The HBM kernels depend on the p8 layout contract exactly:
-    p8[s*TB + r, b*16 + c] == p[(s*SB + b)*TB + r, c] — one super is a
-    dense [TB, SB*16] slab with block b at static column slice b*16."""
-    from ipu_ray_lib_tpu.ops.pallas.tables import SB, TB
+def test_pn8_super_packing_contract():
+    """The HBM kernels depend on the fused pn8 layout contract exactly:
+    one super is a dense [PN_SUPER, SB*16] slab — rows [0, TB) the p8
+    block packing (pn8[s*PN + r, b*16 + c] == p[(s*SB + b)*TB + r, c]),
+    rows below the members' nrm payload chunks
+    (pn8[s*PN + TB + (b*3+j)*8 + r, c] == nrm[r, ((s*SB+b)*3+j)*TB + c])."""
+    from ipu_ray_lib_tpu.ops.pallas.tables import PN_SUPER, SB, TB
 
     scene = make_stress_scene(24)
     arrays, _, _ = build_scene(scene, image_width=8, image_height=8,
                                samples_per_pixel=1)
     t = arrays.blocked
     p = np.asarray(t.p)
-    p8 = np.asarray(t.p8)
-    ns = t.num_supers
-    assert p8.shape == (ns * TB, SB * 16)
-    rebuilt = (p8.reshape(ns, TB, SB, 16).transpose(0, 2, 1, 3)
-               .reshape(ns * SB * TB, 16))
-    np.testing.assert_array_equal(rebuilt, p)
+    nrm = np.asarray(t.nrm)
+    pn8 = np.asarray(t.pn8)
+    ns, nb = t.num_supers, t.num_blocks
+    assert pn8.shape == (ns * PN_SUPER, SB * 16)
+    sup = pn8.reshape(ns, PN_SUPER, SB * 16)
+    rebuilt_p = (sup[:, :TB, :].reshape(ns, TB, SB, 16)
+                 .transpose(0, 2, 1, 3).reshape(ns * SB * TB, 16))
+    np.testing.assert_array_equal(rebuilt_p, p)
+    rebuilt_nrm = (sup[:, TB:, :].reshape(ns * SB * 3, 8, TB)
+                   .transpose(1, 0, 2).reshape(8, nb * 3 * TB))
+    np.testing.assert_array_equal(rebuilt_nrm, nrm)
 
 
 def test_stress_scene_renders():

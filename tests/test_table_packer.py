@@ -37,7 +37,7 @@ def _tables_for(scene_desc, native):
 
 
 def _assert_tables_equal(a, b):
-    for name in ("p", "p8", "nrm", "baabb", "baabb32", "saabb",
+    for name in ("p", "pn8", "nrm", "baabb", "baabb32", "saabb",
                  "tri_geom", "tri_prim"):
         fa, fb = getattr(a, name), getattr(b, name)
         if fa is None or fb is None:
@@ -143,6 +143,6 @@ def test_native_pack_p8_direct_bitwise():
     c = build_blocked_tables(tri_v, verts, gids, pids, native_pack=True,
                              with_vmem_p=True, **kw)    # row-p + transpose
     assert a.p is None and b.p is None and c.p is not None
-    np.testing.assert_array_equal(np.asarray(a.p8), np.asarray(b.p8))
-    np.testing.assert_array_equal(np.asarray(a.p8), np.asarray(c.p8))
+    np.testing.assert_array_equal(np.asarray(a.pn8), np.asarray(b.pn8))
+    np.testing.assert_array_equal(np.asarray(a.pn8), np.asarray(c.pn8))
     _assert_tables_equal(a, b)
