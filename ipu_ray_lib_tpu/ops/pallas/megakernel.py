@@ -274,12 +274,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
+                 hbm_sub=1,
                  hbm_pay_gate=True, hbm_pb_stage=False,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
                  _timing_double_pay=False, _timing_double_prep=False,
                  _timing_double_scan=False, _timing_double_refine=False,
                  _timing_double_dense=False, _timing_double_gate=False,
+                 _timing_double_dense_fixed=False,
                  _timing_double_dma=False,
                  _count_oracle=False):
     # Timing-instrumentation ladder (each synthesizes a diffuse hit at
@@ -304,6 +306,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
     #                          so the re-run writes nothing)
     #   _timing_double_gate:   (hbm) add a second, trivial-body pl.when
     #                          per member flag (marginal = gate cost)
+    #   _timing_double_dense_fixed: (hbm) per gated member, run a dense-
+    #                          chain TWIN that reads its p block from the
+    #                          static pbs_ref scratch (garbage contents;
+    #                          outputs folded into a diagnostic lane via a
+    #                          never-true compare) — identical op sequence
+    #                          at lane offsets 0..15 with no dynamic slot
+    #                          base, so (marginal) vs the double_dense
+    #                          marginal isolates the DMA-window read cost
     #   _timing_double_dma:    (hbm) re-issue + re-wait each super's two
     #                          DMAs after the first wait (same source,
     #                          same destination: marginal = DMA overhead)
@@ -607,6 +617,9 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             # reference's 2-stage DRAM pipeline (ref: src/IpuScene.cpp:
             # 583-618) with the in-kernel bounce loop — unbounded scene
             # size at megakernel iteration cost:
+            TBH = TB // hbm_sub       # dense rows per gated sub-slab
+            SBH = SB * hbm_sub        # refine rows / gates per super
+
             def dmas(slot, sup):
                 # pn8 layout: one super = a dense [PN_SUPER, SB*16] slab
                 # — rows [0, TB) the p8 block columns (block b at columns
@@ -676,11 +689,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                 # scalar-gated dense tests (skips blocks the bundle passes
                 # beside, and blocks whose customers already settled):
                 def refine(cur=cur):
-                    blo = [bfine_ref[pl.ds(cur * SB, SB), a:a + 1]
+                    blo = [bfine_ref[pl.ds(cur * SBH, SBH), a:a + 1]
                            for a in range(3)]
-                    bhi = [bfine_ref[pl.ds(cur * SB, SB), a + 3:a + 4]
+                    bhi = [bfine_ref[pl.ds(cur * SBH, SBH), a + 3:a + 4]
                            for a in range(3)]
-                    tin_s = jnp.zeros((SB, br), f32)
+                    tin_s = jnp.zeros((SBH, br), f32)
                     tout_s = jnp.where(active, _BIG, f32(-1.0))
                     for a in range(3):
                         t0_ = (blo[a] - o[a]) * inv[a]
@@ -714,7 +727,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     # runs in hbm mode, so the lane is free):
                     ki_ref[4:5, 1:2] = ki_ref[4:5, 1:2] + jnp.sum(
                         bflag_ref[:], axis=0, keepdims=True)
-                    for b in range(SB):                    # static unroll
+                    for b in range(SBH):                   # static unroll
                         @pl.when(bflag_ref[b, 0] > 0)
                         def _dense(b=b):
                             _hbm_dense_block(slot, b)
@@ -723,6 +736,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                 # strict <): marginal time IS the gated
                                 # dense-test cost:
                                 _hbm_dense_block(slot, b)
+                            if _timing_double_dense_fixed:
+                                _hbm_dense_fixed_probe()
                         if _timing_double_gate:
                             @pl.when(bflag_ref[b, 0] > 0)
                             def _gate2():
@@ -730,6 +745,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                 # time IS the per-member gate cost:
                                 bt_ref[:] = bt_ref[:] + f32(0.0)
                 else:
+                    # subq > 1 forces hbm_sub == 1 (wrapper): b is a
+                    # whole member here:
                     for b in range(SB):                    # static unroll
                         for qq in range(subq):
                             pl.when(bflag_ref[b, qq] > 0)(
@@ -738,7 +755,63 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
 
                 return nxt, cnt + 1
 
+            def _hbm_dense_fixed_probe():
+                # Dense-chain twin of _hbm_dense_block reading pbs_ref
+                # (static [TB, 16] scratch, whatever it holds): same op
+                # sequence, lane offsets 0..15, no dynamic slot base.
+                # Results fold into the oracle-diag lane through a
+                # never-true compare so the chain is kept but radiometry
+                # and walk statistics are untouched:
+                pb = pbs_ref[:]
+                tnp0 = pb[:, 0:1]
+                g1p0 = pb[:, 1:2]
+                g2p0 = pb[:, 2:3]
+
+                def tdot(c0_, rr, pb=pb):
+                    return (pb[:, c0_:c0_ + 1] * rr[0]
+                            + pb[:, c0_ + 1:c0_ + 2] * rr[1]
+                            + pb[:, c0_ + 2:c0_ + 3] * rr[2])
+
+                on = tdot(3, o)
+                dn = tdot(3, d)
+                og1 = tdot(6, o)
+                dg1 = tdot(6, d)
+                og2 = tdot(9, o)
+                dg2 = tdot(9, d)
+                r = pl.reciprocal(dn, approx=True)
+                r = r * (2.0 - dn * r)
+                t = (tnp0 - on) * r
+                b1 = og1 + t * dg1 - g1p0
+                b2 = og2 + t * dg2 - g2p0
+                et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
+                eps = jnp.minimum(
+                    pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                    np.float32(1e-3))
+                ok = ((jnp.minimum(b1, b2) >= -eps)
+                      & (b1 + b2 <= 1.0 + eps) & (t > 0.0))
+                tm = jnp.where(ok, t, _INF)
+                bt = jnp.min(tm, axis=0, keepdims=True)
+                tri_lane = jax.lax.broadcasted_iota(i32, (TB, br), 0)
+                bi = jnp.min(
+                    jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+                    axis=0, keepdims=True)
+                better = (bt < bt_ref[:]) & (bt < _INF)
+                ki_ref[6:7, :] = ki_ref[6:7, :] + (
+                    better & (bt == f32(12345.678e12))
+                    & (bi == i32(-777))).astype(i32)
+
             def _hbm_dense_block(slot, b, q=0):
+                    # b indexes a width-TBH row window of the super's
+                    # member fb = b // hbm_sub (row window h = b %
+                    # hbm_sub): the VMEM flat walk's sub-block granularity
+                    # (finding 36) applied to the streamed member walk —
+                    # pair-rows per iteration drop while the dense width
+                    # stays br, and the sequential strict-< merge keeps
+                    # the winner (and the image) bitwise identical to the
+                    # full-member walk:
+                    fb = b // hbm_sub
+                    h = b % hbm_sub
+                    r0 = h * TBH
                     if subq == 1:
                         best_t = bt_ref[:]
                         oq, dq, omq = o, d, o_mag
@@ -758,10 +831,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     if hbm_pb_stage:
                         # One relayout copy -> canonical lane-offset-0
                         # coefficient columns (see pbs_ref scratch note):
-                        pbs_ref[:] = p_buf[slot, 0:TB, b * 16:(b + 1) * 16]
-                        pb = pbs_ref[:]                        # [TB, 16]
+                        pbs_ref[0:TBH, :] = p_buf[slot, r0:r0 + TBH,
+                                                  fb * 16:(fb + 1) * 16]
+                        pb = pbs_ref[0:TBH, :]                 # [TBH, 16]
                     else:
-                        pb = p_buf[slot, 0:TB, b * 16:(b + 1) * 16]
+                        pb = p_buf[slot, r0:r0 + TBH,
+                                   fb * 16:(fb + 1) * 16]
                     tnp0 = pb[:, 0:1]
                     g1p0 = pb[:, 1:2]
                     g2p0 = pb[:, 2:3]
@@ -792,7 +867,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     tm = jnp.where(ok, t, _INF)
                     bt = jnp.min(tm, axis=0, keepdims=True)
                     tri_lane = jax.lax.broadcasted_iota(
-                        i32, (TB, WQ if subq > 1 else br), 0)
+                        i32, (TBH, WQ if subq > 1 else br), 0)
                     bi = jnp.min(
                         jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
                         axis=0, keepdims=True)
@@ -805,33 +880,41 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                     if not _timing_no_dots:
                         def payload():
                             onehot = (tri_lane == bi).astype(f32)
-                            w1 = onehot
-                            w2 = onehot * jnp.where(ok, b1, 0.0)
-                            w3 = onehot * jnp.where(ok, b2, 0.0)
+                            # Winner barycentrics as [1, br] rows (exact:
+                            # the one-hot sum adds the winner's f32 value
+                            # to zeros), applied as post-dot scales — the
+                            # pay_block golf (one [22, TB] dot instead of
+                            # four, no [TB, br] weight builds):
+                            b1w = jnp.sum(onehot * jnp.where(ok, b1, 0.0),
+                                          axis=0, keepdims=True)
+                            b2w = jnp.sum(onehot * jnp.where(ok, b2, 0.0),
+                                          axis=0, keepdims=True)
+                            # One-hot over the member's FULL TB-lane
+                            # payload chunks (lane = triangle row within
+                            # member fb; the dense window starts at r0):
+                            tri_full = jax.lax.broadcasted_iota(
+                                i32, (TB, WQ if subq > 1 else br), 0)
+                            w1 = (tri_full == (bi + r0)).astype(f32)
                             nd_ = (((1,), (0,)), ((), ()))
-                            # Member b's nrm payload chunks sit below the
+                            # Member fb's nrm payload chunks sit below the
                             # p slab in the fused super (tables.py pn8):
-                            # chunk j at rows [TB + (b*3+j)*8, +8).
-                            # w2/w3 interpolation restricted to rows 0-2
-                            # (material rows ride chunks 1/2 — see
-                            # do_block):
-                            c0 = TB + b * 3 * 8
-                            n_cand = jax.lax.dot_general(
-                                p_buf[slot, c0:c0 + 8, :], w1, nd_,
-                                preferred_element_type=f32)
-                            n_interp = (
-                                jax.lax.dot_general(
-                                    p_buf[slot, c0 + 8:c0 + 11, :],
-                                    w2, nd_, preferred_element_type=f32)
-                                + jax.lax.dot_general(
-                                    p_buf[slot, c0 + 16:c0 + 19, :],
-                                    w3, nd_, preferred_element_type=f32))
+                            # chunk j at rows [TB + (fb*3+j)*8, +8).
+                            # Interp rows ride chunks 1/2's rows 0-2
+                            # (material rows fill the rest — do_block):
+                            c0 = TB + fb * 3 * 8
+                            cand = jax.lax.dot_general(
+                                jnp.concatenate(
+                                    [p_buf[slot, c0:c0 + 16, :],
+                                     p_buf[slot, c0 + 8:c0 + 11, :],
+                                     p_buf[slot, c0 + 16:c0 + 19, :]],
+                                    axis=0),
+                                w1, nd_,
+                                preferred_element_type=f32)   # [22, br]
+                            n_interp = cand[16:19] * b1w + cand[19:22] * b2w
                             n_cand2 = jnp.concatenate(
-                                [n_cand[0:3] + n_interp, n_cand[3:8]],
+                                [cand[0:3] + n_interp, cand[3:8]],
                                 axis=0)
-                            m_cand = jax.lax.dot_general(
-                                p_buf[slot, c0 + 8:c0 + 16, :],
-                                w1, nd_, preferred_element_type=f32)
+                            m_cand = cand[8:16]
                             if subq == 1:
                                 bn_ref[:] = jnp.where(
                                     better, n_cand2, bn_ref[:])
@@ -1562,12 +1645,13 @@ def _analytic_tables(scene):
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
-                     "hbm_pay_gate", "hbm_pb_stage",
+                     "hbm_sub", "hbm_pay_gate", "hbm_pb_stage",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
                      "_timing_double_pay", "_timing_double_prep",
                      "_timing_double_scan", "_timing_double_refine",
                      "_timing_double_dense", "_timing_double_gate",
+                     "_timing_double_dense_fixed",
                      "_timing_double_dma",
                      "_count_oracle"),
 )
@@ -1609,6 +1693,22 @@ def megakernel_path_trace(
                           # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
+    hbm_sub: int | None = None,  # dense granularity of the HBM member
+                                 # walk: each member block's dense test
+                                 # runs as hbm_sub gated [TB/hbm_sub, br]
+                                 # row windows against 128/hbm_sub-tri
+                                 # AABBs (the flat walk's sub-block
+                                 # selectivity, finding 36, on the
+                                 # streamed walk). Bitwise-identical
+                                 # across values (sequential strict-<
+                                 # merge). MEASURED NEUTRAL 2026-08-18
+                                 # (522k br512: hsub2 466.5 vs hsub1
+                                 # 468.0 us/iter despite a 34% pair-row
+                                 # cut; hsub4 529.3): the [64, br] chain
+                                 # is latency-bound — finding 47's width
+                                 # lesson holds on the SUBLANE axis too.
+                                 # None resolves to 1; forced 1 under
+                                 # subq > 1. Knob kept as the record.
     hbm_pay_gate: bool = True,   # winner-gated in-slab payload (the
                                  # finding-39 deferral for the HBM walk):
                                  # bitwise-identical by construction,
@@ -1656,6 +1756,7 @@ def megakernel_path_trace(
     _timing_double_refine: bool = False,
     _timing_double_dense: bool = False,
     _timing_double_gate: bool = False,
+    _timing_double_dense_fixed: bool = False,
     _timing_double_dma: bool = False,
     _count_oracle: bool = False,
 ):
@@ -1765,6 +1866,12 @@ def megakernel_path_trace(
         raise ValueError(f"subq must be 1, 2, 4 or 8, got {subq}")
     if not cull_on or br % (128 * subq):
         subq = 1
+    # HBM member-walk dense granularity (see the hbm_sub param note):
+    if hbm_sub is None:
+        hbm_sub = 1
+    if not hbm or subq > 1:
+        hbm_sub = 1
+    assert hbm_sub in (1, 2, 4), hbm_sub
     # Compacted flat walk (finding 48): only the flat VMEM walk uses it,
     # and only at subq == 1 (quarters keep their per-quarter gates):
     compact_on = (walk_compact and cull_on and subq == 1
@@ -1814,7 +1921,8 @@ def megakernel_path_trace(
             pltpu.VMEM((2, PNS, SB * 16) if hbm else (1, 8, 128),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, 1)),
-            pltpu.VMEM((SB, subq), jnp.int32),   # in-super block flags
+            # in-super (sub-)block flags (SB * hbm_sub rows in hbm mode):
+            pltpu.VMEM((SB * (hbm_sub if hbm else 1), subq), jnp.int32),
             # Deferred-payload winner-block flags (VMEM walks only):
             pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)
                        if not hbm else (1, 1), jnp.int32),
@@ -1850,6 +1958,7 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
+        hbm_sub=hbm_sub,
         hbm_pay_gate=hbm_pay_gate, hbm_pb_stage=hbm_pb_stage,
         _timing_no_dots=_timing_no_dots,
         _timing_no_walk=_timing_no_walk,
@@ -1861,6 +1970,7 @@ def megakernel_path_trace(
         _timing_double_refine=_timing_double_refine,
         _timing_double_dense=_timing_double_dense,
         _timing_double_gate=_timing_double_gate,
+        _timing_double_dense_fixed=_timing_double_dense_fixed,
         _timing_double_dma=_timing_double_dma,
         _count_oracle=_count_oracle,
     )
@@ -1870,8 +1980,21 @@ def megakernel_path_trace(
         wmlp = jnp.zeros((16, 128), jnp.bfloat16)
         ebias = jnp.zeros((8, 1), jnp.float32)
         econst = jnp.zeros((1, 128), jnp.float32)
-    bfine = (tables.baabb if (hbm or two_level)
-             else jnp.zeros((8, 8), jnp.float32))
+    if hbm and hbm_sub == 4:
+        bfine = tables.baabb32
+    elif hbm and hbm_sub == 2:
+        # 64-tri half-member AABBs, derived from adjacent 32-tri pairs
+        # (rows land member-major, half-major — the kernel's
+        # fb = b // hbm_sub, h = b % hbm_sub decode):
+        b32 = tables.baabb32
+        bfine = jnp.concatenate([
+            jnp.minimum(b32[0::2, 0:3], b32[1::2, 0:3]),
+            jnp.maximum(b32[0::2, 3:6], b32[1::2, 3:6]),
+            jnp.zeros((b32.shape[0] // 2, 2), jnp.float32),
+        ], axis=1)
+    else:
+        bfine = (tables.baabb if (hbm or two_level)
+                 else jnp.zeros((8, 8), jnp.float32))
     accum, done = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
