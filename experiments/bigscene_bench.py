@@ -6,8 +6,9 @@ Round-2 baselines (PROGRESS.md):
   2.09M-tri heightfield 256² spp8 maxlen5  pallas-hbm : 0.182 Mpaths/s
   65k-tri stress        256² spp4 maxlen5  pallas     : 0.82  Mpaths/s
 
-Round-3 changes under test: p8 super packing (8x less DMA, VERDICT #4)
-and the two-level VMEM walk (VERDICT #5).
+Round-3 state (findings 48-50): 522k 0.506 (union-bound ceiling at
+br=512, finding 49), 2M 0.266, 65k 1.016 via the flat sub=2 compact
+walk (finding 50; two-level retired from the auto path).
 
 Usage: python experiments/bigscene_bench.py [which...]   (TPU)
   which in {hbm512, hbm1024, vmem64k}; default: hbm512 vmem64k

@@ -1807,8 +1807,17 @@ def megakernel_path_trace(
             # Cornell: 7.37 Mpaths/s at sub=2 vs 6.37 at sub=1, 6.81 at
             # sub=4 — sub-block selectivity beats per-slice overheads now
             # that the payload dots run once per iteration, finding 36).
-            # Bigger VMEM scenes keep sub=1 and the two-level walk:
-            sub = 2 if (cull_on and tables.num_blocks <= 128) else 1
+            # Under the COMPACTED walk (finding 48) the flat sub=2 walk
+            # also beats the two-level walk at the 64k-tri VMEM ceiling
+            # (512 blocks: 1.032 vs 0.805 Mpaths/s, 2026-08-18 — the
+            # branch-free index-list dispatch removes the per-block gate
+            # cost two-level existed to avoid), so auto prefers it over
+            # the whole VMEM range when compaction will engage; the
+            # gated fallback (RAY_WALK_COMPACT=0 / subq > 1) keeps the
+            # old policy, where two-level still wins past 128 blocks:
+            flat_ok = (tables.num_blocks <= 128
+                       or (walk_compact and subq == 1 and use_cull))
+            sub = 2 if (cull_on and flat_ok) else 1
         sub = sub if cull_on else 1
         assert sub in (1, 2, 4), sub
         # Two-level walk for big VMEM scenes: the flat walk's per-block
@@ -1827,7 +1836,7 @@ def megakernel_path_trace(
             reflag = 1 if (walk_compact and not two_level
                            and subq == 1) else 3
         if (cull_on and not two_level and reflag > 0
-                and nb_kern * sub * br * 4 > (4 << 20)):
+                and nb_kern * sub * br * 4 >= (4 << 20)):
             # The reflag entry-bound scratch is [nb*sub, br] f32; near the
             # 64k-tri VMEM ceiling with sub > 1 it can reach 8 MB on top
             # of the resident tables and fail to compile. Degrade the same

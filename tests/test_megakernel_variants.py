@@ -129,7 +129,9 @@ def test_two_level_walk_bitwise_identical(mega_scene, monkeypatch):
     monkeypatch.setattr(MK, "TWO_LEVEL_MIN_BLOCKS", 1)
     MK.megakernel_path_trace.clear_cache()
     try:
-        img, done = _render(arrays, params)
+        # sub=1 is required or auto-sub (2 on small scenes) silently
+        # disables two_level and the test reverts to the flat walk:
+        img, done = _render(arrays, params, sub=1)
     finally:
         MK.megakernel_path_trace.clear_cache()
     assert done == 48 * 32
@@ -280,7 +282,8 @@ def test_two_level_subq_bitwise_identical(mega_scene, monkeypatch):
     monkeypatch.setenv("RAY_SUBQ", "4")
     MK.megakernel_path_trace.clear_cache()
     try:
-        img, done = _render(arrays, params)
+        # sub=1 required for two_level to engage (see above):
+        img, done = _render(arrays, params, sub=1)
     finally:
         MK.megakernel_path_trace.clear_cache()
     assert done == 48 * 32
