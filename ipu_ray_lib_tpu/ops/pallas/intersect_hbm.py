@@ -44,10 +44,10 @@ RB_PER_CALL = 32       # ray blocks per pallas_call (bounds SMEM lists)
 _INF = np.float32(np.inf)
 
 
-def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm,
+def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm, pay_hbm,
                 out_t_ref, out_i_ref, out_n_ref, out_m_ref,
-                p_buf, sems, bt_ref, bi_ref, bn_ref, bm_ref,
-                *, br, ns):
+                p_buf, pay_buf, sems, bt_ref, bi_ref, bn_ref, bm_ref,
+                *, br, ns, split):
     i = pl.program_id(0)
     rays = rays_ref[:]                     # [8, br]
     t_min = rays[6:7, :]
@@ -64,9 +64,20 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm,
 
     def dmas(slot, j):
         sup = list_ref[i, j]
-        # pn8 layout: one super = a dense [PN_SUPER, SB*16] slab — p8
-        # block columns in rows [0, TB), the members' nrm payload chunks
-        # below (tables.py pn8 contract). One DMA per super:
+        # VMEM-sized scenes: fused pn8 layout — one super = a dense
+        # [PN_SUPER, SB*16] f32 slab (p8 block columns in rows [0, TB),
+        # the members' nrm payload chunks below), ONE DMA per super.
+        # Big scenes (split): the payload rides the separate bf16 pay8
+        # table — a second, half-size DMA (tables.py pay8 contract):
+        if split:
+            return (
+                pltpu.make_async_copy(
+                    p_hbm.at[pl.ds(sup * TB, TB), :], p_buf.at[slot],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    pay_hbm.at[pl.ds(sup * SB * 24, SB * 24), :],
+                    pay_buf.at[slot], sems.at[slot, 1]),
+            )
         return (
             pltpu.make_async_copy(
                 p_hbm.at[pl.ds(sup * PNS, PNS), :], p_buf.at[slot],
@@ -130,29 +141,37 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm,
             bi = jnp.min(jnp.where(tm <= bt, lane, jnp.int32(0x7FFFFFFF)),
                          axis=0, keepdims=True)
             onehot = (lane == bi).astype(jnp.float32)
-            w1 = onehot
-            w2 = onehot * jnp.where(ok, b1, 0.0)
-            w3 = onehot * jnp.where(ok, b2, 0.0)
+            # On TPU the DEFAULT-precision dots round their f32 inputs
+            # through bf16, so casting the weights explicitly for the
+            # bf16 split table multiplies identical factors:
+            cast = ((lambda a: a.astype(jnp.bfloat16)) if split
+                    else (lambda a: a))
+            w1 = cast(onehot)
+            w2 = cast(onehot * jnp.where(ok, b1, 0.0))
+            w3 = cast(onehot * jnp.where(ok, b2, 0.0))
             nd = (((1,), (0,)), ((), ()))
-            # Member b's nrm payload chunks sit below the p slab in the
-            # fused super (tables.py pn8): chunk j at rows
-            # [TB + (b*3+j)*8, +8). w2/w3 interpolation restricted to
-            # rows 0-2 (material rows ride chunks 1/2 — see
-            # intersect_kernel.py):
-            c0 = TB + b * 3 * 8
+            # Member b's nrm payload chunks: below the p slab in the
+            # fused super (chunk j at rows [TB + (b*3+j)*8, +8) —
+            # tables.py pn8), or in the streamed bf16 pay slab (rows
+            # [b*24 + j*8, +8) — tables.py pay8). w2/w3 interpolation
+            # restricted to rows 0-2 (material rows ride chunks 1/2 —
+            # see intersect_kernel.py):
+            if split:
+                c0 = b * 24
+                ch = lambda lo, hi: pay_buf[slot, c0 + lo:c0 + hi, :]
+            else:
+                c0 = TB + b * 3 * 8
+                ch = lambda lo, hi: p_buf[slot, c0 + lo:c0 + hi, :]
             n_cand = jax.lax.dot_general(
-                p_buf[slot, c0:c0 + 8, :], w1, nd,
-                preferred_element_type=jnp.float32)
+                ch(0, 8), w1, nd, preferred_element_type=jnp.float32)
             n_interp = (
-                jax.lax.dot_general(p_buf[slot, c0 + 8:c0 + 11, :], w2, nd,
+                jax.lax.dot_general(ch(8, 11), w2, nd,
                                     preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(p_buf[slot, c0 + 16:c0 + 19, :],
-                                      w3, nd,
+                + jax.lax.dot_general(ch(16, 19), w3, nd,
                                       preferred_element_type=jnp.float32))
             n_cand = jnp.concatenate([n_cand[0:3] + n_interp, n_cand[3:8]],
                                      axis=0)
-            m_cand = jax.lax.dot_general(p_buf[slot, c0 + 8:c0 + 16, :],
-                                         w1, nd,
+            m_cand = jax.lax.dot_general(ch(8, 16), w1, nd,
                                          preferred_element_type=jnp.float32)
             bi_glob = bi + (sup * SB + b) * TB
 
@@ -196,12 +215,14 @@ def _hbm_kernel(count_ref, list_ref, dist_ref, rays_ref, p_hbm,
 
 def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
     ns = tables.num_supers
+    split = tables.pay8 is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nrb,),
         in_specs=[
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),   # rays
-            pl.BlockSpec(memory_space=pltpu.ANY),                  # pn8 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),         # pn8/p8 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),         # pay8 (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, br), lambda i, c_, o_, d_: (0, i)),
@@ -210,8 +231,12 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
             pl.BlockSpec((8, br), lambda i, c_, o_, d_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, PNS, SB * 16), jnp.float32),  # fused pn8 slabs
-            pltpu.SemaphoreType.DMA((2, 1)),
+            # super slab window(s): fused [PNS, 128] f32, or split
+            # [TB, 128] f32 p + [SB*24, TB] bf16 payload:
+            pltpu.VMEM((2, TB if split else PNS, SB * 16), jnp.float32),
+            pltpu.VMEM((2, SB * 24, TB) if split else (1, 8, 128),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2 if split else 1)),
             pltpu.VMEM((1, br), jnp.float32),
             pltpu.VMEM((1, br), jnp.int32),
             pltpu.VMEM((8, br), jnp.float32),
@@ -219,8 +244,10 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
         ],
     )
     Rp = nrb * br
+    pay_in = (tables.pay8 if split
+              else jnp.zeros((8, 128), jnp.bfloat16))
     return pl.pallas_call(
-        functools.partial(_hbm_kernel, br=br, ns=ns),
+        functools.partial(_hbm_kernel, br=br, ns=ns, split=split),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, Rp), jnp.float32),
@@ -229,7 +256,7 @@ def _hbm_call(tables, counts, order, dists, rays, nrb, br, interpret):
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, order, dists, rays, tables.pn8)
+    )(counts, order, dists, rays, tables.pn8, pay_in)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "br"))

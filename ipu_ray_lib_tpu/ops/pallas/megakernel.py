@@ -259,12 +259,13 @@ _SLAB_SCALE = np.float32(1.0 + 6e-7)  # conservative tmax widening (ops/intersec
 _SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
 
 
-def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
+def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  ap_ref, apay_ref, baabb_ref, bfine_ref, wmlp_ref, ebias_ref,
                  econ_ref,
                  accum_ref, done_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
-                 cull_ref, cullq_ref, tin_ref, env_ref, p_buf, sems,
+                 cull_ref, cullq_ref, tin_ref, env_ref, p_buf, pay_buf,
+                 sems,
                  bflag_ref, wf_ref, cidx_ref, pbs_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
@@ -274,7 +275,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
-                 hbm_sub=1,
+                 hbm_sub=1, hbm_split=False,
                  hbm_pay_gate=True, hbm_pb_stage=False,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
@@ -621,12 +622,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
             SBH = SB * hbm_sub        # refine rows / gates per super
 
             def dmas(slot, sup):
-                # pn8 layout: one super = a dense [PN_SUPER, SB*16] slab
-                # — rows [0, TB) the p8 block columns (block b at columns
-                # [b*16, (b+1)*16)), rows [TB, PN_SUPER) the members' nrm
-                # payload chunks (tables.py pn8 contract). ONE DMA per
-                # super: the p+nrm copy pair measured 86 us/iter of
-                # issue/wait overhead on the 522k scene (dma probe):
+                # VMEM-sized scenes: one fused pn8 super = a dense
+                # [PN_SUPER, SB*16] f32 slab — rows [0, TB) the p8 block
+                # columns (block b at columns [b*16, (b+1)*16)), rows
+                # [TB, PN_SUPER) the members' nrm payload chunks; ONE
+                # DMA per super. Above the VMEM ceiling (hbm_split) the
+                # payload rides the separate bf16 pay8 table — a second,
+                # HALF-size DMA per super (tables.py pay8 contract):
+                if hbm_split:
+                    return (
+                        pltpu.make_async_copy(
+                            p_ref.at[pl.ds(sup * TB, TB), :],
+                            p_buf.at[slot], sems.at[slot, 0]),
+                        pltpu.make_async_copy(
+                            pay_ref.at[pl.ds(sup * SB * 24, SB * 24), :],
+                            pay_buf.at[slot], sems.at[slot, 1]),
+                    )
                 return (
                     pltpu.make_async_copy(
                         p_ref.at[pl.ds(sup * PNS, PNS), :],
@@ -896,19 +907,35 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, nrm_ref,
                                 i32, (TB, WQ if subq > 1 else br), 0)
                             w1 = (tri_full == (bi + r0)).astype(f32)
                             nd_ = (((1,), (0,)), ((), ()))
-                            # Member fb's nrm payload chunks sit below the
-                            # p slab in the fused super (tables.py pn8):
-                            # chunk j at rows [TB + (fb*3+j)*8, +8).
-                            # Interp rows ride chunks 1/2's rows 0-2
-                            # (material rows fill the rest — do_block):
-                            c0 = TB + fb * 3 * 8
-                            cand = jax.lax.dot_general(
-                                jnp.concatenate(
+                            # Member fb's nrm payload chunks: below the p
+                            # slab in the fused super (chunk j at rows
+                            # [TB + (fb*3+j)*8, +8) — tables.py pn8), or
+                            # in the streamed bf16 pay slab (rows
+                            # [fb*24 + j*8, +8) — tables.py pay8; the
+                            # one-hot rides as bf16, exact for 0/1, and
+                            # the dot's f32 accumulate matches the
+                            # DEFAULT-precision bf16 rounding the fused
+                            # f32 path gets on TPU anyway). Interp rows
+                            # ride chunks 1/2's rows 0-2 (material rows
+                            # fill the rest — do_block):
+                            if hbm_split:
+                                c0 = fb * 24
+                                rows = jnp.concatenate(
+                                    [pay_buf[slot, c0:c0 + 16, :],
+                                     pay_buf[slot, c0 + 8:c0 + 11, :],
+                                     pay_buf[slot, c0 + 16:c0 + 19, :]],
+                                    axis=0)
+                                wd = w1.astype(jnp.bfloat16)
+                            else:
+                                c0 = TB + fb * 3 * 8
+                                rows = jnp.concatenate(
                                     [p_buf[slot, c0:c0 + 16, :],
                                      p_buf[slot, c0 + 8:c0 + 11, :],
                                      p_buf[slot, c0 + 16:c0 + 19, :]],
-                                    axis=0),
-                                w1, nd_,
+                                    axis=0)
+                                wd = w1
+                            cand = jax.lax.dot_general(
+                                rows, wd, nd_,
                                 preferred_element_type=f32)   # [22, br]
                             n_interp = cand[16:19] * b1w + cand[19:22] * b2w
                             n_cand2 = jnp.concatenate(
@@ -1794,11 +1821,16 @@ def megakernel_path_trace(
         reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
         nb_kern = tables.num_supers
         baabb = tables.saabb
-        # The fused pn8 slab carries both the p coefficients and the nrm
-        # payload chunks (one DMA per super); the VMEM nrm table is
-        # unused here (and not built at all above the VMEM ceiling):
+        # VMEM-sized scenes: the fused pn8 slab carries both the p
+        # coefficients and the nrm payload chunks (one DMA per super).
+        # Bigger scenes split the payload into the bf16 pay8 table
+        # (tables.py; ~32% less HBM + DMA). The VMEM nrm table is unused
+        # here (and not built at all above the VMEM ceiling):
         p_in = tables.pn8
         nrm_in = jnp.zeros((8, 128), jnp.float32)
+        hbm_split = tables.pay8 is not None
+        pay_in = (tables.pay8 if hbm_split
+                  else jnp.zeros((8, 128), jnp.bfloat16))
     else:
         cull_on = use_cull and tables.num_blocks > 1
         if sub is None:
@@ -1853,6 +1885,8 @@ def megakernel_path_trace(
                 "pallas-hbm intersector, or rebuild with "
                 "build_scene(..., intersector='pallas') to force it")
         p_in, nrm_in = tables.p, tables.nrm
+        hbm_split = False
+        pay_in = jnp.zeros((8, 128), jnp.bfloat16)
         if two_level:
             baabb = tables.saabb
         elif sub == 1:
@@ -1893,6 +1927,7 @@ def megakernel_path_trace(
             pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
             pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
             pl.BlockSpec(memory_space=ms_scene),     # p (HBM when hbm)
+            pl.BlockSpec(memory_space=ms_scene),     # pay8 (HBM, split)
             pl.BlockSpec(memory_space=ms_scene),     # nrm
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ap
             pl.BlockSpec(memory_space=pltpu.VMEM),   # apay
@@ -1924,12 +1959,16 @@ def megakernel_path_trace(
             # env radiance staging (when an env MLP is fused in):
             pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
                        jnp.float32),
-            # HBM-streaming slab window + DMA semaphore (pn8 packing:
-            # one super = [PN_SUPER, SB*16] — 160 KB per slot, p + nrm
-            # fused so each super costs ONE DMA start/wait):
-            pltpu.VMEM((2, PNS, SB * 16) if hbm else (1, 8, 128),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            # HBM-streaming slab window(s) + DMA semaphores. Fused pn8
+            # (VMEM-sized scenes): one super = [PN_SUPER, SB*16] f32 —
+            # 160 KB per slot, ONE DMA. Split (hbm_split, big scenes):
+            # [TB, SB*16] f32 p slab (64 KB) + [SB*24, TB] bf16 payload
+            # slab (48 KB), two DMAs:
+            pltpu.VMEM((2, TB if hbm_split else PNS, SB * 16)
+                       if hbm else (1, 8, 128), jnp.float32),
+            pltpu.VMEM((2, SB * 24, TB) if hbm_split else (1, 8, 128),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2 if hbm_split else 1)),
             # in-super (sub-)block flags (SB * hbm_sub rows in hbm mode):
             pltpu.VMEM((SB * (hbm_sub if hbm else 1), subq), jnp.int32),
             # Deferred-payload winner-block flags (VMEM walks only):
@@ -1967,7 +2006,7 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
-        hbm_sub=hbm_sub,
+        hbm_sub=hbm_sub, hbm_split=hbm_split,
         hbm_pay_gate=hbm_pay_gate, hbm_pb_stage=hbm_pb_stage,
         _timing_no_dots=_timing_no_dots,
         _timing_no_walk=_timing_no_walk,
@@ -2012,7 +2051,8 @@ def megakernel_path_trace(
             jax.ShapeDtypeStruct((2, R), jnp.int32),
         ],
         interpret=interpret,
-    )(sc, rows2, cols2, p_in, nrm_in, ap, apay, baabb, bfine, wmlp, ebias,
+    )(sc, rows2, cols2, p_in, pay_in, nrm_in, ap, apay, baabb, bfine, wmlp,
+      ebias,
       econst)
     # [3J, R] rows are (j, channel)-major -> per-pixel [R*J, 3], averaged,
     # on device (multi-second numpy work on slow hosts otherwise):

@@ -54,6 +54,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -76,28 +78,46 @@ SUBB = 32  # finest cull granularity (tris per sub-block AABB)
 # monkeypatch this down to cover the skip path:
 VMEM_TABLE_MAX_TRIS = 65536
 
+# Above this many (padded) triangle rows the HBM payload auto-splits
+# into the bf16 pay8 table (~32% less HBM at a ~5-9% throughput cost —
+# see build_blocked_tables). RAY_HBM_SPLIT=0/1 overrides:
+HBM_SPLIT_MIN_TRIS = 4_000_000
+
 
 class BlockedSceneTables(NamedTuple):
     p: jnp.ndarray | None  # [nb*TB, 16] f32 (None above VMEM_TABLE_MAX_TRIS)
-    # Fused super slab for the HBM-streamed kernels: Mosaic DMA slices
+    # Super slab(s) for the HBM-streamed kernels: Mosaic DMA slices
     # must be 128-aligned in the minor dimension, and a [*, 16] slab is
     # not. Instead of padding 16 -> 128 columns (8x wasted HBM and DMA
     # bytes — the round-2 p_wide layout), each super's 8 blocks sit SIDE
-    # BY SIDE along the lane axis (the p8 packing, VERDICT r2 #4), and
-    # the super's nrm payload chunks ride BELOW them in the same array
-    # so one super streams as ONE dense [PN_SUPER, 128] = 160 KB slab
-    # (one DMA start/wait per super instead of two — the dma probe
-    # measured the p+nrm pair at 86 us/iter on the 522k scene):
+    # BY SIDE along the lane axis (the p8 packing, VERDICT r2 #4).
+    # VMEM-sized scenes fuse the super's nrm payload chunks BELOW the p
+    # rows so one super streams as ONE dense [PN_SUPER, 128] = 160 KB
+    # f32 slab:
     #     pn8[s*PN + r, b*16 + c]            = p[(s*SB + b)*TB + r, c]
     #                                                        (r < TB)
     #     pn8[s*PN + TB + (b*3+j)*8 + r, c]  = nrm[r, ((s*SB+b)*3+j)*TB + c]
     # Kernel reads stay static slices: block b's p table is
     # [0:TB, b*16:(b+1)*16]; its nrm chunk j is
     # [TB+(b*3+j)*8 : +rows, :] — bitwise the same values, zero
-    # in-kernel repacking cost:
-    pn8: jnp.ndarray      # [ns*PN_SUPER, SB*16] f32
+    # in-kernel repacking cost.
+    # ABOVE the VMEM ceiling the payload splits into the separate bf16
+    # table `pay8` and pn8 carries ONLY the [TB, 128] p rows per super
+    # (see pay8): HBM table bytes drop ~32% (2M tris: 335 -> 229 MB)
+    # with TPU radiometry bitwise unchanged:
+    pn8: jnp.ndarray      # [ns*PN_SUPER, SB*16] f32, or [ns*TB, SB*16]
+                          # f32 when pay8 is not None
+    # Big-scene payload slab, bf16: the payload is consumed ONLY as
+    # DEFAULT-precision dot operands, which round f32 inputs through
+    # bf16 on TPU anyway — storing bf16 pre-rounds identically, so the
+    # TPU image is bitwise unchanged while the payload table and its
+    # per-super DMA halve. Auto-engages above HBM_SPLIT_MIN_TRIS (the
+    # split costs ~5-9% throughput for ~32% less HBM — see
+    # build_blocked_tables). Layout (lane = triangle row within member):
+    #     pay8[(s*SB + b)*24 + j*8 + r, c] = nrm[r, ((s*SB+b)*3+j)*TB + c]
+    pay8: jnp.ndarray | None  # [nb*24, TB] bf16 (None when fused)
     # VMEM payload table (None above VMEM_TABLE_MAX_TRIS — the HBM
-    # kernels read payloads from pn8's fused chunks instead):
+    # kernels read payloads from pn8's fused chunks / pay8 instead):
     nrm: jnp.ndarray | None  # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
     baabb32: jnp.ndarray  # [nb*TB/SUBB, 8] f32 sub-block AABBs (32 tris each)
@@ -180,6 +200,7 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
                          mat_emissive: np.ndarray | None = None,
                          with_vmem_p: bool | None = None,
                          native_pack: bool = True,
+                         payload_split: bool | None = None,
                          tri_order: np.ndarray | None = None) -> BlockedSceneTables:
     T = len(tri_v)
     if T == 0:
@@ -476,22 +497,43 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         p8 = (p.reshape(ns, SB, TB, 16).transpose(0, 2, 1, 3)
                .reshape(ns * TB, SB * 16))
 
-    # Fused HBM super slab (see the pn8 field docstring): p8 rows first,
-    # then the super's 24 nrm row-chunks in (member, chunk) order —
-    # pure vectorised reshapes, one extra table-sized copy at build:
+    # HBM super slab(s) (see the pn8/pay8 field docstrings): the nrm
+    # payload regrouped into per-member 24-row chunks in (member, chunk)
+    # order — pure vectorised reshapes, one extra table-sized copy at
+    # build. VMEM-sized scenes fuse it below the p8 rows (one f32 slab,
+    # one DMA per super); bigger scenes keep p8 f32 and store the
+    # payload as a separate bf16 table:
     nrm8 = (np.asarray(nrm, np.float32).reshape(8, nb * 3, TB)
               .transpose(1, 0, 2).reshape(ns, SB * 3 * 8, TB))
-    pn8 = np.concatenate(
-        [np.asarray(p8, np.float32).reshape(ns, TB, SB * 16), nrm8],
-        axis=1).reshape(ns * PN_SUPER, SB * 16)
+    # Payload placement (see the pn8/pay8 field docstrings). The split
+    # layout costs ~5-9% throughput (second DMA + bf16 window reads:
+    # 522k 511.3 vs 468.0 us/iter, 2M 924.1 vs 883.6, 2026-08-18,
+    # radiometry bitwise-identical) for ~32% less HBM, so it only pays
+    # where the fused table's footprint actually matters — auto engages
+    # above HBM_SPLIT_MIN_TRIS (8.4M-tri fused tables run 1.34 GB);
+    # RAY_HBM_SPLIT=0/1 overrides, VMEM-sized scenes always fuse:
+    if payload_split is None:
+        env = os.environ.get("RAY_HBM_SPLIT", "")
+        payload_split = (env == "1" if env in ("0", "1")
+                         else Tp > HBM_SPLIT_MIN_TRIS)
+    if with_vmem_p or not payload_split:
+        pn8 = np.concatenate(
+            [np.asarray(p8, np.float32).reshape(ns, TB, SB * 16), nrm8],
+            axis=1).reshape(ns * PN_SUPER, SB * 16)
+        pay8 = None
+    else:
+        import ml_dtypes  # numpy bf16 dtype (ships with jax)
+
+        pn8 = np.asarray(p8, np.float32)
+        pay8 = nrm8.astype(ml_dtypes.bfloat16).reshape(nb * 24, TB)
 
     return BlockedSceneTables(
         p=jnp.asarray(p) if with_vmem_p else None,
         pn8=jnp.asarray(pn8),
+        pay8=None if pay8 is None else jnp.asarray(pay8),
         # Above the VMEM ceiling no VMEM-mode kernel can hold the scene
-        # and the HBM kernels read payloads from pn8 — skipping the [8,
-        # nb*3*TB] duplicate keeps big-scene device memory where the p8
-        # + nrm split had it (pn8 is exactly their concatenation):
+        # and the HBM kernels read payloads from pay8 — the [8, nb*3*TB]
+        # f32 duplicate is skipped:
         nrm=jnp.asarray(nrm) if with_vmem_p else None,
         baabb=jnp.asarray(baabb),
         baabb32=jnp.asarray(baabb32),

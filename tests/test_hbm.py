@@ -91,6 +91,73 @@ def test_pn8_super_packing_contract():
     np.testing.assert_array_equal(rebuilt_nrm, nrm)
 
 
+def test_pay8_split_contract(monkeypatch):
+    """Under the split layout (auto above HBM_SPLIT_MIN_TRIS;
+    RAY_HBM_SPLIT=1 forces it) the payload moves to the bf16 pay8 table
+    and pn8 carries only the p8 rows: pn8[s*TB + r, b*16 + c] ==
+    p[(s*SB+b)*TB + r, c] and pay8[(s*SB+b)*24 + j*8 + r, c] ==
+    bf16(nrm[r, ((s*SB+b)*3+j)*TB + c])."""
+    from ipu_ray_lib_tpu.ops.pallas import tables as TBL
+
+    monkeypatch.setattr(TBL, "VMEM_TABLE_MAX_TRIS", 100)
+    monkeypatch.setenv("RAY_HBM_SPLIT", "1")
+    scene = make_stress_scene(24)
+    arrays, _, _ = build_scene(scene, image_width=8, image_height=8,
+                               samples_per_pixel=1,
+                               intersector="pallas-hbm")
+    t = arrays.blocked
+    assert t.p is None and t.nrm is None and t.pay8 is not None
+    ns, nb = t.num_supers, t.num_blocks
+    from ipu_ray_lib_tpu.ops.pallas.tables import SB, TB
+    pn8 = np.asarray(t.pn8)
+    pay8 = np.asarray(t.pay8.astype(np.float32))
+    assert pn8.shape == (ns * TB, SB * 16)
+    assert pay8.shape == (nb * 24, TB)
+    # Rebuild a reference f32 build of the same scene for the source
+    # p/nrm tables:
+    arrays_f, _, _ = build_scene(scene, image_width=8, image_height=8,
+                                 samples_per_pixel=1,
+                                 intersector="pallas")
+    p = np.asarray(arrays_f.blocked.p)
+    nrm = np.asarray(arrays_f.blocked.nrm)
+    rebuilt_p = (pn8.reshape(ns, TB, SB, 16).transpose(0, 2, 1, 3)
+                 .reshape(ns * SB * TB, 16))
+    np.testing.assert_array_equal(rebuilt_p, p)
+    rebuilt_nrm = (pay8.reshape(nb * 3, 8, TB).transpose(1, 0, 2)
+                   .reshape(8, nb * 3 * TB))
+    np.testing.assert_array_equal(
+        rebuilt_nrm,
+        nrm.astype(np.float32).astype(
+            __import__("ml_dtypes").bfloat16).astype(np.float32))
+    # End-to-end: the split megakernel walk and the split standalone
+    # intersect kernel must agree with the fused builds up to the bf16
+    # payload rounding (geometry/t are f32 in both — only shading
+    # payload rounds):
+    from ipu_ray_lib_tpu.ops.pallas.intersect_hbm import pallas_intersect_hbm
+    from ipu_ray_lib_tpu.render.streaming import render_streaming
+
+    _, params, _ = build_scene(scene, image_width=32, image_height=32,
+                               samples_per_pixel=1,
+                               intersector="pallas-hbm")
+    img_s, done = render_streaming(arrays, params, spp=1)
+    assert done == 32 * 32
+    tf = arrays_f.blocked
+    o = np.zeros((8, 3), np.float32)
+    d = np.tile(np.asarray([[0.0, -0.2, 1.0]], np.float32), (8, 1))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    import jax.numpy as jnp
+    hs = pallas_intersect_hbm(t, jnp.asarray(o), jnp.asarray(d),
+                              jnp.zeros(8), jnp.full(8, 1e9),
+                              interpret=True)
+    hf = pallas_intersect_hbm(tf, jnp.asarray(o), jnp.asarray(d),
+                              jnp.zeros(8), jnp.full(8, 1e9),
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(hs[0]), np.asarray(hf[0]))
+    np.testing.assert_array_equal(np.asarray(hs[1]), np.asarray(hf[1]))
+    np.testing.assert_allclose(np.asarray(hs[2]), np.asarray(hf[2]),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_stress_scene_renders():
     """The large-scene generator builds and shadow-traces (tiny grid)."""
     from ipu_ray_lib_tpu.render.renderer import render

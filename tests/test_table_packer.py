@@ -37,7 +37,7 @@ def _tables_for(scene_desc, native):
 
 
 def _assert_tables_equal(a, b):
-    for name in ("p", "pn8", "nrm", "baabb", "baabb32", "saabb",
+    for name in ("p", "pn8", "pay8", "nrm", "baabb", "baabb32", "saabb",
                  "tri_geom", "tri_prim"):
         fa, fb = getattr(a, name), getattr(b, name)
         if fa is None or fb is None:

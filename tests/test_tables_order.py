@@ -54,7 +54,7 @@ def test_scene_bvh_order_reuse_bitwise_on_tri_only_scene(monkeypatch):
     a, passed = _blocked(sc, force_internal=False)
     b, _ = _blocked(sc, force_internal=True)
     assert passed, "build_scene did not pass tri_order to the tables"
-    for name in ("p", "pn8", "nrm", "baabb", "baabb32", "saabb",
+    for name in ("p", "pn8", "pay8", "nrm", "baabb", "baabb32", "saabb",
                  "tri_geom", "tri_prim"):
         fa, fb = getattr(a, name), getattr(b, name)
         if fa is None or fb is None:
