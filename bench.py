@@ -84,12 +84,18 @@ def main() -> int:
     if stats.get("iters"):
         it, bw, br = stats["iters"], stats["blocks_walked"], stats["br"]
         # bw counts quarter-walks when subq > 1 (kernel stats contract);
-        # block-equivalents and pair tests normalise by subq:
+        # block-equivalents and pair tests normalise by subq. Under the
+        # default compacted flat walk the units are 64-tri SUB-blocks
+        # (auto sub=2, megakernel.py) — pair tests scale by the dense
+        # row width, not a hardcoded 128 (a 2x inflation pre-fix):
         sq = stats.get("subq", 1)
+        from ipu_ray_lib_tpu.render.streaming import walk_compact_enabled
+        rows = 64 if (walk_compact_enabled() and sq == 1) else 128
         record["telemetry"] = {
             "bundle_iters": it,
             "blocks_per_iter": round(bw / sq / max(it, 1), 2),
-            "pair_tests_per_s": round(bw * 128.0 * (br // sq) / dt, 1),
+            "dense_rows_per_block": rows,
+            "pair_tests_per_s": round(bw * float(rows) * (br // sq) / dt, 1),
             "winner_blocks_per_iter": round(
                 stats.get("winner_blocks", 0) / max(it, 1), 2),
             "subq": sq,
