@@ -90,7 +90,15 @@ def main() -> int:
         # row width, not a hardcoded 128 (a 2x inflation pre-fix):
         sq = stats.get("subq", 1)
         from ipu_ray_lib_tpu.render.streaming import walk_compact_enabled
-        rows = 64 if (walk_compact_enabled() and sq == 1) else 128
+        rows = 128
+        if walk_compact_enabled() and sq == 1:
+            # Mirror the megakernel auto-sub resolution (sub=4 under the
+            # compacted walk, halved while the reflag scratch would
+            # exceed its 4 MB VMEM cap):
+            sub_eff, nb = 4, arrays.blocked.num_blocks
+            while sub_eff > 1 and nb * sub_eff * br * 4 >= (4 << 20):
+                sub_eff //= 2
+            rows = 128 // sub_eff
         record["telemetry"] = {
             "bundle_iters": it,
             "blocks_per_iter": round(bw / sq / max(it, 1), 2),

@@ -1751,7 +1751,8 @@ def megakernel_path_trace(
                                  # dense tests already run at the VMEM
                                  # walk's per-pair cost (~17.7 ps/pair).
                                  # Knob kept as the measured record.
-    walk_unroll: int = 2,        # dense tests per compact-walk loop
+    walk_unroll: int | None = None,
+                                 # dense tests per compact-walk loop
                                  # iteration (amortises branch/refill;
                                  # tail re-walks are bitwise no-ops).
                                  # Swept 2026-08-18 at br512/rf1: wu2
@@ -1839,17 +1840,25 @@ def megakernel_path_trace(
             # Cornell: 7.37 Mpaths/s at sub=2 vs 6.37 at sub=1, 6.81 at
             # sub=4 — sub-block selectivity beats per-slice overheads now
             # that the payload dots run once per iteration, finding 36).
-            # Under the COMPACTED walk (finding 48) the flat sub=2 walk
-            # also beats the two-level walk at the 64k-tri VMEM ceiling
-            # (512 blocks: 1.032 vs 0.805 Mpaths/s, 2026-08-18 — the
-            # branch-free index-list dispatch removes the per-block gate
-            # cost two-level existed to avoid), so auto prefers it over
-            # the whole VMEM range when compaction will engage; the
+            # Under the COMPACTED walk (finding 48) the flat sub-block
+            # walk also beats the two-level walk at the 64k-tri VMEM
+            # ceiling (512 blocks: 1.032 vs 0.805 Mpaths/s, 2026-08-18 —
+            # the branch-free index-list dispatch removes the per-block
+            # gate cost two-level existed to avoid), so auto prefers it
+            # over the whole VMEM range when compaction will engage; and
+            # with the unrolled dispatch restoring narrow-row ILP, the
+            # 32-tri granularity wins outright (finding 52: sub=4/wu=4
+            # 10.76 vs sub=2 8.02 Mpaths/s same-window on the bench
+            # workload — 29% fewer pair-rows at held throughput). The
             # gated fallback (RAY_WALK_COMPACT=0 / subq > 1) keeps the
-            # old policy, where two-level still wins past 128 blocks:
-            flat_ok = (tables.num_blocks <= 128
-                       or (walk_compact and subq == 1 and use_cull))
-            sub = 2 if (cull_on and flat_ok) else 1
+            # round-2 policy (sub=2 small, two-level past 128 blocks):
+            compacting = walk_compact and subq == 1 and use_cull
+            if cull_on and compacting:
+                sub = 4
+            elif cull_on and tables.num_blocks <= 128:
+                sub = 2
+            else:
+                sub = 1
         sub = sub if cull_on else 1
         assert sub in (1, 2, 4), sub
         # Two-level walk for big VMEM scenes: the flat walk's per-block
@@ -1870,13 +1879,14 @@ def megakernel_path_trace(
         if (cull_on and not two_level and reflag > 0
                 and nb_kern * sub * br * 4 >= (4 << 20)):
             # The reflag entry-bound scratch is [nb*sub, br] f32; near the
-            # 64k-tri VMEM ceiling with sub > 1 it can reach 8 MB on top
-            # of the resident tables and fail to compile. Degrade the same
-            # way the hbm branch does (cap 4 MB): drop sub-block
-            # granularity first, then reflag itself:
-            if nb_kern * br * 4 <= (4 << 20):
-                sub = 1
-            else:
+            # 64k-tri VMEM ceiling with sub > 1 it can reach 16 MB on top
+            # of the resident tables and fail to compile. Degrade
+            # gracefully (cap 4 MB): halve the sub-block granularity
+            # first (finer culling is worth more than coarser, but any
+            # sub beats losing reflag), then drop reflag itself:
+            while sub > 1 and nb_kern * sub * br * 4 >= (4 << 20):
+                sub //= 2
+            if nb_kern * sub * br * 4 >= (4 << 20):
                 reflag = 0
         if tables.p is None:
             raise RuntimeError(
@@ -1919,6 +1929,14 @@ def megakernel_path_trace(
     # and only at subq == 1 (quarters keep their per-quarter gates):
     compact_on = (walk_compact and cull_on and subq == 1
                   and not (hbm or two_level))
+    if walk_unroll is None:
+        # Keep ~256 tri-rows of independent dense chains in flight per
+        # loop iteration: wu=8 at 32-tri windows (finding 52: beats wu=4
+        # on both Cornell 9.40 vs 9.28 and the 252-block terrain 1.114
+        # vs 0.900, same-window), wu=2 at 64/128-row windows (deeper
+        # unroll there doubles the live set and measurably loses — 64k
+        # boundary 0.740 vs 1.016 at wu=4, sub=1 bench 6.08 vs 6.67):
+        walk_unroll = 8 if (not hbm and sub == 4) else 2
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
