@@ -35,7 +35,9 @@ def main():
     subqs = [1]
     nowalk = cullonly = stub = compact = nodots = False
     pay2 = prep2 = False
-    wu = pu = 1
+    wu = [None]
+    subs = [None]
+    pu = 1
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
@@ -55,11 +57,13 @@ def main():
         elif a.startswith("prep2="):
             prep2 = bool(int(a[6:]))
         elif a.startswith("wu="):
-            wu = int(a[3:])
+            wu = [int(x) for x in a[3:].split(",")]
         elif a.startswith("pu="):
             pu = int(a[3:])
         elif a.startswith("subq="):
             subqs = [int(x) for x in a[5:].split(",")]
+        elif a.startswith("sb="):
+            subs = [None if x == "a" else int(x) for x in a[3:].split(",")]
         else:
             reflags.append(int(a))
     reflags = reflags or [0, 1, 2, 3, 5, 7]
@@ -87,18 +91,20 @@ def main():
     log = open(os.path.join(os.path.dirname(__file__), "results.jsonl"), "a")
 
     import itertools
-    for br, rf, sq in itertools.product(brs, reflags, subqs):
+    for br, rf, sq, wu1, sb1 in itertools.product(
+            brs, reflags, subqs, wu, subs):
         if br % (128 * sq):
             continue
         f = functools.partial(
             megakernel_path_trace, arrays, rows, cols, jnp.uint32(42),
             jnp.int32(n_pix), params=params, slots=R, j_per_slot=J,
             spp=spp, max_iters=max_iters, br=br, reflag=rf, subq=sq,
+            sub=sb1,
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
-            walk_unroll=wu, pay_unroll=pu,
+            walk_unroll=wu1, pay_unroll=pu,
             return_stats=True)
         flat, done, iters, blocks, *rest = f()  # compile + warm
         dt = float("inf")
@@ -117,7 +123,8 @@ def main():
                **({"nodots": 1} if nodots else {}),
                **({"pay2": 1} if pay2 else {}),
                **({"prep2": 1} if prep2 else {}),
-               **({"wu": wu} if wu != 1 else {}),
+               **({"wu": wu1} if wu1 is not None else {}),
+               **({"sub": sb1} if sb1 is not None else {}),
                **({"pu": pu} if pu != 1 else {}),
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,

@@ -1112,6 +1112,39 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                         return k + walk_unroll
 
                     jax.lax.while_loop(lambda k: k < cnt, cbody, i32(0))
+                elif compact:
+                    # ---- compacted lane-quarter walk (finding 53): one
+                    # compacted index list PER width-WQ lane quarter (the
+                    # quarter id stays a static python int, so the dense
+                    # test's lane slices remain tile-aligned ref-loads —
+                    # the finding-47 Mosaic constraint). Quarters are
+                    # lane-disjoint, so quarter-major dispatch order is
+                    # bitwise-identical to the gated walk's block-major
+                    # order (within a quarter both walk ascending block
+                    # ids with the same strict-< merge). This is the
+                    # revisit finding 52 earns: finding 47 killed
+                    # sub-bundle walks because narrow dense chains are
+                    # latency-bound under per-block gates, but the
+                    # unrolled branch-free dispatch interleaves
+                    # walk_unroll independent chains, which is exactly
+                    # the ILP the narrow ops lost:
+                    for qq in range(subq):
+                        cntq = compact_indices(
+                            cullq_ref[b0:b1_, qq:qq + 1], b0)
+                        if _timing_double_prep:
+                            cntq = compact_indices(
+                                cullq_ref[b0:b1_, qq:qq + 1], b0)
+
+                        def cqbody(k, qq=qq, cntq=cntq):
+                            do_block(cidx_ref[k, 0], qq)
+                            for u in range(1, walk_unroll):
+                                do_block(
+                                    cidx_ref[jnp.minimum(k + u, cntq - 1),
+                                             0], qq)
+                            return k + walk_unroll
+
+                        jax.lax.while_loop(
+                            lambda k: k < cntq, cqbody, i32(0))
                 else:
                     jax.lax.fori_loop(b0, b1_, walk_body, 0)
         else:
@@ -1852,7 +1885,7 @@ def megakernel_path_trace(
             # workload — 29% fewer pair-rows at held throughput). The
             # gated fallback (RAY_WALK_COMPACT=0 / subq > 1) keeps the
             # round-2 policy (sub=2 small, two-level past 128 blocks):
-            compacting = walk_compact and subq == 1 and use_cull
+            compacting = walk_compact and use_cull
             if cull_on and compacting:
                 sub = 4
             elif cull_on and tables.num_blocks <= 128:
@@ -1860,7 +1893,7 @@ def megakernel_path_trace(
             else:
                 sub = 1
         sub = sub if cull_on else 1
-        assert sub in (1, 2, 4), sub
+        assert sub in (1, 2, 4, 8), sub
         # Two-level walk for big VMEM scenes: the flat walk's per-block
         # scalar gate + [nb, br] slab pass dominate iterations at
         # hundreds of blocks; cull at SUPER granularity and refine member
@@ -1874,8 +1907,7 @@ def megakernel_path_trace(
             # (every segment re-runs the rank/extract prep); the gated
             # flat and two-level walks keep the swept 3 (the 64k-tri
             # two-level scene loses 27% at rf1):
-            reflag = 1 if (walk_compact and not two_level
-                           and subq == 1) else 3
+            reflag = 1 if (walk_compact and not two_level) else 3
         if (cull_on and not two_level and reflag > 0
                 and nb_kern * sub * br * 4 >= (4 << 20)):
             # The reflag entry-bound scratch is [nb*sub, br] f32; near the
@@ -1901,6 +1933,12 @@ def megakernel_path_trace(
             baabb = tables.saabb
         elif sub == 1:
             baabb = tables.baabb
+        elif sub == 8:
+            if tables.baabb16 is None:
+                raise RuntimeError(
+                    "sub=8 needs the 16-tri AABB table, which is only "
+                    "built for VMEM-sized scenes (tables.baabb16)")
+            baabb = tables.baabb16
         elif sub == 4:
             baabb = tables.baabb32
         else:
@@ -1925,9 +1963,9 @@ def megakernel_path_trace(
     if not hbm or subq > 1:
         hbm_sub = 1
     assert hbm_sub in (1, 2, 4), hbm_sub
-    # Compacted flat walk (finding 48): only the flat VMEM walk uses it,
-    # and only at subq == 1 (quarters keep their per-quarter gates):
-    compact_on = (walk_compact and cull_on and subq == 1
+    # Compacted flat walk (finding 48): only the flat VMEM walk uses it.
+    # subq > 1 compacts one index list per lane quarter (finding 53):
+    compact_on = (walk_compact and cull_on
                   and not (hbm or two_level))
     if walk_unroll is None:
         # Keep ~256 tri-rows of independent dense chains in flight per
@@ -1936,7 +1974,7 @@ def megakernel_path_trace(
         # vs 0.900, same-window), wu=2 at 64/128-row windows (deeper
         # unroll there doubles the live set and measurably loses — 64k
         # boundary 0.740 vs 1.016 at wu=4, sub=1 bench 6.08 vs 6.67):
-        walk_unroll = 8 if (not hbm and sub == 4) else 2
+        walk_unroll = {4: 8, 8: 16}.get(sub, 2) if not hbm else 2
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
