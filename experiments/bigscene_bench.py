@@ -30,6 +30,9 @@ CONFIGS = {
     "hbm512": dict(grid=512, spp=8, intersector="pallas-hbm"),
     "hbm1024": dict(grid=1024, spp=8, intersector="pallas-hbm"),
     "vmem64k": dict(grid=182, spp=4, intersector="pallas"),
+    "vmem32k": dict(grid=126, spp=4, intersector="pallas"),
+    "vmem16k": dict(grid=90, spp=4, intersector="pallas"),
+    "vmem8k": dict(grid=56, spp=4, intersector="pallas"),
 }
 
 

@@ -101,6 +101,9 @@ TWO_LEVEL_MIN_BLOCKS = 128
 # (an unchunked pass OOMs the kernel stack past ~1000 supers; tests
 # monkeypatch this down to cover multi-chunk on small scenes):
 SLAB_CHUNK_ROWS = 512
+# Max rows per compacted-walk segment: keeps compact_indices' rank/
+# extract operands bf16-exact on the DEFAULT MXU path (integers <= 256):
+_COMPACT_SEG = 256
 
 # ---------------------------------------------------------------------------
 # In-kernel counter RNG (int32 twin of ops/rng.py — same bit streams).
@@ -478,13 +481,16 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             fl = fl_col.astype(f32)
             ri = jax.lax.broadcasted_iota(i32, (L, L), 0)
             ci = jax.lax.broadcasted_iota(i32, (L, L), 1)
-            # All values here are integers <= base + L (counts, slots,
-            # block ids); bf16 represents integers exactly up to 256, so
-            # the cheap DEFAULT path (inputs rounded through bf16, f32
-            # accumulate) is EXACT whenever base + L <= 256 — true for
-            # every auto flat-walk config (nbs <= 2*TWO_LEVEL_MIN_BLOCKS).
-            # HIGHEST (~6x the passes) only for explicit big-sub configs:
-            _hi = (jax.lax.Precision.DEFAULT if base + L <= 256
+            # Every dot operand here is exactly representable in bf16:
+            # flags and comparison masks are 0/1, and the extracted row
+            # index is kept RELATIVE (0..L-1; ``base`` is added back as
+            # an integer AFTER the dot), so the cheap DEFAULT path
+            # (inputs rounded through bf16, f32 accumulate) is EXACT
+            # whenever L <= 256. Larger flag columns must be chunked by
+            # the caller (the compact walk splits its segment bounds at
+            # _COMPACT_SEG rows); HIGHEST (~6x the passes) covers any
+            # explicit oversize call:
+            _hi = (jax.lax.Precision.DEFAULT if L <= 256
                    else jax.lax.Precision.HIGHEST)
             nd0 = (((0,), (0,)), ((), ()))
             excl = jax.lax.dot_general(      # [1, L] set rows j < i
@@ -496,16 +502,16 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             _CW = 128
             kio = jax.lax.broadcasted_iota(
                 i32, (_CW, L), 0).astype(f32)    # list slot per row
-            rowidx = (jax.lax.broadcasted_iota(
-                i32, (L, 1), 0).astype(f32) + f32(base))
+            rowidx = jax.lax.broadcasted_iota(
+                i32, (L, 1), 0).astype(f32)      # RELATIVE row index
             for k0 in range(0, L, _CW):
                 onehot = ((excl == (kio + f32(k0)))
                           & (incl == (kio + f32(k0 + 1)))
                           ).astype(f32)          # [_CW, L]
-                cidx_ref[k0:k0 + _CW, 0:1] = jax.lax.dot_general(
+                cidx_ref[k0:k0 + _CW, 0:1] = (jax.lax.dot_general(
                     onehot, rowidx, (((1,), (0,)), ((), ())),
                     precision=_hi,
-                    preferred_element_type=f32).astype(i32)
+                    preferred_element_type=f32).astype(i32) + i32(base))
             return jnp.sum(fl).astype(i32)
 
         def do_block(blk, q=0):
@@ -1060,9 +1066,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             segs = reflag + 1
             bounds = sorted({min(nbs, ((s * nbs // segs + 7) // 8) * 8)
                              for s in range(1, segs)} | {0, nbs})
+            if compact:
+                # Cap compact segments at _COMPACT_SEG rows: the
+                # rank/extract dots are exact on the cheap DEFAULT
+                # MXU path only up to 256-row flag columns (see
+                # compact_indices), and a [512, 512] HIGHEST ranking
+                # dot would eat the finer-granularity win. Extra
+                # boundaries also refresh flags when reflag is on
+                # (bitwise-safe by the conservative-cull contract):
+                extra = set()
+                for i0, i1 in zip(bounds[:-1], bounds[1:]):
+                    extra.update(range(i0 + _COMPACT_SEG, i1,
+                                       _COMPACT_SEG))
+                bounds = sorted(set(bounds) | extra)
             for s in range(len(bounds) - 1):
                 b0, b1_ = bounds[s], bounds[s + 1]
-                if s > 0:
+                if s > 0 and reflag > 0:
                     # strict <: INF entry bounds (no slab hit) must stay
                     # unflagged even against INF best_t (no hit yet):
                     rem = (tin_ref[b0:nbs, :] < bt_ref[:]).astype(i32)
@@ -1893,7 +1912,7 @@ def megakernel_path_trace(
             else:
                 sub = 1
         sub = sub if cull_on else 1
-        assert sub in (1, 2, 4, 8), sub
+        assert sub in (1, 2, 4, 8, 16), sub
         # Two-level walk for big VMEM scenes: the flat walk's per-block
         # scalar gate + [nb, br] slab pass dominate iterations at
         # hundreds of blocks; cull at SUPER granularity and refine member
@@ -1933,12 +1952,14 @@ def megakernel_path_trace(
             baabb = tables.saabb
         elif sub == 1:
             baabb = tables.baabb
-        elif sub == 8:
-            if tables.baabb16 is None:
+        elif sub in (8, 16):
+            fine = tables.baabb16 if sub == 8 else tables.baabb8
+            if fine is None:
                 raise RuntimeError(
-                    "sub=8 needs the 16-tri AABB table, which is only "
-                    "built for VMEM-sized scenes (tables.baabb16)")
-            baabb = tables.baabb16
+                    f"sub={sub} needs the {TB // sub}-tri AABB table, "
+                    "which is only built for VMEM-sized scenes "
+                    "(tables.baabb16/baabb8)")
+            baabb = fine
         elif sub == 4:
             baabb = tables.baabb32
         else:
@@ -1974,7 +1995,7 @@ def megakernel_path_trace(
         # vs 0.900, same-window), wu=2 at 64/128-row windows (deeper
         # unroll there doubles the live set and measurably loses — 64k
         # boundary 0.740 vs 1.016 at wu=4, sub=1 bench 6.08 vs 6.67):
-        walk_unroll = {4: 8, 8: 16}.get(sub, 2) if not hbm else 2
+        walk_unroll = {4: 8, 8: 8, 16: 8}.get(sub, 2) if not hbm else 2
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -121,6 +121,11 @@ class BlockedSceneTables(NamedTuple):
     nrm: jnp.ndarray | None  # [8, nb*3*TB] f32
     baabb: jnp.ndarray    # [nb, 8] f32
     baabb32: jnp.ndarray  # [nb*TB/SUBB, 8] f32 sub-block AABBs (32 tris each)
+    baabb16: jnp.ndarray | None  # [nb*TB/16, 8] f32 16-tri sub-block AABBs
+                          # (sub=8 VMEM walks only; None above the VMEM
+                          # ceiling where only the HBM kernels apply)
+    baabb8: jnp.ndarray | None   # [nb*TB/8, 8] f32 8-tri sub-block AABBs
+                          # (sub=16 VMEM walks; None above the ceiling)
     saabb: jnp.ndarray    # [ns, 8] f32
     tri_geom: jnp.ndarray  # [nb*TB] i32
     tri_prim: jnp.ndarray  # [nb*TB] i32
@@ -491,6 +496,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
 
     baabb = group_aabb(tlo_p, thi_p, TB)
     baabb32 = group_aabb(tlo_p, thi_p, SUBB)
+    baabb16 = group_aabb(tlo_p, thi_p, 16) if with_vmem_p else None
+    baabb8 = group_aabb(tlo_p, thi_p, 8) if with_vmem_p else None
     saabb = group_aabb(tlo_p, thi_p, SB * TB)
 
     if p8 is None:
@@ -537,6 +544,8 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         nrm=jnp.asarray(nrm) if with_vmem_p else None,
         baabb=jnp.asarray(baabb),
         baabb32=jnp.asarray(baabb32),
+        baabb16=None if baabb16 is None else jnp.asarray(baabb16),
+        baabb8=None if baabb8 is None else jnp.asarray(baabb8),
         saabb=jnp.asarray(saabb),
         tri_geom=jnp.asarray(tg),
         tri_prim=jnp.asarray(tp),

@@ -165,7 +165,9 @@ def render_streaming_sharded(
     cols_sh = cols_np.reshape(n_dev, R_local * J)
 
     from ..render.streaming import (_pick_br, _use_megakernel,
-                                    hbm_reflag_cadence, subq_granularity,
+                                    hbm_reflag_cadence, reflag_override,
+                                    sub_granularity,
+                                    subq_granularity,
                                     walk_compact_enabled)
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
@@ -207,6 +209,8 @@ def render_streaming_sharded(
                     env_every=env_every if env_cfg is not None else 1,
                     env_count=env_count if env_cfg is not None else 0,
                     hbm=params.intersector == "pallas-hbm",
+                    sub=sub_granularity(),
+                    reflag=reflag_override(),
                     subq=subq_granularity(),
                     walk_compact=walk_compact_enabled(),
                     # Static cache-key arg read only by the HBM walk —

@@ -418,6 +418,36 @@ def subq_granularity() -> int:
     return v if v in (1, 2, 4, 8) else default
 
 
+def sub_granularity() -> int | None:
+    """Sub-block walk granularity override for the VMEM megakernel walks
+    (megakernel ``sub``: dense windows of 128/sub triangle rows against
+    128/sub-tri AABBs). ``RAY_SUB`` in {1, 2, 4, 8, 16} forces it; the
+    default None lets the megakernel auto-resolve (findings 36/50/52/54
+    — finer granularity wins under the compacted unrolled walk until the
+    cull-slab pass dominates; the reflag-scratch VMEM degrade ladder
+    still applies). Garbage values fall back to auto."""
+    try:
+        v = int(os.environ.get("RAY_SUB", "0"))
+    except (TypeError, ValueError):
+        return None
+    return v if v in (1, 2, 4, 8, 16) else None
+
+
+def reflag_override() -> int | None:
+    """Mid-walk flag-refresh count override for the VMEM megakernel
+    walks (megakernel ``reflag``). ``RAY_REFLAG`` >= 0 forces it; the
+    default None lets the megakernel resolve per walk mode. Note the
+    reflag-scratch VMEM degrade ladder halves ``sub`` while the
+    [nb*sub, br] entry-bound scratch would exceed its cap — force
+    ``RAY_REFLAG=0`` to A/B fine granularities on big VMEM scenes
+    without the scratch."""
+    try:
+        v = int(os.environ.get("RAY_REFLAG", "-1"))
+    except (TypeError, ValueError):
+        return None
+    return v if v >= 0 else None
+
+
 def _use_megakernel(params, env_fn) -> bool:
     """The in-kernel bounce loop covers the pallas intersector; NIF
     environment lights are fused into the kernel as an MXU MLP when the
@@ -510,6 +540,8 @@ def render_streaming(
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every, env_count=env_count,
                     hbm=hbm,
+                    sub=sub_granularity(),
+                    reflag=reflag_override(),
                     subq=subq_granularity(),
                     walk_compact=walk_compact_enabled(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
@@ -550,6 +582,8 @@ def render_streaming(
                 env_cfg=env_cfg, env_weights=env_weights,
                 env_every=env_every, env_count=env_count,
                 hbm=params.intersector == "pallas-hbm",
+                sub=sub_granularity(),
+                reflag=reflag_override(),
                 subq=subq_granularity(),
                 walk_compact=walk_compact_enabled(),
                 # hbm_reflag is a static cache-key arg read only by the

@@ -46,6 +46,10 @@ def mega_scene():
     dict(reflag=1),
     dict(sub=2),
     dict(sub=4),
+    dict(sub=8),
+    dict(sub=8, walk_unroll=16),
+    dict(sub=16),
+    dict(sub=16, reflag=0),
     # Compacted walk (finding 48): branch-free index-list walk must
     # visit the same blocks in the same order — bitwise:
     dict(walk_compact=True),
