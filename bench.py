@@ -89,15 +89,15 @@ def main() -> int:
         # (auto sub=2, megakernel.py) — pair tests scale by the dense
         # row width, not a hardcoded 128 (a 2x inflation pre-fix):
         sq = stats.get("subq", 1)
-        from ipu_ray_lib_tpu.render.streaming import walk_compact_enabled
+        from ipu_ray_lib_tpu.ops.pallas.megakernel import resolve_auto_sub
+        from ipu_ray_lib_tpu.render.streaming import (sub_granularity,
+                                                      walk_compact_enabled)
         rows = 128
         if walk_compact_enabled() and sq == 1:
-            # Mirror the megakernel auto-sub resolution (sub=4 under the
-            # compacted walk, halved while the reflag scratch would
-            # exceed its 4 MB VMEM cap):
-            sub_eff, nb = 4, arrays.blocked.num_blocks
-            while sub_eff > 1 and nb * sub_eff * br * 4 >= (4 << 20):
-                sub_eff //= 2
+            # Mirror the megakernel sub resolution (shared helper incl.
+            # the reflag-scratch degrade ladder; RAY_SUB override wins):
+            sub_eff = (sub_granularity()
+                       or resolve_auto_sub(arrays.blocked.num_blocks, br))
             rows = 128 // sub_eff
         record["telemetry"] = {
             "bundle_iters": it,

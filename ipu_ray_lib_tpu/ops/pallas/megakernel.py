@@ -105,6 +105,28 @@ SLAB_CHUNK_ROWS = 512
 # extract operands bf16-exact on the DEFAULT MXU path (integers <= 256):
 _COMPACT_SEG = 256
 
+
+def resolve_auto_sub(nb: int, br: int, walk_compact: bool = True) -> int:
+    """Auto sub-block walk granularity for a VMEM flat walk over ``nb``
+    128-tri blocks at bundle width ``br`` — the single source of truth
+    shared by the megakernel wrapper and bench.py's telemetry mirror.
+
+    Finer dense windows keep paying on small scenes under the compacted
+    unrolled walk (findings 52/54: sub=4 +28-34% over sub=2, sub=16
+    +29% over sub=4 on the 32-block bench scene) but turn neutral-to-
+    negative as block count grows (finding 54 crossover A/Bs: 48-block
+    sub=8 +1.3%, 128-block sub=8 -6%, 248-block sub=8 -8%, 512-block
+    sub=16 -9%): the cull-slab rows and rank/extract prep scale with
+    nb*sub while the union cut thins. The reflag-scratch VMEM ladder
+    (reflag=1 mode default) then halves sub while [nb*sub, br] f32
+    would reach the 4 MB cap."""
+    if not walk_compact:
+        return 2 if 1 < nb <= 128 else 1     # gated-path policy (r2)
+    sub = 16 if nb <= 40 else (8 if nb <= 64 else 4)
+    while sub > 1 and nb * sub * br * 4 >= (4 << 20):
+        sub //= 2
+    return sub
+
 # ---------------------------------------------------------------------------
 # In-kernel counter RNG (int32 twin of ops/rng.py — same bit streams).
 # ---------------------------------------------------------------------------
@@ -1897,16 +1919,23 @@ def megakernel_path_trace(
             # ceiling (512 blocks: 1.032 vs 0.805 Mpaths/s, 2026-08-18 —
             # the branch-free index-list dispatch removes the per-block
             # gate cost two-level existed to avoid), so auto prefers it
-            # over the whole VMEM range when compaction will engage; and
-            # with the unrolled dispatch restoring narrow-row ILP, the
-            # 32-tri granularity wins outright (finding 52: sub=4/wu=4
-            # 10.76 vs sub=2 8.02 Mpaths/s same-window on the bench
-            # workload — 29% fewer pair-rows at held throughput). The
+            # over the whole VMEM range when compaction will engage; with
+            # the unrolled dispatch restoring narrow-row ILP, finer
+            # windows keep paying on SMALL scenes (finding 52: sub=4
+            # +28-34% over sub=2; finding 54: sub=16 11.12 us/iter vs
+            # sub=4's 14.31 on the 32-block bench scene, +29%) but turn
+            # neutral-to-negative once the cull-slab rows + rank/extract
+            # prep grow faster than the union cut thins (finding 54
+            # crossover A/Bs: 48-block terrain sub=8 +1.3%, 128-block
+            # sub=8 -6%, 248-block sub=8 -8%, 512-block sub=16 -9%) —
+            # auto steps the granularity down with block count. The
             # gated fallback (RAY_WALK_COMPACT=0 / subq > 1) keeps the
             # round-2 policy (sub=2 small, two-level past 128 blocks):
             compacting = walk_compact and use_cull
             if cull_on and compacting:
-                sub = 4
+                # resolve_auto_sub includes the degrade ladder below
+                # (idempotent — re-applying it is a no-op):
+                sub = resolve_auto_sub(tables.num_blocks, br)
             elif cull_on and tables.num_blocks <= 128:
                 sub = 2
             else:
