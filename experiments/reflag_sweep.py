@@ -34,6 +34,7 @@ def main():
     brs = [1024]
     subqs = [1]
     nowalk = cullonly = stub = compact = nodots = False
+    mxu = False
     pay2 = prep2 = False
     wu = [None]
     subs = [None]
@@ -52,6 +53,8 @@ def main():
             compact = bool(int(a[8:]))
         elif a.startswith("nodots="):
             nodots = bool(int(a[7:]))
+        elif a.startswith("mxu="):
+            mxu = bool(int(a[4:]))
         elif a.startswith("pay2="):
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
@@ -102,7 +105,7 @@ def main():
             sub=sb1,
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
-            _timing_no_dots=nodots,
+            _timing_no_dots=nodots, walk_mxu=mxu,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
             walk_unroll=wu1, pay_unroll=pu,
             return_stats=True)
@@ -121,6 +124,7 @@ def main():
                **({"stub": 1} if stub else {}),
                **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
+               **({"mxu": 1} if mxu else {}),
                **({"pay2": 1} if pay2 else {}),
                **({"prep2": 1} if prep2 else {}),
                **({"wu": wu1} if wu1 is not None else {}),

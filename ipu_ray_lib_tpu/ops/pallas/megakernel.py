@@ -291,12 +291,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  bt_ref, bn_ref, bm_ref, ray_ref, sh_ref, ki_ref,
                  cull_ref, cullq_ref, tin_ref, env_ref, p_buf, pay_buf,
                  sems,
-                 bflag_ref, wf_ref, cidx_ref, pbs_ref,
+                 bflag_ref, wf_ref, cidx_ref, pbs_ref, mxl_ref,
                  *, br, nb, n_ap, R, J, spp, K,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
-                 walk_unroll=1, pay_unroll=1,
+                 walk_unroll=1, pay_unroll=1, walk_mxu=False,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
@@ -486,6 +486,30 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
 
         TBW = TB // sub
         WQ = br // subq
+        use_mxu = (walk_mxu and compact and subq == 1 and not hbm
+                   and not _timing_synth)
+        if use_mxu:
+            # MXU walk (walk_mxu): one [U*TBW, 16] x [16, 6*br] HIGHEST
+            # matmul per unroll group replaces the 6 per-window VPU
+            # coefficient-dot chains (~30 of the dense test's ~65
+            # ops/pair). The RHS is built once per bounce iteration —
+            # row 3+a multiplies p column 3+a (the tri normal), rows
+            # 6:9 / 9:12 the two barycentric gradients; lane group g of
+            # the output holds (on, dn, og1, dg1, og2, dg2)[g]. Rows
+            # 0:3 and 12:16 are zero, so the p-value/eps columns
+            # contribute exact zeros to every group:
+            _z1 = jnp.zeros((1, br), f32)
+            _z3 = jnp.zeros((3, 6 * br), f32)
+
+            def _r6(vals):
+                return jnp.concatenate(vals, axis=1)
+
+            mxr = jnp.concatenate(
+                [_z3]
+                + [_r6([o[a], d[a], _z1, _z1, _z1, _z1]) for a in range(3)]
+                + [_r6([_z1, _z1, o[a], d[a], _z1, _z1]) for a in range(3)]
+                + [_r6([_z1, _z1, _z1, _z1, o[a], d[a]]) for a in range(3)]
+                + [jnp.zeros((4, 6 * br), f32)], axis=0)   # [16, 6*br]
 
         def compact_indices(fl_col, base):
             """Write the row indices of the set entries of ``fl_col`` (a
@@ -536,7 +560,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     preferred_element_type=f32).astype(i32) + i32(base))
             return jnp.sum(fl).astype(i32)
 
-        def do_block(blk, q=0):
+        def do_block(blk, q=0, mx=None):
             if _timing_stub_walk:
                 # Trivial body: the gate fires and the region is entered,
                 # but no dense work runs — isolates per-invocation
@@ -565,22 +589,32 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 omq = jnp.maximum(jnp.maximum(jnp.abs(oq[0]),
                                               jnp.abs(oq[1])),
                                   jnp.abs(oq[2]))
-            pb = p_ref[pl.ds(blk * TBW, TBW), :]           # [TBW, 16]
+            if mx is None:
+                pb = p_ref[pl.ds(blk * TBW, TBW), :]       # [TBW, 16]
+
+                def tdot(c0, rr):
+                    return (pb[:, c0:c0 + 1] * rr[0]
+                            + pb[:, c0 + 1:c0 + 2] * rr[1]
+                            + pb[:, c0 + 2:c0 + 3] * rr[2])
+
+                on = tdot(3, oq)
+                dn = tdot(3, dq)
+                og1 = tdot(6, oq)
+                dg1 = tdot(6, dq)
+                og2 = tdot(9, oq)
+                dg2 = tdot(9, dq)
+            else:
+                # MXU walk (walk_mxu): the six coefficient dots arrive
+                # precomputed from one HIGHEST-precision group matmul
+                # (see the cbody batching); pb is the staged scratch copy
+                # of this window's p rows (lane offset 0, static sublane
+                # offset). HIGHEST's 6-pass bf16x3 split error is
+                # f32-comparable but NOT identical to the VPU FMA chain,
+                # so the acceptance band below widens by _MXU_BAND:
+                pb, on, dn, og1, dg1, og2, dg2 = mx
             tnp0 = pb[:, 0:1]
             g1p0 = pb[:, 1:2]
             g2p0 = pb[:, 2:3]
-
-            def tdot(c0, rr):
-                return (pb[:, c0:c0 + 1] * rr[0]
-                        + pb[:, c0 + 1:c0 + 2] * rr[1]
-                        + pb[:, c0 + 2:c0 + 3] * rr[2])
-
-            on = tdot(3, oq)
-            dn = tdot(3, dq)
-            og1 = tdot(6, oq)
-            dg1 = tdot(6, dq)
-            og2 = tdot(9, oq)
-            dg2 = tdot(9, dq)
             r = pl.reciprocal(dn, approx=True)
             r = r * (2.0 - dn * r)
             t = (tnp0 - on) * r
@@ -592,9 +626,21 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # (constants.py WATERTIGHT_EPS_SCALE derivation; ref
             # src/Mesh.cpp:8-104 contract):
             et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
-            eps = jnp.minimum(
-                pb[:, 12:13] + pb[:, 13:14] * (omq + et),
-                np.float32(1e-3))
+            band = pb[:, 12:13] + pb[:, 13:14] * (omq + et)
+            if mx is not None:
+                # HIGHEST matmul error bound: each f32 operand splits
+                # into 3 bf16 terms (24 mantissa bits, residuals exact),
+                # 6 of the 9 cross products are accumulated in f32 and
+                # the dropped terms are < 2^-24 relative — per-dot error
+                # is a small-constant multiple of the VPU chain's
+                # gamma_4 bound. WATERTIGHT_EPS_SCALE already carries a
+                # 2x safety factor (constants.py); doubling the band
+                # again strictly dominates the split error while staying
+                # ~1e-5 relative (the 1e-3 grazing clamp is unchanged).
+                # Gated by tests/test_watertight.py adversarial scenes
+                # run with walk_mxu forced:
+                band = band * np.float32(2.0)
+            eps = jnp.minimum(band, np.float32(1e-3))
             ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
                   & (t > 0.0))
             tm = jnp.where(ok, t, _INF)
@@ -1146,10 +1192,33 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                         # the LAST list entry: re-walking a block is a
                         # bitwise no-op (improvement is strict <), so
                         # order and results are identical to U=1:
-                        do_block(cidx_ref[k, 0])
-                        for u in range(1, walk_unroll):
-                            do_block(cidx_ref[jnp.minimum(k + u, cnt - 1),
-                                              0])
+                        blks = [cidx_ref[k, 0]] + [
+                            cidx_ref[jnp.minimum(k + u, cnt - 1), 0]
+                            for u in range(1, walk_unroll)]
+                        if use_mxu:
+                            # Stage the group's p windows (the staged
+                            # copy doubles as the dense test's pb read —
+                            # lane offset 0, static sublane offsets),
+                            # then ONE group matmul for all 6 coefficient
+                            # dots of all walk_unroll windows:
+                            for u, blk in enumerate(blks):
+                                mxl_ref[u * TBW:(u + 1) * TBW, :] = (
+                                    p_ref[pl.ds(blk * TBW, TBW), :])
+                            dots = jax.lax.dot_general(
+                                mxl_ref[:], mxr,
+                                (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=f32)
+                            for u, blk in enumerate(blks):
+                                r0 = u * TBW
+                                do_block(blk, mx=(
+                                    mxl_ref[r0:r0 + TBW, :],
+                                    *(dots[r0:r0 + TBW,
+                                           g * br:(g + 1) * br]
+                                      for g in range(6))))
+                        else:
+                            for blk in blks:
+                                do_block(blk)
                         return k + walk_unroll
 
                     jax.lax.while_loop(lambda k: k < cnt, cbody, i32(0))
@@ -1745,6 +1814,7 @@ def _analytic_tables(scene):
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "walk_compact", "walk_unroll", "pay_unroll",
+                     "walk_mxu",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
                      "hbm_sub", "hbm_pay_gate", "hbm_pb_stage",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
@@ -1839,6 +1909,16 @@ def megakernel_path_trace(
                                  # pu2 16.13 < pu1 16.9 us/iter; pu8 ==
                                  # pu4. wu2+pu4 together: 15.57 us/iter,
                                  # 10.32 Mpaths/s (from 9.51).
+    walk_mxu: bool = False,      # compute the compact walk's six dense
+                                 # coefficient dots on the MXU: one
+                                 # [U*TBW, 16] x [16, 6*br] HIGHEST
+                                 # matmul per unroll group instead of
+                                 # ~30 VPU ops/pair of FMA chains. NOT
+                                 # bitwise vs the VPU walk (6-pass bf16
+                                 # split rounding); the acceptance band
+                                 # widens 2x to keep the watertight
+                                 # contract rigorous. RAY_MXU=1 in
+                                 # streaming.
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -2017,6 +2097,7 @@ def megakernel_path_trace(
     # subq > 1 compacts one index list per lane quarter (finding 53):
     compact_on = (walk_compact and cull_on
                   and not (hbm or two_level))
+    mxu_on = walk_mxu and compact_on and subq == 1
     if walk_unroll is None:
         # Keep ~256 tri-rows of independent dense chains in flight per
         # loop iteration: wu=8 at 32-tri windows (finding 52: beats wu=4
@@ -2090,6 +2171,10 @@ def megakernel_path_trace(
             # force a Mosaic relayout per use — measured at ~2x the
             # VMEM walk's per-block dense cost):
             pltpu.VMEM((TB, 16) if hbm else (1, 1), jnp.float32),
+            # MXU-walk group LHS staging (walk_mxu): walk_unroll windows'
+            # p slabs, stacked sublane-major for the group matmul:
+            pltpu.VMEM((max(1, walk_unroll) * (TB // max(1, sub)), 16)
+                       if mxu_on else (1, 1), jnp.float32),
         ],
     )
     if env_cfg is not None and env_every > 1:
@@ -2108,6 +2193,7 @@ def megakernel_path_trace(
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, subq=subq, compact=compact_on,
         walk_unroll=max(1, walk_unroll), pay_unroll=max(1, pay_unroll),
+        walk_mxu=mxu_on,
         reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,

@@ -168,7 +168,8 @@ def render_streaming_sharded(
                                     hbm_reflag_cadence, reflag_override,
                                     sub_granularity,
                                     subq_granularity,
-                                    walk_compact_enabled)
+                                    walk_compact_enabled,
+                                    walk_mxu_enabled)
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
     env_cfg = env_weights = None
@@ -213,6 +214,7 @@ def render_streaming_sharded(
                     reflag=reflag_override(),
                     subq=subq_granularity(),
                     walk_compact=walk_compact_enabled(),
+                    walk_mxu=walk_mxu_enabled(),
                     # Static cache-key arg read only by the HBM walk —
                     # conditional so RAY_HBM_REFLAG sweeps can't force
                     # VMEM-mode recompiles (same as render_streaming):

@@ -402,6 +402,17 @@ def walk_compact_enabled() -> bool:
     return os.environ.get("RAY_WALK_COMPACT", "1") != "0"
 
 
+def walk_mxu_enabled() -> bool:
+    """MXU coefficient dots for the compacted VMEM walk (megakernel
+    ``walk_mxu``): one [U*TBW, 16] x [16, 6*br] HIGHEST matmul per
+    unroll group replaces the six per-window VPU FMA chains. NOT bitwise
+    vs the VPU walk on TPU (the 6-pass bf16x3 split rounds differently);
+    the watertight acceptance band widens 2x to keep the contract
+    rigorous. ``RAY_MXU=1`` enables (A/B knob; default off pending the
+    hardware sweep)."""
+    return os.environ.get("RAY_MXU", "0") == "1"
+
+
 def subq_granularity() -> int:
     """Lane-quarter walk granularity for the flat VMEM megakernel walk
     (megakernel ``subq``): each width-(br/subq) lane slice walks only its
@@ -544,6 +555,7 @@ def render_streaming(
                     reflag=reflag_override(),
                     subq=subq_granularity(),
                     walk_compact=walk_compact_enabled(),
+                walk_mxu=walk_mxu_enabled(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
@@ -586,6 +598,7 @@ def render_streaming(
                 reflag=reflag_override(),
                 subq=subq_granularity(),
                 walk_compact=walk_compact_enabled(),
+                walk_mxu=walk_mxu_enabled(),
                 # hbm_reflag is a static cache-key arg read only by the
                 # HBM walk — pass it conditionally so sweeping
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:

@@ -347,3 +347,22 @@ def test_hbm_reflag_cadence_bitwise_identical(hbm_scene, monkeypatch):
         img, done = _render(arrays, params)
         assert done == 48 * 32
         np.testing.assert_array_equal(img, base, err_msg=f"cadence {cad}")
+
+
+@pytest.mark.parametrize("kw", [
+    dict(walk_mxu=True),
+    dict(walk_mxu=True, sub=4),
+    dict(walk_mxu=True, reflag=0),
+])
+def test_walk_mxu_matches_vpu_walk(mega_scene, kw):
+    """The MXU coefficient-dot walk (walk_mxu) computes the six dense
+    per-window dots as one HIGHEST group matmul. On TPU hardware HIGHEST
+    is a 6-pass bf16x3 split (not bitwise vs the VPU FMA chain), so the
+    contract is tolerance parity + the 2x-widened watertight band; in
+    interpret/CPU mode both paths are exact f32 and should agree to the
+    last ulp, which allclose at 1e-5 comfortably covers."""
+    arrays, params, base = mega_scene
+    img, done = _render(arrays, params, **kw)
+    assert done == 48 * 32
+    np.testing.assert_allclose(img, base, rtol=1e-5, atol=1e-6,
+                               err_msg=f"variant {kw}")

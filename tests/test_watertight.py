@@ -147,7 +147,8 @@ def _pixel_vertex_scene(size=32):
     return scene
 
 
-@pytest.mark.parametrize("kw", [dict(), dict(hbm=True)])
+@pytest.mark.parametrize("kw", [dict(), dict(hbm=True),
+                                dict(walk_mxu=True)])
 def test_megakernel_no_cracks_at_vertices(kw):
     """Render the pixel-aligned vertex grid through the megakernel: every
     interior pixel ray passes through a shared mesh vertex. Any black
