@@ -35,10 +35,13 @@ def main():
     subqs = [1]
     nowalk = cullonly = stub = compact = nodots = False
     mxu = False
+    cull2 = None
     pay2 = prep2 = False
     wu = [None]
     subs = [None]
     pu = 1
+    stress_grid = 0
+    maxlen = None
     reflags = []
     for a in sys.argv[3:]:
         if a.startswith("br="):
@@ -55,6 +58,8 @@ def main():
             nodots = bool(int(a[7:]))
         elif a.startswith("mxu="):
             mxu = bool(int(a[4:]))
+        elif a.startswith("cull2="):
+            cull2 = bool(int(a[6:]))
         elif a.startswith("pay2="):
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
@@ -65,6 +70,10 @@ def main():
             pu = int(a[3:])
         elif a.startswith("subq="):
             subqs = [int(x) for x in a[5:].split(",")]
+        elif a.startswith("stress="):
+            stress_grid = int(a[7:])
+        elif a.startswith("maxlen="):
+            maxlen = int(a[7:])
         elif a.startswith("sb="):
             subs = [None if x == "a" else int(x) for x in a[3:].split(",")]
         else:
@@ -76,11 +85,16 @@ def main():
     from ipu_ray_lib_tpu.scene.build import build_scene
     from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene
 
-    scene = make_cornell_box_scene(
-        os.path.join(os.path.dirname(__file__), "..", "assets",
-                     "monkey_bust.glb"), box_only=False)
+    if stress_grid:
+        from ipu_ray_lib_tpu.scene.builtin import make_stress_scene
+        scene = make_stress_scene(stress_grid)
+    else:
+        scene = make_cornell_box_scene(
+            os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "monkey_bust.glb"), box_only=False)
     arrays, params, _ = build_scene(
         scene, image_width=size, image_height=size, samples_per_pixel=spp,
+        max_path_length=maxlen or 10,
         intersector="pallas")
 
     n_pix = size * size
@@ -106,6 +120,7 @@ def main():
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots, walk_mxu=mxu,
+            walk_cull2=cull2,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
             walk_unroll=wu1, pay_unroll=pu,
             return_stats=True)
@@ -125,6 +140,9 @@ def main():
                **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
                **({"mxu": 1} if mxu else {}),
+               **({"cull2": int(cull2)} if cull2 is not None else {}),
+               **({"stress": stress_grid} if stress_grid else {}),
+               **({"maxlen": maxlen} if maxlen else {}),
                **({"pay2": 1} if pay2 else {}),
                **({"prep2": 1} if prep2 else {}),
                **({"wu": wu1} if wu1 is not None else {}),

@@ -104,9 +104,17 @@ SLAB_CHUNK_ROWS = 512
 # Max rows per compacted-walk segment: keeps compact_indices' rank/
 # extract operands bf16-exact on the DEFAULT MXU path (integers <= 256):
 _COMPACT_SEG = 256
+# Two-level flag pass (walk_cull2): refinement loop unroll (independent
+# 8-row slab chains per while-loop iteration, same ILP rationale as
+# walk_unroll):
+_CULL2_UNROLL = 4
+# walk_cull2 auto threshold: flat-pass rows at which the two-level flag
+# pass takes over (swept on TPU hardware; see PROGRESS.md finding 56):
+_CULL2_AUTO_ROWS = 1024
 
 
-def resolve_auto_sub(nb: int, br: int, walk_compact: bool = True) -> int:
+def resolve_auto_sub(nb: int, br: int, walk_compact: bool = True,
+                     tin_bytes: int = 2) -> int:
     """Auto sub-block walk granularity for a VMEM flat walk over ``nb``
     128-tri blocks at bundle width ``br`` — the single source of truth
     shared by the megakernel wrapper and bench.py's telemetry mirror.
@@ -123,7 +131,7 @@ def resolve_auto_sub(nb: int, br: int, walk_compact: bool = True) -> int:
     if not walk_compact:
         return 2 if 1 < nb <= 128 else 1     # gated-path policy (r2)
     sub = 16 if nb <= 40 else (8 if nb <= 64 else 4)
-    while sub > 1 and nb * sub * br * 4 >= (4 << 20):
+    while sub > 1 and nb * sub * br * tin_bytes >= (4 << 20):
         sub //= 2
     return sub
 
@@ -282,6 +290,14 @@ def _dielectric(d, n_in, ior, u1):
 # ---------------------------------------------------------------------------
 _SLAB_SCALE = np.float32(1.0 + 6e-7)  # conservative tmax widening (ops/intersect.py)
 _SLAB_LO = np.float32(1.0 - 6e-7)     # conservative entry-bound shrink
+# Extra shrink applied before rounding entry bounds to bf16 (tin16):
+# round-to-nearest can round UP by 2^-9 relative, so shrinking by 2^-8
+# first keeps the stored bound a true lower bound. Conservative-only:
+# blocks kept by a (slightly) smaller bound can never contain a hit
+# that beats the best_t they were kept against, so radiometry stays
+# bitwise-identical while the [nbs, br] refresh scratch and its reads
+# halve:
+_TIN16_SHRINK = np.float32(1.0 - 2.0 ** -8)
 
 
 def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
@@ -297,6 +313,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
                  walk_unroll=1, pay_unroll=1, walk_mxu=False,
+                 walk_cull2=False, tin16=False,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
@@ -430,6 +447,20 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         # analogue of the reference's per-ray BVH culling
         # (ref: include/CompactBvh.hpp:80-139):
         nbs = nb * sub
+        # Two-level flag computation (walk_cull2): the flat [nbs, br]
+        # slab pass below is skipped; flags/entry bounds come from the
+        # coarse-then-refine pass after compact_indices is defined
+        # (deferred only in Python source order — no ref ops happen in
+        # between, so trace order is identical):
+        cull2 = (walk_cull2 and use_cull and compact and subq == 1
+                 and not hbm and not _count_oracle
+                 and not _timing_no_walk)
+        def tin_store(bhit, tin):
+            v = jnp.where(bhit, tin * _SLAB_LO, _INF)
+            if tin16:
+                v = (v * _TIN16_SHRINK).astype(jnp.bfloat16)
+            return v
+
         if use_cull and not _timing_no_walk:
             den = (jnp.where(d[0] == 0.0, f32(1e-30), d[0]),
                    jnp.where(d[1] == 0.0, f32(1e-30), d[1]),
@@ -443,7 +474,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # SLAB_CHUNK_ROWS-row chunks bound that at ~8 MB with
             # identical results:
             _CH = SLAB_CHUNK_ROWS
-            for c0 in range(0, nbs, _CH):
+            for c0 in range(0, 0 if cull2 else nbs, _CH):
                 nrows = min(_CH, nbs - c0)
                 rs = pl.ds(c0, nrows)
                 tin = jnp.full((nrows, br), f32(0.0))
@@ -482,7 +513,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 if reflag > 0:
                     # Conservative per-lane lower bound on any hit t in
                     # each block, kept for mid-walk flag refreshes:
-                    tin_ref[rs, :] = jnp.where(bhit, tin * _SLAB_LO, _INF)
+                    tin_ref[rs, :] = tin_store(bhit, tin)
 
         TBW = TB // sub
         WQ = br // subq
@@ -559,6 +590,68 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     precision=_hi,
                     preferred_element_type=f32).astype(i32) + i32(base))
             return jnp.sum(fl).astype(i32)
+
+        if cull2:
+            # ---- two-level flag pass (walk_cull2): slab-test 8-fine-row
+            # COARSE groups first (bfine_ref carries their exact host-side
+            # min/max union AABBs in this mode), compact the flagged group
+            # ids, then recompute only those groups' fine rows. f32 slab
+            # arithmetic is monotonic, so a coarse box that contains a
+            # fine box yields tin_c <= tin_f and tout_c >= tout_f at
+            # every rounding step — any fine row the flat pass would flag
+            # belongs to a flagged group, and the refinement writes the
+            # flat pass's flags/entry bounds bit-for-bit on every row it
+            # visits. Rows of unflagged groups are zeroed up front (and
+            # mid-walk refreshes AND with the current flags so their
+            # stale tin_ref rows cannot re-flag) — the walk is therefore
+            # bitwise-identical to the flat pass at a fraction of its
+            # [nbs, br] slab cost when flagged groups are sparse:
+            NC = bfine_ref.shape[0]
+            cull_ref[:] = jnp.zeros((nbs, 1), i32)
+            for c0 in range(0, NC, _COMPACT_SEG):
+                Lc = min(_COMPACT_SEG, NC - c0)
+                tin_c = jnp.full((Lc, br), f32(0.0))
+                tout_c = jnp.where(active, _BIG, f32(-1.0))
+                for a in range(3):
+                    lo_a = bfine_ref[c0:c0 + Lc, a:a + 1]
+                    hi_a = bfine_ref[c0:c0 + Lc, a + 3:a + 4]
+                    t0 = (lo_a - o[a]) * inv[a]
+                    t1 = (hi_a - o[a]) * inv[a]
+                    tin_c = jnp.maximum(tin_c, jnp.minimum(t0, t1))
+                    tout_c = jnp.minimum(
+                        tout_c, jnp.maximum(t0, t1) * _SLAB_SCALE)
+                chit = ((tin_c <= tout_c)
+                        & (bfine_ref[c0:c0 + Lc, 0:1] < _BIG))
+                cnt_c = compact_indices(
+                    jnp.max(chit.astype(i32), axis=1, keepdims=True), c0)
+
+                def c2body(k, cnt_c=cnt_c):
+                    # Tail slots clamp to the last flagged group —
+                    # re-refining a group rewrites identical values:
+                    gs = [cidx_ref[k, 0]] + [
+                        cidx_ref[jnp.minimum(k + u, cnt_c - 1), 0]
+                        for u in range(1, _CULL2_UNROLL)]
+                    for g in gs:
+                        rows = pl.ds(g * 8, 8)
+                        tin = jnp.full((8, br), f32(0.0))
+                        tout = jnp.where(active, _BIG, f32(-1.0))
+                        for a in range(3):
+                            lo_a = baabb_ref[rows, a:a + 1]
+                            hi_a = baabb_ref[rows, a + 3:a + 4]
+                            t0 = (lo_a - o[a]) * inv[a]
+                            t1 = (hi_a - o[a]) * inv[a]
+                            tin = jnp.maximum(tin, jnp.minimum(t0, t1))
+                            tout = jnp.minimum(
+                                tout, jnp.maximum(t0, t1) * _SLAB_SCALE)
+                        bhit = ((tin <= tout)
+                                & (baabb_ref[rows, 0:1] < _BIG))
+                        cull_ref[rows, :] = jnp.max(
+                            bhit.astype(i32), axis=1, keepdims=True)
+                        if reflag > 0:
+                            tin_ref[rows, :] = tin_store(bhit, tin)
+                    return k + _CULL2_UNROLL
+
+                jax.lax.while_loop(lambda k: k < cnt_c, c2body, i32(0))
 
         def do_block(blk, q=0, mx=None):
             if _timing_stub_walk:
@@ -1153,6 +1246,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     # strict <: INF entry bounds (no slab hit) must stay
                     # unflagged even against INF best_t (no hit yet):
                     rem = (tin_ref[b0:nbs, :] < bt_ref[:]).astype(i32)
+                    if cull2:
+                        # Rows of coarse-unflagged groups carry STALE
+                        # entry bounds (the refinement never visited
+                        # them this iteration) — a refresh may only
+                        # CLEAR flags, never set them:
+                        rem = rem * cull_ref[b0:nbs, :]
                     cull_ref[b0:nbs, :] = jnp.max(rem, axis=1,
                                                   keepdims=True)
                     if subq > 1:
@@ -1814,7 +1913,7 @@ def _analytic_tables(scene):
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "walk_compact", "walk_unroll", "pay_unroll",
-                     "walk_mxu",
+                     "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
                      "hbm_sub", "hbm_pay_gate", "hbm_pb_stage",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
@@ -1919,6 +2018,30 @@ def megakernel_path_trace(
                                  # widens 2x to keep the watertight
                                  # contract rigorous. RAY_MXU=1 in
                                  # streaming.
+    tin16: bool | None = None,   # store the [nbs, br] per-lane entry-
+                                 # bound scratch (mid-walk refreshes) in
+                                 # bf16 with a conservative pre-round
+                                 # shrink: bitwise-identical radiometry
+                                 # (kept-extra blocks can't beat the
+                                 # best_t they were kept against), half
+                                 # the scratch VMEM + refresh read
+                                 # bytes — which lets the degrade
+                                 # ladder keep granularity twice as
+                                 # fine near the VMEM ceiling. None =
+                                 # auto (on whenever reflag is on).
+                                 # RAY_TIN16=0 in streaming to A/B.
+    walk_cull2: bool | None = None,  # two-level flag computation for
+                                 # the compacted VMEM walk: slab-test
+                                 # 8-fine-row coarse union AABBs first,
+                                 # then recompute only flagged groups'
+                                 # fine rows — bitwise-identical flags
+                                 # (f32 slab math is monotonic under box
+                                 # containment) at a fraction of the
+                                 # [nbs, br] flat-pass cost when flagged
+                                 # groups are sparse. None = auto
+                                 # (engages once the flat pass is big:
+                                 # nbs >= _CULL2_AUTO_ROWS). RAY_CULL2
+                                 # in streaming.
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -1973,7 +2096,10 @@ def megakernel_path_trace(
             # mis-time or disable the refresh under python -O:
             raise ValueError(
                 f"hbm_reflag must be a power of two >= 1, got {hbm_reflag}")
-        reflag = 1 if tables.num_supers * br * 4 <= (4 << 20) else 0
+        if tin16 is None:
+            tin16 = True
+        reflag = (1 if tables.num_supers * br * (2 if tin16 else 4)
+                  <= (4 << 20) else 0)
         nb_kern = tables.num_supers
         baabb = tables.saabb
         # VMEM-sized scenes: the fused pn8 slab carries both the p
@@ -1988,6 +2114,12 @@ def megakernel_path_trace(
                   else jnp.zeros((8, 128), jnp.bfloat16))
     else:
         cull_on = use_cull and tables.num_blocks > 1
+        if tin16 is None:
+            # Auto: always on — bitwise-identical radiometry, half the
+            # refresh-scratch VMEM and read bytes (and hence a 2x-finer
+            # degrade-ladder ceiling). RAY_TIN16=0 is the A/B hatch.
+            tin16 = True
+        tin_bytes = 2 if tin16 else 4
         if sub is None:
             # With the deferred payload pass, 64-tri cull granularity is
             # the VMEM-mode sweet spot on small/medium scenes (720² spp64
@@ -2015,7 +2147,8 @@ def megakernel_path_trace(
             if cull_on and compacting:
                 # resolve_auto_sub includes the degrade ladder below
                 # (idempotent — re-applying it is a no-op):
-                sub = resolve_auto_sub(tables.num_blocks, br)
+                sub = resolve_auto_sub(tables.num_blocks, br,
+                                       tin_bytes=tin_bytes)
             elif cull_on and tables.num_blocks <= 128:
                 sub = 2
             else:
@@ -2037,16 +2170,16 @@ def megakernel_path_trace(
             # two-level scene loses 27% at rf1):
             reflag = 1 if (walk_compact and not two_level) else 3
         if (cull_on and not two_level and reflag > 0
-                and nb_kern * sub * br * 4 >= (4 << 20)):
+                and nb_kern * sub * br * tin_bytes >= (4 << 20)):
             # The reflag entry-bound scratch is [nb*sub, br] f32; near the
             # 64k-tri VMEM ceiling with sub > 1 it can reach 16 MB on top
             # of the resident tables and fail to compile. Degrade
             # gracefully (cap 4 MB): halve the sub-block granularity
             # first (finer culling is worth more than coarser, but any
             # sub beats losing reflag), then drop reflag itself:
-            while sub > 1 and nb_kern * sub * br * 4 >= (4 << 20):
+            while sub > 1 and nb_kern * sub * br * tin_bytes >= (4 << 20):
                 sub //= 2
-            if nb_kern * sub * br * 4 >= (4 << 20):
+            if nb_kern * sub * br * tin_bytes >= (4 << 20):
                 reflag = 0
         if tables.p is None:
             raise RuntimeError(
@@ -2078,6 +2211,8 @@ def megakernel_path_trace(
                 jnp.maximum(b32[0::2, 3:6], b32[1::2, 3:6]),
                 jnp.zeros((b32.shape[0] // 2, 2), jnp.float32),
             ], axis=1)
+    if tin16 is None:      # hbm / cull-off paths fall through here
+        tin16 = True
     nbs_c = nb_kern * sub if cull_on else 1
     reflag = reflag if cull_on else 0
     reflag_on = reflag > 0
@@ -2098,6 +2233,9 @@ def megakernel_path_trace(
     compact_on = (walk_compact and cull_on
                   and not (hbm or two_level))
     mxu_on = walk_mxu and compact_on and subq == 1
+    if walk_cull2 is None:
+        walk_cull2 = nbs_c >= _CULL2_AUTO_ROWS
+    cull2_on = bool(walk_cull2) and compact_on and subq == 1
     if walk_unroll is None:
         # Keep ~256 tri-rows of independent dense chains in flight per
         # loop iteration: wu=8 at 32-tri windows (finding 52: beats wu=4
@@ -2140,9 +2278,11 @@ def megakernel_path_trace(
             pltpu.VMEM((nbs_c, subq)
                        if subq > 1 and not (hbm or two_level) else (1, 1),
                        jnp.int32),
-            # per-lane entry bounds for mid-walk flag refreshes:
+            # per-lane entry bounds for mid-walk flag refreshes
+            # (bf16 when tin16 — see the param note):
             pltpu.VMEM((nbs_c if reflag_on else 1,
-                        br if reflag_on else 1), jnp.float32),
+                        br if reflag_on else 1),
+                       jnp.bfloat16 if tin16 else jnp.float32),
             # env radiance staging (when an env MLP is fused in):
             pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
                        jnp.float32),
@@ -2193,7 +2333,7 @@ def megakernel_path_trace(
         aa=params.anti_alias_scale,
         use_cull=cull_on, sub=sub, subq=subq, compact=compact_on,
         walk_unroll=max(1, walk_unroll), pay_unroll=max(1, pay_unroll),
-        walk_mxu=mxu_on,
+        walk_mxu=mxu_on, walk_cull2=cull2_on, tin16=bool(tin16),
         reflag=reflag, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
@@ -2232,6 +2372,22 @@ def megakernel_path_trace(
             jnp.maximum(b32[0::2, 3:6], b32[1::2, 3:6]),
             jnp.zeros((b32.shape[0] // 2, 2), jnp.float32),
         ], axis=1)
+    elif cull2_on:
+        # Coarse union AABBs for the two-level flag pass: one row per 8
+        # fine rows of the selected ``baabb`` (exact host min/max, so
+        # coarse-contains-fine holds exactly); pad rows are inverted so
+        # they can never flag:
+        nc = nbs_c // 8
+        clo = jnp.min(jnp.reshape(baabb[:nbs_c, 0:3], (nc, 8, 3)), axis=1)
+        chi = jnp.max(jnp.reshape(baabb[:nbs_c, 3:6], (nc, 8, 3)), axis=1)
+        bfine = jnp.concatenate(
+            [clo, chi, jnp.zeros((nc, 2), jnp.float32)], axis=1)
+        pad = (-nc) % 8
+        if pad:
+            bfine = jnp.concatenate([bfine, jnp.concatenate([
+                jnp.full((pad, 3), np.float32(3e38)),
+                jnp.full((pad, 3), np.float32(-3e38)),
+                jnp.zeros((pad, 2), jnp.float32)], axis=1)], axis=0)
     else:
         bfine = (tables.baabb if (hbm or two_level)
                  else jnp.zeros((8, 8), jnp.float32))

@@ -413,6 +413,21 @@ def walk_mxu_enabled() -> bool:
     return os.environ.get("RAY_MXU", "0") == "1"
 
 
+def cull2_override() -> bool | None:
+    """Two-level flag computation for the compacted VMEM walk
+    (megakernel ``walk_cull2``): coarse 8-row union slab pass + flagged-
+    group refinement — bitwise-identical flags at a fraction of the
+    flat [nbs, br] pass on big scenes. ``RAY_CULL2=1`` forces on,
+    ``RAY_CULL2=0`` forces off; unset/garbage = auto (the megakernel's
+    row-count threshold)."""
+    v = os.environ.get("RAY_CULL2", "")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return None
+
+
 def subq_granularity() -> int:
     """Lane-quarter walk granularity for the flat VMEM megakernel walk
     (megakernel ``subq``): each width-(br/subq) lane slice walks only its
@@ -556,6 +571,7 @@ def render_streaming(
                     subq=subq_granularity(),
                     walk_compact=walk_compact_enabled(),
                 walk_mxu=walk_mxu_enabled(),
+                walk_cull2=cull2_override(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
@@ -599,6 +615,7 @@ def render_streaming(
                 subq=subq_granularity(),
                 walk_compact=walk_compact_enabled(),
                 walk_mxu=walk_mxu_enabled(),
+                walk_cull2=cull2_override(),
                 # hbm_reflag is a static cache-key arg read only by the
                 # HBM walk — pass it conditionally so sweeping
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:

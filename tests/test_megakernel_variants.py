@@ -55,6 +55,20 @@ def mega_scene():
     dict(walk_compact=True),
     dict(walk_compact=True, reflag=1),
     dict(walk_compact=True, sub=2),
+    # Two-level flag pass (walk_cull2): coarse-group slab + refinement
+    # must produce the identical flags (f32 monotonicity contract) and
+    # hence bitwise-identical walks at every granularity/refresh combo:
+    dict(walk_cull2=True),
+    dict(walk_cull2=True, sub=4),
+    dict(walk_cull2=True, sub=2),
+    dict(walk_cull2=True, reflag=0),
+    dict(walk_cull2=True, reflag=3),
+    # bf16 entry-bound scratch (tin16, default on): a conservative
+    # lower bound can only keep extra blocks, which cannot beat the
+    # best_t they were kept against — f32 scratch must match bitwise:
+    dict(tin16=False),
+    dict(tin16=False, reflag=3),
+    dict(tin16=False, walk_cull2=True),
 ])
 def test_walk_variants_bitwise_identical(mega_scene, kw):
     arrays, params, base = mega_scene
