@@ -108,32 +108,47 @@ _COMPACT_SEG = 256
 # 8-row slab chains per while-loop iteration, same ILP rationale as
 # walk_unroll):
 _CULL2_UNROLL = 4
-# walk_cull2 auto threshold: flat-pass rows at which the two-level flag
-# pass takes over (swept on TPU hardware; see PROGRESS.md finding 56):
-_CULL2_AUTO_ROWS = 1024
 
 
-def resolve_auto_sub(nb: int, br: int, walk_compact: bool = True,
-                     tin_bytes: int = 2) -> int:
-    """Auto sub-block walk granularity for a VMEM flat walk over ``nb``
-    128-tri blocks at bundle width ``br`` — the single source of truth
-    shared by the megakernel wrapper and bench.py's telemetry mirror.
 
-    Finer dense windows keep paying on small scenes under the compacted
-    unrolled walk (findings 52/54: sub=4 +28-34% over sub=2, sub=16
-    +29% over sub=4 on the 32-block bench scene) but turn neutral-to-
-    negative as block count grows (finding 54 crossover A/Bs: 48-block
-    sub=8 +1.3%, 128-block sub=8 -6%, 248-block sub=8 -8%, 512-block
-    sub=16 -9%): the cull-slab rows and rank/extract prep scale with
-    nb*sub while the union cut thins. The reflag-scratch VMEM ladder
-    (reflag=1 mode default) then halves sub while [nb*sub, br] f32
-    would reach the 4 MB cap."""
+def resolve_walk_policy(nb: int, br: int,
+                        walk_compact: bool = True) -> dict:
+    """Joint auto policy for the VMEM walk over ``nb`` 128-tri blocks at
+    bundle width ``br`` — sub-block granularity, mid-walk refresh count
+    and the two-level flag pass, resolved together (they trade against
+    each other). Single source of truth shared by the megakernel wrapper
+    and bench.py's telemetry mirror.
+
+    Measured (findings 52/54/56, br=512): finer dense windows keep
+    paying under the compacted unrolled walk on small scenes (sub=16
+    +29% over sub=4 on the 32-block bench scene), and ONE refresh edges
+    none there (11.12 vs 11.38 us/iter). Past ~64 blocks the flat
+    [nb*sub, br] flag pass grows with granularity — the two-level pass
+    (walk_cull2) pays for it (finding 56: 64k boundary sub=8 97.6 vs
+    flat-best 109.4 us/iter; 256-block sub=8 72.3 vs 77.1) while
+    refreshes + per-segment rank/extract re-runs turn NET-NEGATIVE at
+    fine granularity (rf1 -20% on the 128/256-block terrains), so big
+    scenes run rf=0. The 16 -> 8 step at ~160 blocks: 128-block terrain
+    prefers sub=16 (57.8 vs 60.0), 256+ prefer sub=8 (72.3 vs 72.3 tie,
+    512-block 97.6 vs 101.6)."""
     if not walk_compact:
-        return 2 if 1 < nb <= 128 else 1     # gated-path policy (r2)
-    sub = 16 if nb <= 40 else (8 if nb <= 64 else 4)
-    while sub > 1 and nb * sub * br * tin_bytes >= (4 << 20):
-        sub //= 2
-    return sub
+        # Gated-path policy (round 2): coarse windows, swept reflag=3.
+        return dict(sub=2 if 1 < nb <= 128 else 1, reflag=3, cull2=False)
+    if nb <= 40:
+        return dict(sub=16, reflag=1, cull2=False)
+    if nb <= 64:
+        return dict(sub=8, reflag=1, cull2=False)
+    return dict(sub=16 if nb <= 160 else 8, reflag=0, cull2=True)
+
+
+def resolve_auto_sub(nb: int, br: int, walk_compact: bool = True) -> int:
+    """Auto sub-block granularity (the ``sub`` field of
+    resolve_walk_policy) — kept as the telemetry-mirror entry point
+    (bench.py). Explicit RAY_REFLAG>0 overrides on large scenes can
+    still degrade the effective sub through the wrapper's entry-bound
+    scratch ladder; auto configs never hit it (big scenes run rf=0)."""
+    return resolve_walk_policy(nb, br, walk_compact)["sub"]
+
 
 # ---------------------------------------------------------------------------
 # In-kernel counter RNG (int32 twin of ops/rng.py — same bit streams).
@@ -653,6 +668,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
 
                 jax.lax.while_loop(lambda k: k < cnt_c, c2body, i32(0))
 
+        # Loop-invariant across every walked window (Mosaic does not
+        # hoist out of while_loop bodies; building it per window costs
+        # ~2 vops/pair in the hottest loop):
+        tri_lane_c = jax.lax.broadcasted_iota(i32, (TB // sub, br // subq),
+                                              0)
+
         def do_block(blk, q=0, mx=None):
             if _timing_stub_walk:
                 # Trivial body: the gate fires and the region is entered,
@@ -738,8 +759,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                   & (t > 0.0))
             tm = jnp.where(ok, t, _INF)
             bt = jnp.min(tm, axis=0, keepdims=True)
-            tri_lane = jax.lax.broadcasted_iota(i32, (TBW, WQ), 0)
-            bi = jnp.min(jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+            bi = jnp.min(jnp.where(tm <= bt, tri_lane_c, i32(0x7FFFFFFF)),
                          axis=0, keepdims=True)
             better = (bt < best_t) & (bt < _INF)
             if _timing_no_dots:
@@ -2039,9 +2059,9 @@ def megakernel_path_trace(
                                  # containment) at a fraction of the
                                  # [nbs, br] flat-pass cost when flagged
                                  # groups are sparse. None = auto
-                                 # (engages once the flat pass is big:
-                                 # nbs >= _CULL2_AUTO_ROWS). RAY_CULL2
-                                 # in streaming.
+                                 # (resolve_walk_policy: on past ~64
+                                 # blocks, finding 56). RAY_CULL2 in
+                                 # streaming.
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -2120,39 +2140,15 @@ def megakernel_path_trace(
             # degrade-ladder ceiling). RAY_TIN16=0 is the A/B hatch.
             tin16 = True
         tin_bytes = 2 if tin16 else 4
+        pol = resolve_walk_policy(tables.num_blocks, br,
+                                  walk_compact and use_cull)
         if sub is None:
-            # With the deferred payload pass, 64-tri cull granularity is
-            # the VMEM-mode sweet spot on small/medium scenes (720² spp64
-            # Cornell: 7.37 Mpaths/s at sub=2 vs 6.37 at sub=1, 6.81 at
-            # sub=4 — sub-block selectivity beats per-slice overheads now
-            # that the payload dots run once per iteration, finding 36).
-            # Under the COMPACTED walk (finding 48) the flat sub-block
-            # walk also beats the two-level walk at the 64k-tri VMEM
-            # ceiling (512 blocks: 1.032 vs 0.805 Mpaths/s, 2026-08-18 —
-            # the branch-free index-list dispatch removes the per-block
-            # gate cost two-level existed to avoid), so auto prefers it
-            # over the whole VMEM range when compaction will engage; with
-            # the unrolled dispatch restoring narrow-row ILP, finer
-            # windows keep paying on SMALL scenes (finding 52: sub=4
-            # +28-34% over sub=2; finding 54: sub=16 11.12 us/iter vs
-            # sub=4's 14.31 on the 32-block bench scene, +29%) but turn
-            # neutral-to-negative once the cull-slab rows + rank/extract
-            # prep grow faster than the union cut thins (finding 54
-            # crossover A/Bs: 48-block terrain sub=8 +1.3%, 128-block
-            # sub=8 -6%, 248-block sub=8 -8%, 512-block sub=16 -9%) —
-            # auto steps the granularity down with block count. The
-            # gated fallback (RAY_WALK_COMPACT=0 / subq > 1) keeps the
-            # round-2 policy (sub=2 small, two-level past 128 blocks):
-            compacting = walk_compact and use_cull
-            if cull_on and compacting:
-                # resolve_auto_sub includes the degrade ladder below
-                # (idempotent — re-applying it is a no-op):
-                sub = resolve_auto_sub(tables.num_blocks, br,
-                                       tin_bytes=tin_bytes)
-            elif cull_on and tables.num_blocks <= 128:
-                sub = 2
-            else:
-                sub = 1
+            # Joint auto policy (resolve_walk_policy — the measured
+            # sub/reflag/cull2 trade table; findings 36/48/52/54/56).
+            # The gated fallback (RAY_WALK_COMPACT=0 / subq > 1) keeps
+            # the round-2 policy (sub=2 small, two-level past 128
+            # blocks):
+            sub = pol["sub"] if cull_on else 1
         sub = sub if cull_on else 1
         assert sub in (1, 2, 4, 8, 16), sub
         # Two-level walk for big VMEM scenes: the flat walk's per-block
@@ -2164,19 +2160,26 @@ def megakernel_path_trace(
                      and tables.num_supers > 1)
         nb_kern = tables.num_supers if two_level else tables.num_blocks
         if reflag is None:
-            # Mode default: the compacted flat walk prefers ONE refresh
-            # (every segment re-runs the rank/extract prep); the gated
-            # flat and two-level walks keep the swept 3 (the 64k-tri
-            # two-level scene loses 27% at rf1):
-            reflag = 1 if (walk_compact and not two_level) else 3
+            # Mode default from the same joint policy: ONE refresh on
+            # small compacted scenes, NONE past ~64 blocks (refresh +
+            # per-segment prep re-runs measure -20% at fine granularity
+            # on the stress terrains, finding 56); the gated flat and
+            # two-level walks keep the swept 3 (the 64k-tri two-level
+            # scene loses 27% at rf1):
+            reflag = pol["reflag"] if not two_level else 3
+        if walk_cull2 is None:
+            # Auto from the joint policy (off below ~64 blocks — forced
+            # on at the 512-row bench scene it measures 13.39 vs 11.14
+            # us/iter; on everywhere the flat pass is big, finding 56):
+            walk_cull2 = pol["cull2"]
         if (cull_on and not two_level and reflag > 0
                 and nb_kern * sub * br * tin_bytes >= (4 << 20)):
-            # The reflag entry-bound scratch is [nb*sub, br] f32; near the
-            # 64k-tri VMEM ceiling with sub > 1 it can reach 16 MB on top
-            # of the resident tables and fail to compile. Degrade
-            # gracefully (cap 4 MB): halve the sub-block granularity
-            # first (finer culling is worth more than coarser, but any
-            # sub beats losing reflag), then drop reflag itself:
+            # The reflag entry-bound scratch is [nb*sub, br] (bf16 under
+            # tin16); near the 64k-tri VMEM ceiling with sub > 1 and a
+            # FORCED reflag > 0 it can reach 8 MB on top of the resident
+            # tables and fail to compile (auto configs never get here —
+            # big scenes run rf=0). Degrade gracefully (cap 4 MB): halve
+            # the sub-block granularity first, then drop reflag itself:
             while sub > 1 and nb_kern * sub * br * tin_bytes >= (4 << 20):
                 sub //= 2
             if nb_kern * sub * br * tin_bytes >= (4 << 20):
@@ -2213,6 +2216,8 @@ def megakernel_path_trace(
             ], axis=1)
     if tin16 is None:      # hbm / cull-off paths fall through here
         tin16 = True
+    if walk_cull2 is None:   # hbm path (supers already walk two-level)
+        walk_cull2 = False
     nbs_c = nb_kern * sub if cull_on else 1
     reflag = reflag if cull_on else 0
     reflag_on = reflag > 0
@@ -2233,8 +2238,6 @@ def megakernel_path_trace(
     compact_on = (walk_compact and cull_on
                   and not (hbm or two_level))
     mxu_on = walk_mxu and compact_on and subq == 1
-    if walk_cull2 is None:
-        walk_cull2 = nbs_c >= _CULL2_AUTO_ROWS
     cull2_on = bool(walk_cull2) and compact_on and subq == 1
     if walk_unroll is None:
         # Keep ~256 tri-rows of independent dense chains in flight per
