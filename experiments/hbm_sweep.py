@@ -35,6 +35,7 @@ import numpy as np
 def main():
     grid, brs, rfs, probe, paygate, pbstage = 512, [512], [16], None, None, None
     hsub = None
+    hwu = None
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         if k == "probe":
@@ -53,11 +54,15 @@ def main():
             pbstage = bool(vals[0])
         elif k == "hsub":
             hsub = vals[0]
+        elif k == "hwu":
+            hwu = vals[0]
         else:
             raise SystemExit(f"unknown arg {a!r}")
     mega_kwargs = {f"_timing_double_{probe}": True} if probe else {}
     if hsub is not None:
         mega_kwargs["hbm_sub"] = hsub
+    if hwu is not None:
+        mega_kwargs["hbm_wu"] = hwu
     if paygate is not None:
         mega_kwargs["hbm_pay_gate"] = paygate
     if pbstage is not None:
@@ -93,6 +98,7 @@ def main():
         iters = max(1, stats.get("iters", 0))
         rec = {"exp": "hbm_sweep", "grid": grid, "br": br, "rf": rf,
                **({"hsub": hsub} if hsub is not None else {}),
+               **({"hwu": hwu} if hwu is not None else {}),
                **({"probe": probe} if probe else {}),
                **({"paygate": int(paygate)} if paygate is not None else {}),
                **({"pbstage": int(pbstage)} if pbstage is not None else {}),

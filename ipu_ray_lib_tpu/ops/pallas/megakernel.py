@@ -332,7 +332,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
-                 hbm_sub=1, hbm_split=False,
+                 hbm_sub=1, hbm_wu=1, hbm_split=False,
                  hbm_pay_gate=True, hbm_pb_stage=False,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
@@ -925,23 +925,43 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     # runs in hbm mode, so the lane is free):
                     ki_ref[4:5, 1:2] = ki_ref[4:5, 1:2] + jnp.sum(
                         bflag_ref[:], axis=0, keepdims=True)
-                    for b in range(SBH):                   # static unroll
-                        @pl.when(bflag_ref[b, 0] > 0)
-                        def _dense(b=b):
-                            _hbm_dense_block(slot, b)
-                            if _timing_double_dense:
-                                # Re-run writes nothing (improvement is
-                                # strict <): marginal time IS the gated
-                                # dense-test cost:
-                                _hbm_dense_block(slot, b)
-                            if _timing_double_dense_fixed:
-                                _hbm_dense_fixed_probe()
-                        if _timing_double_gate:
+                    if hbm_wu > 1 and not (_timing_double_dense
+                                           or _timing_double_gate
+                                           or _timing_double_dense_fixed):
+                        # Group-unrolled member walk (finding 57): one
+                        # gate per hbm_wu windows; the group computes
+                        # every member window's independent dense chain
+                        # together (the ILP the narrow-window walk loses
+                        # to chain latency, finding 49) and folds the
+                        # winners in ascending window order, each masked
+                        # by its own member flag — bitwise-identical to
+                        # the per-window gated walk:
+                        for g0 in range(0, SBH, hbm_wu):
+                            bs = tuple(range(g0, min(g0 + hbm_wu, SBH)))
+                            gf = bflag_ref[bs[0], 0]
+                            for b in bs[1:]:
+                                gf = gf + bflag_ref[b, 0]
+                            pl.when(gf > 0)(functools.partial(
+                                _hbm_dense_group, slot, bs))
+                    else:
+                        for b in range(SBH):               # static unroll
                             @pl.when(bflag_ref[b, 0] > 0)
-                            def _gate2():
-                                # Trivial idempotent body: the marginal
-                                # time IS the per-member gate cost:
-                                bt_ref[:] = bt_ref[:] + f32(0.0)
+                            def _dense(b=b):
+                                _hbm_dense_block(slot, b)
+                                if _timing_double_dense:
+                                    # Re-run writes nothing (improvement
+                                    # is strict <): marginal time IS the
+                                    # gated dense-test cost:
+                                    _hbm_dense_block(slot, b)
+                                if _timing_double_dense_fixed:
+                                    _hbm_dense_fixed_probe()
+                            if _timing_double_gate:
+                                @pl.when(bflag_ref[b, 0] > 0)
+                                def _gate2():
+                                    # Trivial idempotent body: the
+                                    # marginal time IS the per-member
+                                    # gate cost:
+                                    bt_ref[:] = bt_ref[:] + f32(0.0)
                 else:
                     # subq > 1 forces hbm_sub == 1 (wrapper): b is a
                     # whole member here:
@@ -1154,6 +1174,118 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                                 payload)
                         else:
                             payload()
+
+            def _hbm_dense_group(slot, bs):
+                # Group-unrolled streamed member walk (finding 57; the
+                # compact VMEM walk's unroll mechanism, finding 52,
+                # applied to the HBM super's in-slab windows). Phase 1
+                # computes every member window's dense chain together —
+                # len(bs) * TBH independent tri-rows in flight restore
+                # the ILP the per-window gated walk loses to chain
+                # latency (finding 49). No ref writes here, so the
+                # chains are freely interleavable:
+                tri_lane = jax.lax.broadcasted_iota(i32, (TBH, br), 0)
+                cands = []
+                for b in bs:
+                    fb = b // hbm_sub
+                    r0 = (b % hbm_sub) * TBH
+                    pb = p_buf[slot, r0:r0 + TBH,
+                               fb * 16:(fb + 1) * 16]
+                    tnp0 = pb[:, 0:1]
+                    g1p0 = pb[:, 1:2]
+                    g2p0 = pb[:, 2:3]
+
+                    def tdot(c0_, rr, pb=pb):
+                        return (pb[:, c0_:c0_ + 1] * rr[0]
+                                + pb[:, c0_ + 1:c0_ + 2] * rr[1]
+                                + pb[:, c0_ + 2:c0_ + 3] * rr[2])
+
+                    on = tdot(3, o)
+                    dn = tdot(3, d)
+                    og1 = tdot(6, o)
+                    dg1 = tdot(6, d)
+                    og2 = tdot(9, o)
+                    dg2 = tdot(9, d)
+                    r = pl.reciprocal(dn, approx=True)
+                    r = r * (2.0 - dn * r)
+                    t = (tnp0 - on) * r
+                    b1 = og1 + t * dg1 - g1p0
+                    b2 = og2 + t * dg2 - g2p0
+                    # Watertight widened acceptance (see do_block):
+                    et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
+                    eps = jnp.minimum(
+                        pb[:, 12:13] + pb[:, 13:14] * (o_mag + et),
+                        np.float32(1e-3))
+                    ok = ((jnp.minimum(b1, b2) >= -eps)
+                          & (b1 + b2 <= 1.0 + eps) & (t > 0.0))
+                    tm = jnp.where(ok, t, _INF)
+                    bt = jnp.min(tm, axis=0, keepdims=True)
+                    bi = jnp.min(
+                        jnp.where(tm <= bt, tri_lane, i32(0x7FFFFFFF)),
+                        axis=0, keepdims=True)
+                    cands.append((b, fb, r0, bt, bi, ok, b1, b2))
+                # Phase 2: ascending-window strict-< fold, each window
+                # masked by its own member flag — exactly the decisions
+                # (hence exactly the winner-payload writes) the
+                # per-window gated walk makes, so radiometry is bitwise
+                # identical; only bt_ref's single final store differs
+                # from its sequential stores (same value):
+                best = bt_ref[:]
+                for (b, fb, r0, bt, bi, ok, b1, b2) in cands:
+                    better = ((bt < best) & (bt < _INF)
+                              & (bflag_ref[b, 0] > 0))
+                    best = jnp.where(better, bt, best)
+
+                    def payload(fb=fb, r0=r0, bi=bi, ok=ok, b1=b1,
+                                b2=b2, better=better):
+                        onehot = (tri_lane == bi).astype(f32)
+                        b1w = jnp.sum(onehot * jnp.where(ok, b1, 0.0),
+                                      axis=0, keepdims=True)
+                        b2w = jnp.sum(onehot * jnp.where(ok, b2, 0.0),
+                                      axis=0, keepdims=True)
+                        tri_full = jax.lax.broadcasted_iota(
+                            i32, (TB, br), 0)
+                        w1 = (tri_full == (bi + r0)).astype(f32)
+                        nd_ = (((1,), (0,)), ((), ()))
+                        # Member payload chunks: same layouts as
+                        # _hbm_dense_block (fused pn8 below the p slab,
+                        # or the streamed bf16 pay8 slab):
+                        if hbm_split:
+                            c0 = fb * 24
+                            rows_ = jnp.concatenate(
+                                [pay_buf[slot, c0:c0 + 16, :],
+                                 pay_buf[slot, c0 + 8:c0 + 11, :],
+                                 pay_buf[slot, c0 + 16:c0 + 19, :]],
+                                axis=0)
+                            wd = w1.astype(jnp.bfloat16)
+                        else:
+                            c0 = TB + fb * 3 * 8
+                            rows_ = jnp.concatenate(
+                                [p_buf[slot, c0:c0 + 16, :],
+                                 p_buf[slot, c0 + 8:c0 + 11, :],
+                                 p_buf[slot, c0 + 16:c0 + 19, :]],
+                                axis=0)
+                            wd = w1
+                        cand = jax.lax.dot_general(
+                            rows_, wd, nd_,
+                            preferred_element_type=f32)   # [22, br]
+                        n_interp = (cand[16:19] * b1w
+                                    + cand[19:22] * b2w)
+                        n_cand2 = jnp.concatenate(
+                            [cand[0:3] + n_interp, cand[3:8]], axis=0)
+                        m_cand = cand[8:16]
+                        bn_ref[:] = jnp.where(better, n_cand2,
+                                              bn_ref[:])
+                        bm_ref[:] = jnp.where(better, m_cand,
+                                              bm_ref[:])
+
+                    if not _timing_no_dots:
+                        if hbm_pay_gate:
+                            pl.when(jnp.max(better.astype(i32)) > 0)(
+                                payload)
+                        else:
+                            payload()
+                bt_ref[:] = best
 
             _, n_sup = jax.lax.while_loop(
                 lambda c: c[0] < nbs, wbody, (cur0, i32(0)))
@@ -1935,7 +2067,7 @@ def _analytic_tables(scene):
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
-                     "hbm_sub", "hbm_pay_gate", "hbm_pb_stage",
+                     "hbm_sub", "hbm_wu", "hbm_pay_gate", "hbm_pb_stage",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
                      "_timing_double_pay", "_timing_double_prep",
@@ -1999,6 +2131,19 @@ def megakernel_path_trace(
                                  # lesson holds on the SUBLANE axis too.
                                  # None resolves to 1; forced 1 under
                                  # subq > 1. Knob kept as the record.
+    hbm_wu: int | None = None,   # group-unrolled streamed member walk
+                                 # (finding 57): one scalar gate per
+                                 # hbm_wu in-slab windows; the group
+                                 # computes every member window's dense
+                                 # chain together (the compact VMEM
+                                 # walk's finding-52 ILP mechanism) and
+                                 # folds winners in ascending window
+                                 # order, each masked by its own member
+                                 # flag — bitwise-identical to the
+                                 # per-window gated walk. None resolves
+                                 # to 1 pending the hardware A/B; forced
+                                 # 1 under subq > 1 / hbm_pb_stage.
+                                 # RAY_HBM_WU overrides via streaming.
     hbm_pay_gate: bool = True,   # winner-gated in-slab payload (the
                                  # finding-39 deferral for the HBM walk):
                                  # bitwise-identical by construction,
@@ -2233,6 +2378,12 @@ def megakernel_path_trace(
     if not hbm or subq > 1:
         hbm_sub = 1
     assert hbm_sub in (1, 2, 4), hbm_sub
+    # Group-unrolled streamed member walk (see the hbm_wu param note):
+    if hbm_wu is None:
+        hbm_wu = 1
+    if not hbm or subq > 1 or hbm_pb_stage:
+        hbm_wu = 1
+    assert hbm_wu in (1, 2, 4, 8), hbm_wu
     # Compacted flat walk (finding 48): only the flat VMEM walk uses it.
     # subq > 1 compacts one index list per lane quarter (finding 53):
     compact_on = (walk_compact and cull_on
@@ -2341,7 +2492,7 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
-        hbm_sub=hbm_sub, hbm_split=hbm_split,
+        hbm_sub=hbm_sub, hbm_wu=hbm_wu, hbm_split=hbm_split,
         hbm_pay_gate=hbm_pay_gate, hbm_pb_stage=hbm_pb_stage,
         _timing_no_dots=_timing_no_dots,
         _timing_no_walk=_timing_no_walk,

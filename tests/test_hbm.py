@@ -141,6 +141,19 @@ def test_pay8_split_contract(monkeypatch):
                                intersector="pallas-hbm")
     img_s, done = render_streaming(arrays, params, spp=1)
     assert done == 32 * 32
+    # Group-unrolled member walk under the split payload layout
+    # (finding 57): same decisions, same pay8 reads — bitwise:
+    import functools
+
+    from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
+    orig = MK.megakernel_path_trace
+    MK.megakernel_path_trace = functools.partial(orig, hbm_wu=4)
+    try:
+        img_w, done_w = render_streaming(arrays, params, spp=1)
+    finally:
+        MK.megakernel_path_trace = orig
+    assert done_w == 32 * 32
+    np.testing.assert_array_equal(img_w, img_s)
     tf = arrays_f.blocked
     o = np.zeros((8, 3), np.float32)
     d = np.tile(np.asarray([[0.0, -0.2, 1.0]], np.float32), (8, 1))

@@ -337,6 +337,25 @@ def test_hbm_subq_bitwise_identical(hbm_scene, monkeypatch):
 
 
 @pytest.mark.parametrize("kw", [
+    dict(hbm_wu=2),
+    dict(hbm_wu=4),
+    dict(hbm_wu=8),
+    dict(hbm_wu=4, hbm_sub=2),
+    dict(hbm_wu=4, hbm_pay_gate=False),
+])
+def test_hbm_wu_bitwise_identical(hbm_scene, kw):
+    """Group-unrolled streamed member walk (finding 57): each group
+    computes its member windows' dense chains together, then folds the
+    winners in ascending window order, every window masked by its own
+    member flag — the identical decisions (hence identical payload
+    writes) as the per-window gated walk, so images are bitwise."""
+    arrays, params, base = hbm_scene
+    img, done = _render(arrays, params, **kw)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
+
+
+@pytest.mark.parametrize("kw", [
     # The base fixture runs both optimisations at their defaults (on);
     # turning each off must not change a bit — the gate only skips
     # payload work for blocks that improved no lane, and the staging
