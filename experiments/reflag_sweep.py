@@ -36,6 +36,7 @@ def main():
     nowalk = cullonly = stub = compact = nodots = False
     mxu = False
     cull2 = None
+    fresh = None
     pay2 = prep2 = False
     wu = [None]
     subs = [None]
@@ -60,6 +61,8 @@ def main():
             mxu = bool(int(a[4:]))
         elif a.startswith("cull2="):
             cull2 = bool(int(a[6:]))
+        elif a.startswith("fresh="):
+            fresh = bool(int(a[6:]))
         elif a.startswith("pay2="):
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
@@ -120,7 +123,7 @@ def main():
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots, walk_mxu=mxu,
-            walk_cull2=cull2,
+            walk_cull2=cull2, walk_fresh=fresh,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
             walk_unroll=wu1, pay_unroll=pu,
             return_stats=True)
@@ -141,6 +144,7 @@ def main():
                **({"nodots": 1} if nodots else {}),
                **({"mxu": 1} if mxu else {}),
                **({"cull2": int(cull2)} if cull2 is not None else {}),
+               **({"fresh": int(fresh)} if fresh is not None else {}),
                **({"stress": stress_grid} if stress_grid else {}),
                **({"maxlen": maxlen} if maxlen else {}),
                **({"pay2": 1} if pay2 else {}),

@@ -327,6 +327,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
+                 fresh=False,
                  walk_unroll=1, pay_unroll=1, walk_mxu=False,
                  walk_cull2=False, tin16=False,
                  env_cfg=None,
@@ -525,9 +526,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                         cullq_ref[rs, qq:qq + 1] = jnp.max(
                             bh_i[:, qq * wq:(qq + 1) * wq],
                             axis=1, keepdims=True)
-                if reflag > 0:
+                if reflag > 0 or fresh:
                     # Conservative per-lane lower bound on any hit t in
-                    # each block, kept for mid-walk flag refreshes:
+                    # each block, kept for mid-walk flag refreshes and/or
+                    # the fresh per-group walk gates:
                     tin_ref[rs, :] = tin_store(bhit, tin)
 
         TBW = TB // sub
@@ -662,7 +664,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                                 & (baabb_ref[rows, 0:1] < _BIG))
                         cull_ref[rows, :] = jnp.max(
                             bhit.astype(i32), axis=1, keepdims=True)
-                        if reflag > 0:
+                        if reflag > 0 or fresh:
                             tin_ref[rows, :] = tin_store(bhit, tin)
                     return k + _CULL2_UNROLL
 
@@ -1415,8 +1417,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 # quarter-walks when subq > 1, block-walks otherwise —
                 # the host normalises by subq (streaming stats contract):
                 if subq == 1:
-                    ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
-                        cull_ref[b0:b1_, :], axis=0, keepdims=True)
+                    if not (fresh and compact):
+                        # Under the fresh per-group gates the walked
+                        # counter is maintained inside cbody (groups
+                        # actually entered), not from the flag list:
+                        ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
+                            cull_ref[b0:b1_, :], axis=0, keepdims=True)
                 else:
                     ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
                         jnp.sum(cullq_ref[b0:b1_, :], axis=1,
@@ -1436,43 +1442,107 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                         # the marginal time IS the prep cost:
                         cnt = compact_indices(cull_ref[b0:b1_, :], b0)
 
-                    def cbody(k):
-                        # walk_unroll > 1: U dense tests per while-loop
-                        # iteration amortise the per-iteration scalar
-                        # branch + pipeline refill. Tail slots clamp to
-                        # the LAST list entry: re-walking a block is a
-                        # bitwise no-op (improvement is strict <), so
-                        # order and results are identical to U=1:
-                        blks = [cidx_ref[k, 0]] + [
-                            cidx_ref[jnp.minimum(k + u, cnt - 1), 0]
-                            for u in range(1, walk_unroll)]
-                        if use_mxu:
-                            # Stage the group's p windows (the staged
-                            # copy doubles as the dense test's pb read —
-                            # lane offset 0, static sublane offsets),
-                            # then ONE group matmul for all 6 coefficient
-                            # dots of all walk_unroll windows:
-                            for u, blk in enumerate(blks):
-                                mxl_ref[u * TBW:(u + 1) * TBW, :] = (
-                                    p_ref[pl.ds(blk * TBW, TBW), :])
-                            dots = jax.lax.dot_general(
-                                mxl_ref[:], mxr,
-                                (((1,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=f32)
-                            for u, blk in enumerate(blks):
-                                r0 = u * TBW
-                                do_block(blk, mx=(
-                                    mxl_ref[r0:r0 + TBW, :],
-                                    *(dots[r0:r0 + TBW,
-                                           g * br:(g + 1) * br]
-                                      for g in range(6))))
-                        else:
+                    def walk_group(blks):
+                        # One unroll group: len(blks) independent dense
+                        # chains dispatched together (the ILP narrow
+                        # windows lose to chain latency, finding 52):
+                        def group(blks=blks):
+                            if use_mxu:
+                                # Stage the group's p windows (the
+                                # staged copy doubles as the dense
+                                # test's pb read — lane offset 0,
+                                # static sublane offsets), then ONE
+                                # group matmul for all 6 coefficient
+                                # dots of all walk_unroll windows:
+                                for u, blk in enumerate(blks):
+                                    mxl_ref[u * TBW:(u + 1) * TBW, :] = (
+                                        p_ref[pl.ds(blk * TBW, TBW), :])
+                                dots = jax.lax.dot_general(
+                                    mxl_ref[:], mxr,
+                                    (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=f32)
+                                for u, blk in enumerate(blks):
+                                    r0 = u * TBW
+                                    do_block(blk, mx=(
+                                        mxl_ref[r0:r0 + TBW, :],
+                                        *(dots[r0:r0 + TBW,
+                                               g * br:(g + 1) * br]
+                                          for g in range(6))))
+                            else:
+                                for blk in blks:
+                                    do_block(blk)
+
+                        if fresh:
+                            # Fresh per-group gate (finding 58): the
+                            # listed flags were computed against an
+                            # EARLIER best_t (40% overshoot measured vs
+                            # the converged oracle at sub=16 —
+                            # experiments/oracle_union.py); re-checking
+                            # the group's stored entry bounds against
+                            # the CURRENT best_t skips settled groups
+                            # without the bulk refresh's rank/extract
+                            # re-runs. Skipping is bitwise-safe by the
+                            # refresh's own contract: stored tin is a
+                            # conservative lower bound on any hit t in
+                            # the window, so tin >= best_t on every
+                            # lane means no strict-< improvement can
+                            # exist. Listed windows' tin rows are
+                            # always written this iteration (flagged
+                            # groups are exactly the refined ones under
+                            # cull2). Dynamic sublane slices must be
+                            # tile-aligned (Mosaic: bf16 tiles are 16
+                            # sublanes, f32 8) — load the aligned
+                            # granule containing each window's row and
+                            # mask to that row:
+                            GA = 16 if tin16 else 8
+                            acc = None
                             for blk in blks:
-                                do_block(blk)
+                                base = pl.multiple_of(
+                                    (blk // GA) * GA, GA)
+                                rows_t = tin_ref[pl.ds(base, GA), :]
+                                rowmask = (jax.lax.broadcasted_iota(
+                                    i32, (GA, br), 0) == (blk - base))
+                                hit = rowmask & (rows_t < bt_ref[:])
+                                acc = hit if acc is None else (acc | hit)
+                            ng = jnp.max(acc.astype(i32))
+                            ki_ref[4:5, 0:1] = (
+                                ki_ref[4:5, 0:1]
+                                + ng * i32(len(blks)))
+                            pl.when(ng > 0)(group)
+                        else:
+                            group()
+
+                    # Walk exact full unroll groups, then a log-ladder
+                    # tail (finding 58): the former tail-clamp re-walked
+                    # the last list entry for up to walk_unroll-1 slots
+                    # per segment — bitwise no-ops but REAL dense tests,
+                    # ~7 wasted windows/iter at wu=8 on the bench
+                    # workload (~11% of iteration time). The ladder
+                    # walks the exact remainder with at most
+                    # log2(walk_unroll) scalar-gated sub-groups, same
+                    # windows in the same ascending order — bitwise:
+                    cnt_main = (cnt // walk_unroll) * walk_unroll
+
+                    def cbody(k):
+                        walk_group([cidx_ref[k + u, 0]
+                                    for u in range(walk_unroll)])
                         return k + walk_unroll
 
-                    jax.lax.while_loop(lambda k: k < cnt, cbody, i32(0))
+                    jax.lax.while_loop(lambda k: k < cnt_main, cbody,
+                                       i32(0))
+                    pos = cnt_main
+                    step = walk_unroll // 2
+                    while step >= 1:
+                        take = (cnt - pos) >= step
+
+                        def _tail(pos=pos, step=step):
+                            walk_group([cidx_ref[pos + u, 0]
+                                        for u in range(step)])
+
+                        pl.when(take)(_tail)
+                        pos = pos + jnp.where(take, i32(step), i32(0))
+                        step //= 2
                 elif compact:
                     # ---- compacted lane-quarter walk (finding 53): one
                     # compacted index list PER width-WQ lane quarter (the
@@ -1623,23 +1693,32 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     # order is kept anyway:
                     cntw = compact_indices(wf_ref[:], 0)
 
+                    # Exact full unroll groups + log-ladder tail (the
+                    # walk's finding-58 discipline): the former sentinel
+                    # tail slots ran REAL payload dots against the
+                    # zero-contribution NBLK block — ~1.5 wasted
+                    # pay_blocks/iter at pu=4 (winners ~5/iter):
+                    cntw_main = (cntw // pay_unroll) * pay_unroll
+
                     def pbody(k):
-                        # pay_unroll > 1 amortises the per-iteration
-                        # branch/refill like walk_unroll; accumulation
-                        # is NOT idempotent, so tail slots pass the
-                        # out-of-range NBLK sentinel (zero one-hot —
-                        # exact-zero contribution) instead of re-running
-                        # a block:
-                        pay_block(cidx_ref[k, 0])
-                        for u in range(1, pay_unroll):
-                            bu = jnp.where(
-                                k + u < cntw,
-                                cidx_ref[jnp.minimum(k + u, cntw - 1), 0],
-                                i32(NBLK))
-                            pay_block(bu)
+                        for u in range(pay_unroll):
+                            pay_block(cidx_ref[k + u, 0])
                         return k + pay_unroll
 
-                    jax.lax.while_loop(lambda k: k < cntw, pbody, i32(0))
+                    jax.lax.while_loop(lambda k: k < cntw_main, pbody,
+                                       i32(0))
+                    posw = cntw_main
+                    stepw = pay_unroll // 2
+                    while stepw >= 1:
+                        takew = (cntw - posw) >= stepw
+
+                        def _ptail(posw=posw, stepw=stepw):
+                            for u in range(stepw):
+                                pay_block(cidx_ref[posw + u, 0])
+
+                        pl.when(takew)(_ptail)
+                        posw = posw + jnp.where(takew, i32(stepw), i32(0))
+                        stepw //= 2
                 else:
                     def wpay(b, _):
                         pl.when(wf_ref[b, 0] > 0)(
@@ -2064,6 +2143,7 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
+                     "walk_fresh",
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
@@ -2207,6 +2287,24 @@ def megakernel_path_trace(
                                  # (resolve_walk_policy: on past ~64
                                  # blocks, finding 56). RAY_CULL2 in
                                  # streaming.
+    walk_fresh: bool | None = None,
+                                 # fresh per-group walk gates (finding
+                                 # 58): before each unroll group of the
+                                 # compacted walk, re-check the group
+                                 # windows' stored entry bounds against
+                                 # the CURRENT best_t and skip settled
+                                 # groups — captures the conservative-
+                                 # cull overshoot (40% of walked
+                                 # windows at sub=16/rf1 vs the
+                                 # converged oracle) without the bulk
+                                 # refresh's rank/extract re-runs.
+                                 # Bitwise-identical (the refresh's own
+                                 # lower-bound contract). Needs the
+                                 # [nbs, br] tin scratch (allocated
+                                 # when on, subject to the same 4 MB
+                                 # cap). None = auto (off pending the
+                                 # hardware A/B). RAY_FRESH overrides
+                                 # via streaming.
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -2390,6 +2488,15 @@ def megakernel_path_trace(
                   and not (hbm or two_level))
     mxu_on = walk_mxu and compact_on and subq == 1
     cull2_on = bool(walk_cull2) and compact_on and subq == 1
+    # Fresh per-group walk gates (see the walk_fresh param note):
+    fresh_on = bool(walk_fresh) and compact_on and subq == 1
+    if (fresh_on and not reflag_on
+            and nbs_c * br * (2 if tin16 else 4) >= (4 << 20)):
+        # The gates need the [nbs, br] entry-bound scratch; past the
+        # reflag ladder's VMEM cap (with no reflag already paying for
+        # it) drop the gates rather than risk a compile OOM:
+        fresh_on = False
+    tin_on = reflag_on or fresh_on
     if walk_unroll is None:
         # Keep ~256 tri-rows of independent dense chains in flight per
         # loop iteration: wu=8 at 32-tri windows (finding 52: beats wu=4
@@ -2434,8 +2541,8 @@ def megakernel_path_trace(
                        jnp.int32),
             # per-lane entry bounds for mid-walk flag refreshes
             # (bf16 when tin16 — see the param note):
-            pltpu.VMEM((nbs_c if reflag_on else 1,
-                        br if reflag_on else 1),
+            pltpu.VMEM((nbs_c if tin_on else 1,
+                        br if tin_on else 1),
                        jnp.bfloat16 if tin16 else jnp.float32),
             # env radiance staging (when an env MLP is fused in):
             pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
@@ -2488,7 +2595,7 @@ def megakernel_path_trace(
         use_cull=cull_on, sub=sub, subq=subq, compact=compact_on,
         walk_unroll=max(1, walk_unroll), pay_unroll=max(1, pay_unroll),
         walk_mxu=mxu_on, walk_cull2=cull2_on, tin16=bool(tin16),
-        reflag=reflag, env_cfg=env_cfg,
+        reflag=reflag, fresh=fresh_on, env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,

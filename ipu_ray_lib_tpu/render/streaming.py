@@ -428,6 +428,22 @@ def cull2_override() -> bool | None:
     return None
 
 
+def fresh_override() -> bool | None:
+    """Fresh per-group walk gates for the compacted VMEM walk
+    (megakernel ``walk_fresh``, finding 58): before each unroll group,
+    re-check the group windows' stored entry bounds against the CURRENT
+    best_t and skip settled groups — captures conservative-cull
+    overshoot without the bulk refresh's rank/extract re-runs;
+    bitwise-identical. ``RAY_FRESH=1`` forces on, ``RAY_FRESH=0`` forces
+    off; unset/garbage = auto."""
+    v = os.environ.get("RAY_FRESH", "")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return None
+
+
 def subq_granularity() -> int:
     """Lane-quarter walk granularity for the flat VMEM megakernel walk
     (megakernel ``subq``): each width-(br/subq) lane slice walks only its
@@ -572,6 +588,7 @@ def render_streaming(
                     walk_compact=walk_compact_enabled(),
                 walk_mxu=walk_mxu_enabled(),
                 walk_cull2=cull2_override(),
+                walk_fresh=fresh_override(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
@@ -616,6 +633,7 @@ def render_streaming(
                 walk_compact=walk_compact_enabled(),
                 walk_mxu=walk_mxu_enabled(),
                 walk_cull2=cull2_override(),
+                walk_fresh=fresh_override(),
                 # hbm_reflag is a static cache-key arg read only by the
                 # HBM walk — pass it conditionally so sweeping
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:

@@ -55,6 +55,15 @@ def mega_scene():
     dict(walk_compact=True),
     dict(walk_compact=True, reflag=1),
     dict(walk_compact=True, sub=2),
+    # Fresh per-group walk gates (finding 58): re-checking stored entry
+    # bounds against the CURRENT best_t only skips windows that cannot
+    # improve any lane — bitwise at every granularity/refresh/cull2
+    # combo, including rf=0 (scratch allocated for the gates alone):
+    dict(walk_fresh=True),
+    dict(walk_fresh=True, reflag=0),
+    dict(walk_fresh=True, sub=16, reflag=1),
+    dict(walk_fresh=True, sub=16, reflag=0, walk_cull2=True),
+    dict(walk_fresh=True, sub=8, walk_unroll=4),
     # Two-level flag pass (walk_cull2): coarse-group slab + refinement
     # must produce the identical flags (f32 monotonicity contract) and
     # hence bitwise-identical walks at every granularity/refresh combo:
