@@ -33,7 +33,7 @@ def main():
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     brs = [1024]
     subqs = [1]
-    nowalk = cullonly = stub = compact = nodots = False
+    nowalk = cullonly = stub = compact = nodots = constpb = False
     mxu = False
     cull2 = None
     fresh = None
@@ -63,6 +63,8 @@ def main():
             cull2 = bool(int(a[6:]))
         elif a.startswith("fresh="):
             fresh = bool(int(a[6:]))
+        elif a.startswith("constpb="):
+            constpb = bool(int(a[8:]))
         elif a.startswith("pay2="):
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
@@ -123,6 +125,7 @@ def main():
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots, walk_mxu=mxu,
+            _timing_const_pb=constpb,
             walk_cull2=cull2, walk_fresh=fresh,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
             walk_unroll=wu1, pay_unroll=pu,
@@ -142,6 +145,7 @@ def main():
                **({"stub": 1} if stub else {}),
                **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
+               **({"constpb": 1} if constpb else {}),
                **({"mxu": 1} if mxu else {}),
                **({"cull2": int(cull2)} if cull2 is not None else {}),
                **({"fresh": int(fresh)} if fresh is not None else {}),

@@ -327,7 +327,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
-                 fresh=False,
+                 fresh=False, near=False,
                  walk_unroll=1, pay_unroll=1, walk_mxu=False,
                  walk_cull2=False, tin16=False,
                  env_cfg=None,
@@ -337,6 +337,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  hbm_pay_gate=True, hbm_pb_stage=False,
                  _timing_no_dots=False, _timing_no_walk=False,
                  _timing_cull_only=False, _timing_stub_walk=False,
+                 _timing_const_pb=False,
                  _timing_double_pay=False, _timing_double_prep=False,
                  _timing_double_scan=False, _timing_double_refine=False,
                  _timing_double_dense=False, _timing_double_gate=False,
@@ -377,8 +378,15 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     #                          DMAs after the first wait (same source,
     #                          same destination: marginal = DMA overhead)
     # All synth variants imply the _timing_no_dots payload handling:
+    #   _timing_const_pb: full walk with the dense chain's identical op
+    #                     sequence, but every pb COLUMN READ + lane-
+    #                     broadcast replaced by a constant offset of the
+    #                     loop-invariant tri-lane iota (already [TBW, WQ]
+    #                     — no loads, no relayouts). (nodots) - (constpb)
+    #                     isolates the per-window column-slice/broadcast
+    #                     cost a broadcast-free table layout would buy:
     _timing_synth = (_timing_no_walk or _timing_cull_only
-                     or _timing_stub_walk)
+                     or _timing_stub_walk or _timing_const_pb)
     _timing_no_dots = _timing_no_dots or _timing_synth
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -706,12 +714,27 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                                               jnp.abs(oq[1])),
                                   jnp.abs(oq[2]))
             if mx is None:
-                pb = p_ref[pl.ds(blk * TBW, TBW), :]       # [TBW, 16]
+                if _timing_const_pb:
+                    # Timing probe (see the ladder note): identical op
+                    # sequence, but column reads come from constant
+                    # offsets of the pre-built iota — no dynamic-slice
+                    # load, no [TBW, 1] -> [TBW, WQ] lane-broadcasts.
+                    # Distinct offsets keep Mosaic from CSE-collapsing
+                    # the chains:
+                    _tlf = tri_lane_c.astype(f32)
+
+                    def _col(c):
+                        return _tlf + f32(0.01 * (c + 1))
+                else:
+                    pb = p_ref[pl.ds(blk * TBW, TBW), :]   # [TBW, 16]
+
+                    def _col(c):
+                        return pb[:, c:c + 1]
 
                 def tdot(c0, rr):
-                    return (pb[:, c0:c0 + 1] * rr[0]
-                            + pb[:, c0 + 1:c0 + 2] * rr[1]
-                            + pb[:, c0 + 2:c0 + 3] * rr[2])
+                    return (_col(c0) * rr[0]
+                            + _col(c0 + 1) * rr[1]
+                            + _col(c0 + 2) * rr[2])
 
                 on = tdot(3, oq)
                 dn = tdot(3, dq)
@@ -728,9 +751,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 # f32-comparable but NOT identical to the VPU FMA chain,
                 # so the acceptance band below widens by _MXU_BAND:
                 pb, on, dn, og1, dg1, og2, dg2 = mx
-            tnp0 = pb[:, 0:1]
-            g1p0 = pb[:, 1:2]
-            g2p0 = pb[:, 2:3]
+
+                def _col(c):
+                    return pb[:, c:c + 1]
+            tnp0 = _col(0)
+            g1p0 = _col(1)
+            g2p0 = _col(2)
             r = pl.reciprocal(dn, approx=True)
             r = r * (2.0 - dn * r)
             t = (tnp0 - on) * r
@@ -741,8 +767,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # point always passes in at least one incident triangle
             # (constants.py WATERTIGHT_EPS_SCALE derivation; ref
             # src/Mesh.cpp:8-104 contract):
-            et = (pb[:, 14:15] + jnp.abs(on)) * jnp.abs(r)
-            band = pb[:, 12:13] + pb[:, 13:14] * (omq + et)
+            et = (_col(14) + jnp.abs(on)) * jnp.abs(r)
+            band = _col(12) + _col(13) * (omq + et)
             if mx is not None:
                 # HIGHEST matmul error bound: each f32 operand splits
                 # into 3 bf16 terms (24 mantissa bits, residuals exact),
@@ -781,9 +807,27 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # deferred — round-2 measured them inline at ~9% of kernel
             # time):
             row_g = bi + blk * TBW                    # global tri row
+            # Lexicographic (t, row) winner merge — only under reordered
+            # walks (near): within a window the min-row tie-break above
+            # picks the lowest tri row at the winning t; the explicit
+            # equal-t clause extends that across windows, making the
+            # folded result WALK-ORDER-INDEPENDENT (min over (t, row)
+            # pairs). Ascending-index walks produce exactly this result
+            # already (a later window's rows are strictly larger, so
+            # equal-t keeps the first = lowest row) — the clause is
+            # semantically a no-op there and is skipped to save its
+            # ~4 [1, br] vops/window. The skip contracts stay safe
+            # under reordering: stored entry bounds are STRICTLY below
+            # any contained hit t (_SLAB_LO / _TIN16_SHRINK shrink), so
+            # a window containing an equal-t lower-row candidate still
+            # compares tin < best_t and is never dropped:
             if subq == 1:
+                upd = better
+                if near:
+                    upd = better | ((bt == best_t) & (bt < _INF)
+                                    & (row_g < ki_ref[7:8, :]))
                 bt_ref[:] = jnp.where(better, bt, best_t)
-                ki_ref[7:8, :] = jnp.where(better, row_g, ki_ref[7:8, :])
+                ki_ref[7:8, :] = jnp.where(upd, row_g, ki_ref[7:8, :])
             else:
                 lcs = pl.ds(q * WQ, WQ)
                 bt_ref[:, lcs] = jnp.where(better, bt, best_t)
@@ -2150,6 +2194,7 @@ def _analytic_tables(scene):
                      "hbm_sub", "hbm_wu", "hbm_pay_gate", "hbm_pb_stage",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
+                     "_timing_const_pb",
                      "_timing_double_pay", "_timing_double_prep",
                      "_timing_double_scan", "_timing_double_refine",
                      "_timing_double_dense", "_timing_double_gate",
@@ -2318,6 +2363,7 @@ def megakernel_path_trace(
     _timing_no_walk: bool = False,
     _timing_cull_only: bool = False,
     _timing_stub_walk: bool = False,
+    _timing_const_pb: bool = False,
     _timing_double_pay: bool = False,
     _timing_double_prep: bool = False,
     _timing_double_scan: bool = False,
@@ -2605,6 +2651,7 @@ def megakernel_path_trace(
         _timing_no_walk=_timing_no_walk,
         _timing_cull_only=_timing_cull_only,
         _timing_stub_walk=_timing_stub_walk,
+        _timing_const_pb=_timing_const_pb,
         _timing_double_pay=_timing_double_pay,
         _timing_double_prep=_timing_double_prep,
         _timing_double_scan=_timing_double_scan,
