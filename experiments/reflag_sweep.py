@@ -34,6 +34,7 @@ def main():
     brs = [1024]
     subqs = [1]
     nowalk = cullonly = stub = compact = nodots = constpb = False
+    cull = True
     mxu = False
     cull2 = None
     fresh = None
@@ -65,6 +66,14 @@ def main():
             fresh = bool(int(a[6:]))
         elif a.startswith("constpb="):
             constpb = bool(int(a[8:]))
+        elif a.startswith("cull="):
+            # cull=0 forces EVERY window through the (gated) walk each
+            # iteration: identical control flow regardless of hit
+            # semantics, which is what makes constpb=0 vs constpb=1
+            # a valid marginal comparison (finding 59 — the cull-on
+            # probe diverged to 3.98 windows/iter when the constant
+            # columns made every ray miss):
+            cull = bool(int(a[5:]))
         elif a.startswith("pay2="):
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
@@ -125,7 +134,7 @@ def main():
             _timing_no_walk=nowalk, _timing_cull_only=cullonly,
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots, walk_mxu=mxu,
-            _timing_const_pb=constpb,
+            _timing_const_pb=constpb, use_cull=cull,
             walk_cull2=cull2, walk_fresh=fresh,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
             walk_unroll=wu1, pay_unroll=pu,
@@ -146,6 +155,7 @@ def main():
                **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
                **({"constpb": 1} if constpb else {}),
+               **({"cull": 0} if not cull else {}),
                **({"mxu": 1} if mxu else {}),
                **({"cull2": int(cull2)} if cull2 is not None else {}),
                **({"fresh": int(fresh)} if fresh is not None else {}),
