@@ -2187,7 +2187,7 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
-                     "walk_fresh",
+                     "walk_fresh", "walk_near",
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
@@ -2350,6 +2350,19 @@ def megakernel_path_trace(
                                  # cap). None = auto (off pending the
                                  # hardware A/B). RAY_FRESH overrides
                                  # via streaming.
+    walk_near: bool = False,     # lexicographic (t, row) winner merge
+                                 # (finding 59): makes the folded
+                                 # winner row walk-order-INDEPENDENT
+                                 # (min over (t, row) pairs), the
+                                 # contract a near-ordered/reordered
+                                 # walk would need. On ascending-index
+                                 # walks it is a semantic no-op (a
+                                 # later window's rows are strictly
+                                 # larger, equal-t keeps the first =
+                                 # lowest row) — bitwise-gated as such;
+                                 # costs ~4 [1, br] vops/window, so
+                                 # default off until a reordered walk
+                                 # ships.
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -2641,7 +2654,8 @@ def megakernel_path_trace(
         use_cull=cull_on, sub=sub, subq=subq, compact=compact_on,
         walk_unroll=max(1, walk_unroll), pay_unroll=max(1, pay_unroll),
         walk_mxu=mxu_on, walk_cull2=cull2_on, tin16=bool(tin16),
-        reflag=reflag, fresh=fresh_on, env_cfg=env_cfg,
+        reflag=reflag, fresh=fresh_on, near=bool(walk_near),
+        env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,

@@ -64,6 +64,14 @@ def mega_scene():
     dict(walk_fresh=True, sub=16, reflag=1),
     dict(walk_fresh=True, sub=16, reflag=0, walk_cull2=True),
     dict(walk_fresh=True, sub=8, walk_unroll=4),
+    # Lexicographic (t, row) winner merge (walk_near, finding 59): on
+    # the ascending-index walks shipped today the equal-t clause is a
+    # semantic no-op (later windows' rows are strictly larger), so it
+    # must be bitwise — the gate that licenses reordered walks later:
+    dict(walk_near=True),
+    dict(walk_near=True, sub=16, reflag=0),
+    dict(walk_near=True, walk_cull2=True, sub=8),
+    dict(walk_near=True, walk_fresh=True, sub=16),
     # Two-level flag pass (walk_cull2): coarse-group slab + refinement
     # must produce the identical flags (f32 monotonicity contract) and
     # hence bitwise-identical walks at every granularity/refresh combo:
