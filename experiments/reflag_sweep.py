@@ -34,6 +34,7 @@ def main():
     brs = [1024]
     subqs = [1]
     nowalk = cullonly = stub = compact = nodots = constpb = False
+    vd2 = vd2c = False
     cull = True
     mxu = False
     cull2 = None
@@ -66,6 +67,10 @@ def main():
             fresh = bool(int(a[6:]))
         elif a.startswith("constpb="):
             constpb = bool(int(a[8:]))
+        elif a.startswith("vd2="):
+            vd2 = bool(int(a[4:]))
+        elif a.startswith("vd2c="):
+            vd2c = bool(int(a[5:]))
         elif a.startswith("cull="):
             # cull=0 forces EVERY window through the (gated) walk each
             # iteration: identical control flow regardless of hit
@@ -135,6 +140,8 @@ def main():
             _timing_stub_walk=stub, walk_compact=compact,
             _timing_no_dots=nodots, walk_mxu=mxu,
             _timing_const_pb=constpb, use_cull=cull,
+            _timing_double_vdense=vd2,
+            _timing_double_vdense_const=vd2c,
             walk_cull2=cull2, walk_fresh=fresh,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
             walk_unroll=wu1, pay_unroll=pu,
@@ -155,6 +162,8 @@ def main():
                **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
                **({"constpb": 1} if constpb else {}),
+               **({"vd2": 1} if vd2 else {}),
+               **({"vd2c": 1} if vd2c else {}),
                **({"cull": 0} if not cull else {}),
                **({"mxu": 1} if mxu else {}),
                **({"cull2": int(cull2)} if cull2 is not None else {}),

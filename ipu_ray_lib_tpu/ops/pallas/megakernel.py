@@ -343,6 +343,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  _timing_double_dense=False, _timing_double_gate=False,
                  _timing_double_dense_fixed=False,
                  _timing_double_dma=False,
+                 _timing_double_vdense=False,
+                 _timing_double_vdense_const=False,
                  _count_oracle=False):
     # Timing-instrumentation ladder (each synthesizes a diffuse hit at
     # t=1 for every active lane, so radiometry is meaningless but
@@ -377,6 +379,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     #   _timing_double_dma:    (hbm) re-issue + re-wait each super's two
     #                          DMAs after the first wait (same source,
     #                          same destination: marginal = DMA overhead)
+    #   _timing_double_vdense: (VMEM compact walk) re-run each listed
+    #                          window's full dense chain (strict-< merge
+    #                          writes nothing: marginal = per-window
+    #                          dense cost INCLUDING the pb dynamic-slice
+    #                          load + column broadcasts)
+    #   _timing_double_vdense_const: (VMEM compact walk) run a dense-
+    #                          chain twin per listed window with every pb
+    #                          column read + lane-broadcast replaced by a
+    #                          blk-dependent offset of the tri-lane iota;
+    #                          folded via a never-true compare. (vdense
+    #                          marginal) - (this marginal) isolates the
+    #                          pb load/slice/broadcast cost a broadcast-
+    #                          free table layout would buy (finding 59;
+    #                          valid unlike _timing_const_pb, whose
+    #                          constant columns change hit semantics and
+    #                          hence iteration counts)
     # All synth variants imply the _timing_no_dots payload handling:
     #   _timing_const_pb: full walk with the dense chain's identical op
     #                     sequence, but every pb COLUMN READ + lane-
@@ -385,6 +403,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     #                     — no loads, no relayouts). (nodots) - (constpb)
     #                     isolates the per-window column-slice/broadcast
     #                     cost a broadcast-free table layout would buy:
+    if _timing_double_vdense or _timing_double_vdense_const:
+        if not (compact and subq == 1) or walk_mxu:
+            raise ValueError(
+                "_timing_double_vdense[_const] probes instrument the "
+                "compacted subq==1 non-MXU walk only")
     _timing_synth = (_timing_no_walk or _timing_cull_only
                      or _timing_stub_walk or _timing_const_pb)
     _timing_no_dots = _timing_no_dots or _timing_synth
@@ -833,6 +856,50 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 bt_ref[:, lcs] = jnp.where(better, bt, best_t)
                 ki_ref[7:8, lcs] = jnp.where(better, row_g,
                                              ki_ref[7:8, lcs])
+
+        def _vdense_const_probe(blk):
+            # Dense-chain twin of do_block (subq==1) with every pb column
+            # read + lane-broadcast replaced by a blk-dependent offset of
+            # the loop-invariant tri-lane iota — no dynamic-slice window
+            # load, no [TBW, 1] -> [TBW, br] relayouts; the blk term keeps
+            # the unrolled group's twins CSE-distinct (the flaw that
+            # invalidated running _timing_const_pb under the unrolled
+            # compact walk). Results fold into the oracle-diag lane via a
+            # never-true compare so radiometry and walk statistics stay
+            # bitwise-identical; see the probe-ladder note (finding 59):
+            base = jnp.asarray(blk).astype(f32) + tri_lane_c.astype(f32)
+
+            def _col(c):
+                return base + f32(0.01 * (c + 1))
+
+            def tdot(c0, rr):
+                return (_col(c0) * rr[0] + _col(c0 + 1) * rr[1]
+                        + _col(c0 + 2) * rr[2])
+
+            on = tdot(3, o)
+            dn = tdot(3, d)
+            og1 = tdot(6, o)
+            dg1 = tdot(6, d)
+            og2 = tdot(9, o)
+            dg2 = tdot(9, d)
+            r = pl.reciprocal(dn, approx=True)
+            r = r * (2.0 - dn * r)
+            t = (_col(0) - on) * r
+            b1 = og1 + t * dg1 - _col(1)
+            b2 = og2 + t * dg2 - _col(2)
+            et = (_col(14) + jnp.abs(on)) * jnp.abs(r)
+            band = _col(12) + _col(13) * (o_mag + et)
+            eps = jnp.minimum(band, np.float32(1e-3))
+            ok = ((jnp.minimum(b1, b2) >= -eps) & (b1 + b2 <= 1.0 + eps)
+                  & (t > 0.0))
+            tm = jnp.where(ok, t, _INF)
+            bt = jnp.min(tm, axis=0, keepdims=True)
+            bi = jnp.min(jnp.where(tm <= bt, tri_lane_c, i32(0x7FFFFFFF)),
+                         axis=0, keepdims=True)
+            better = (bt < bt_ref[:]) & (bt < _INF)
+            ki_ref[6:7, :] = ki_ref[6:7, :] + (
+                better & (bt == f32(12345.678e12))
+                & (bi == i32(-777))).astype(i32)
 
         if _timing_no_dots:
             # Plausible fixed material so path statistics stay realistic:
@@ -1516,6 +1583,13 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                             else:
                                 for blk in blks:
                                     do_block(blk)
+                                    if _timing_double_vdense:
+                                        # Idempotent re-run (strict-<
+                                        # merge): marginal = full
+                                        # per-window dense cost:
+                                        do_block(blk)
+                                    if _timing_double_vdense_const:
+                                        _vdense_const_probe(blk)
 
                         if fresh:
                             # Fresh per-group gate (finding 58): the
@@ -2200,6 +2274,7 @@ def _analytic_tables(scene):
                      "_timing_double_dense", "_timing_double_gate",
                      "_timing_double_dense_fixed",
                      "_timing_double_dma",
+                     "_timing_double_vdense", "_timing_double_vdense_const",
                      "_count_oracle"),
 )
 def megakernel_path_trace(
@@ -2385,6 +2460,8 @@ def megakernel_path_trace(
     _timing_double_gate: bool = False,
     _timing_double_dense_fixed: bool = False,
     _timing_double_dma: bool = False,
+    _timing_double_vdense: bool = False,
+    _timing_double_vdense_const: bool = False,
     _count_oracle: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
@@ -2674,6 +2751,8 @@ def megakernel_path_trace(
         _timing_double_gate=_timing_double_gate,
         _timing_double_dense_fixed=_timing_double_dense_fixed,
         _timing_double_dma=_timing_double_dma,
+        _timing_double_vdense=_timing_double_vdense,
+        _timing_double_vdense_const=_timing_double_vdense_const,
         _count_oracle=_count_oracle,
     )
     if env_cfg is not None:
