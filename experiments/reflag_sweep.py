@@ -40,6 +40,7 @@ def main():
     cull2 = None
     fresh = None
     pay2 = prep2 = False
+    payt = None
     wu = [None]
     subs = [None]
     pu = 1
@@ -79,6 +80,8 @@ def main():
             # probe diverged to 3.98 windows/iter when the constant
             # columns made every ray miss):
             cull = bool(int(a[5:]))
+        elif a.startswith("payt="):
+            payt = bool(int(a[5:]))
         elif a.startswith("pay2="):
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
@@ -144,7 +147,7 @@ def main():
             _timing_double_vdense_const=vd2c,
             walk_cull2=cull2, walk_fresh=fresh,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
-            walk_unroll=wu1, pay_unroll=pu,
+            walk_unroll=wu1, pay_unroll=pu, pay_fused=payt,
             return_stats=True)
         flat, done, iters, blocks, *rest = f()  # compile + warm
         dt = float("inf")
@@ -171,6 +174,7 @@ def main():
                **({"stress": stress_grid} if stress_grid else {}),
                **({"maxlen": maxlen} if maxlen else {}),
                **({"pay2": 1} if pay2 else {}),
+               **({"payt": int(payt)} if payt is not None else {}),
                **({"prep2": 1} if prep2 else {}),
                **({"wu": wu1} if wu1 is not None else {}),
                **({"sub": sb1} if sb1 is not None else {}),

@@ -327,7 +327,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
-                 fresh=False, near=False,
+                 fresh=False, near=False, pay_fused=False,
                  walk_unroll=1, pay_unroll=1, walk_mxu=False,
                  walk_cull2=False, tin16=False,
                  env_cfg=None,
@@ -1711,7 +1711,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # lane's winner lives in a different block:
             row = ki_ref[7:8, :]
             blkw = row // i32(TB)                 # -1 for no-hit lanes
-            NBLK = nrm_ref.shape[1] // (3 * TB)
+            NBLK = nrm_ref.shape[1] // (TB if pay_fused else 3 * TB)
             tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
             nd_ = (((1,), (0,)), ((), ()))
 
@@ -1722,6 +1722,44 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 bs = jnp.minimum(b, i32(NBLK - 1))
                 rel = row - b * TB
                 w1 = (tri128 == rel).astype(f32)
+                if pay_fused:
+                    # Fused payload table (tables.payt): ONE [64, TB] x
+                    # [TB, br] one-hot dot per winner block replaces the
+                    # two dots + in-kernel bf16 split + 4-slice concat
+                    # below. Rows 0:36 hold the host-precomputed
+                    # hi/mid/lo bf16 split of the 12 p columns (each
+                    # value bf16-representable, stored f32), rows 36:55
+                    # the nrm candidate rows — so a DEFAULT-precision
+                    # dot selects exactly the bf16 factors the explicit
+                    # bf16 dot selected on TPU, and exactly the f32
+                    # values on CPU: bitwise-identical both ways (see
+                    # the tables.payt docstring; gated in
+                    # tests/test_megakernel_variants.py):
+                    out = jax.lax.dot_general(
+                        nrm_ref[:, pl.ds(bs * TB, TB)], w1, nd_,
+                        preferred_element_type=f32)          # [64, br]
+                    pc = (out[0:12] + out[12:24]) + out[24:36]
+                    mine = blkw == b
+                    on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
+                    dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
+                    og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
+                    dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
+                    og2w = (pc[9:10] * o[0] + pc[10:11] * o[1]
+                            + pc[11:12] * o[2])
+                    dg2w = (pc[9:10] * d[0] + pc[10:11] * d[1]
+                            + pc[11:12] * d[2])
+                    r_w = pl.reciprocal(dn_w, approx=True)
+                    r_w = r_w * (2.0 - dn_w * r_w)
+                    t_w = (pc[0:1] - on_w) * r_w
+                    b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
+                    b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
+                    b1b = b1w.astype(jnp.bfloat16).astype(f32)
+                    b2b = b2w.astype(jnp.bfloat16).astype(f32)
+                    n_interp = out[44:47] * b1b + out[52:55] * b2b
+                    bn_ref[:] = bn_ref[:] + jnp.concatenate(
+                        [out[36:39] + n_interp, out[39:44]], axis=0)
+                    bm_ref[:] = bm_ref[:] + out[44:52]
+                    return
                 # Re-derive the winner's barycentrics from its p-row,
                 # extracted by the one-hot. The extraction must be EXACT
                 # (the [1, br] recompute below repeats do_block's exact
@@ -2261,7 +2299,7 @@ def _analytic_tables(scene):
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
-                     "walk_fresh", "walk_near",
+                     "walk_fresh", "walk_near", "pay_fused",
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
@@ -2438,6 +2476,16 @@ def megakernel_path_trace(
                                  # costs ~4 [1, br] vops/window, so
                                  # default off until a reordered walk
                                  # ships.
+    pay_fused: bool | None = None,  # fused deferred-payload table
+                                 # (tables.payt): one [64, TB] x
+                                 # [TB, br] one-hot dot per winner
+                                 # block instead of two dots + an
+                                 # in-kernel bf16 split. Bitwise-
+                                 # identical (see tables.payt). None =
+                                 # auto (on whenever the scene built
+                                 # the table — VMEM scenes up to
+                                 # tables.PAYT_MAX_TRIS); RAY_PAYT=0/1
+                                 # overrides the auto at the callers.
     walk_compact: bool = True,   # compacted flat walk + winner-payload
                                  # dispatch (finding 48): branch-free
                                  # index-list walks instead of per-block
@@ -2508,6 +2556,7 @@ def megakernel_path_trace(
         # here (and not built at all above the VMEM ceiling):
         p_in = tables.pn8
         nrm_in = jnp.zeros((8, 128), jnp.float32)
+        pay_fused = False      # HBM payload rides pn8/pay8, not nrm
         hbm_split = tables.pay8 is not None
         pay_in = (tables.pay8 if hbm_split
                   else jnp.zeros((8, 128), jnp.bfloat16))
@@ -2569,7 +2618,20 @@ def megakernel_path_trace(
                 "exceeds tables.VMEM_TABLE_MAX_TRIS); use the "
                 "pallas-hbm intersector, or rebuild with "
                 "build_scene(..., intersector='pallas') to force it")
-        p_in, nrm_in = tables.p, tables.nrm
+        p_in = tables.p
+        if pay_fused is None:
+            # Auto: bind the fused payload table whenever the build made
+            # one (small VMEM scenes; tables.PAYT_MAX_TRIS):
+            pay_fused = tables.payt is not None
+        if pay_fused and tables.payt is None:
+            raise RuntimeError(
+                "pay_fused=True but the scene has no fused payload table "
+                "(tables.payt is only built for VMEM scenes up to "
+                "tables.PAYT_MAX_TRIS)")
+        # The fused table rides the nrm kernel slot (the deferred payload
+        # pass is that slot's only consumer; shapes differ, the static
+        # pay_fused flag selects the read layout):
+        nrm_in = tables.payt if pay_fused else tables.nrm
         hbm_split = False
         pay_in = jnp.zeros((8, 128), jnp.bfloat16)
         if two_level:
@@ -2696,7 +2758,8 @@ def megakernel_path_trace(
             # in-super (sub-)block flags (SB * hbm_sub rows in hbm mode):
             pltpu.VMEM((SB * (hbm_sub if hbm else 1), subq), jnp.int32),
             # Deferred-payload winner-block flags (VMEM walks only):
-            pltpu.VMEM((max(nrm_in.shape[1] // (3 * TB), 1), 1)
+            pltpu.VMEM((max(nrm_in.shape[1] // (TB if pay_fused else 3 * TB),
+                            1), 1)
                        if not hbm else (1, 1), jnp.int32),
             # Compacted-walk index list (flat VMEM walk, finding 48;
             # sublane-major: dynamic scalar reads only work on sublanes):
@@ -2732,6 +2795,7 @@ def megakernel_path_trace(
         walk_unroll=max(1, walk_unroll), pay_unroll=max(1, pay_unroll),
         walk_mxu=mxu_on, walk_cull2=cull2_on, tin16=bool(tin16),
         reflag=reflag, fresh=fresh_on, near=bool(walk_near),
+        pay_fused=bool(pay_fused),
         env_cfg=env_cfg,
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,

@@ -83,6 +83,14 @@ VMEM_TABLE_MAX_TRIS = 65536
 # see build_blocked_tables). RAY_HBM_SPLIT=0/1 overrides:
 HBM_SPLIT_MIN_TRIS = 4_000_000
 
+# Up to this many (padded) triangle rows the fused deferred-payload
+# table ``payt`` is built (256 B/tri of VMEM when the megakernel binds
+# it — 4 MB at the cap, on top of the p/nrm residents, so it is a
+# small-scene table by design; finding 60: the payload pass is 21% of
+# iteration time and payt halves its MXU dispatches + drops the
+# in-kernel bf16 split and slice-concat work):
+PAYT_MAX_TRIS = 16384
+
 
 class BlockedSceneTables(NamedTuple):
     p: jnp.ndarray | None  # [nb*TB, 16] f32 (None above VMEM_TABLE_MAX_TRIS)
@@ -129,6 +137,27 @@ class BlockedSceneTables(NamedTuple):
     saabb: jnp.ndarray    # [ns, 8] f32
     tri_geom: jnp.ndarray  # [nb*TB] i32
     tri_prim: jnp.ndarray  # [nb*TB] i32
+
+    # Fused deferred-payload table (VMEM scenes <= PAYT_MAX_TRIS only):
+    # everything the deferred winner-payload pass needs for block b as
+    # ONE [64, TB] slab at lane offset b*TB, so the pass runs a single
+    # [64, TB] x [TB, br] one-hot dot per winner block instead of two
+    # dots + an in-kernel 3-way bf16 split + a 4-slice concat.
+    #     rows  0:12  bf16-hi  of p[:, 0:12]   (stored upcast to f32)
+    #     rows 12:24  bf16-mid (residual's bf16)
+    #     rows 24:36  bf16-lo  (second residual's bf16)
+    #     rows 36:44  nrm chunk 0 (N0 + albedo + id hi/lo)
+    #     rows 44:52  nrm chunk 1 (dN1 rows 0:3 + type/ior/emission)
+    #     rows 52:55  nrm chunk 2 rows 0:3 (dN2)
+    #     rows 55:64  zero pad
+    # The split triple reconstructs each f32 p value exactly
+    # (hi + mid + lo, each term bf16-representable), so a DEFAULT-
+    # precision dot — which rounds f32 operands through bf16 on TPU —
+    # selects exactly the same bf16 factors the old explicit-bf16 dot
+    # did, and on CPU the f32 dot selects the same stored values the
+    # old path computed in-kernel: bitwise-identical payload on BOTH
+    # platforms (gated in tests/test_megakernel_variants.py):
+    payt: jnp.ndarray | None  # [64, nb*TB] f32
 
     @property
     def num_blocks(self) -> int:
@@ -534,7 +563,32 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         pn8 = np.asarray(p8, np.float32)
         pay8 = nrm8.astype(ml_dtypes.bfloat16).reshape(nb * 24, TB)
 
+    # Fused deferred-payload table (see the payt field docstring). Built
+    # only for small VMEM scenes (256 B/tri of VMEM when bound). The
+    # bf16 splits replicate the kernel's old in-kernel split bitwise:
+    # numpy/ml_dtypes f32->bf16 casts round-to-nearest-even exactly like
+    # XLA's convert, and each residual is exact in f32:
+    payt = None
+    if with_vmem_p and Tp <= PAYT_MAX_TRIS:
+        import ml_dtypes
+
+        pT = np.ascontiguousarray(np.asarray(p, np.float32)[:, 0:12].T)
+        hi = pT.astype(ml_dtypes.bfloat16).astype(np.float32)
+        r1 = pT - hi
+        mid = r1.astype(ml_dtypes.bfloat16).astype(np.float32)
+        lo = (r1 - mid).astype(ml_dtypes.bfloat16).astype(np.float32)
+        n3 = np.asarray(nrm, np.float32).reshape(8, nb, 3, TB)
+        payt = np.zeros((64, nb, TB), np.float32)
+        payt[0:12] = hi.reshape(12, nb, TB)
+        payt[12:24] = mid.reshape(12, nb, TB)
+        payt[24:36] = lo.reshape(12, nb, TB)
+        payt[36:44] = n3[:, :, 0]
+        payt[44:52] = n3[:, :, 1]
+        payt[52:55] = n3[0:3, :, 2]
+        payt = payt.reshape(64, nb * TB)
+
     return BlockedSceneTables(
+        payt=None if payt is None else jnp.asarray(payt),
         p=jnp.asarray(p) if with_vmem_p else None,
         pn8=jnp.asarray(pn8),
         pay8=None if pay8 is None else jnp.asarray(pay8),

@@ -170,7 +170,8 @@ def render_streaming_sharded(
                                     subq_granularity,
                                     walk_compact_enabled,
                                     walk_mxu_enabled,
-                                    cull2_override, fresh_override)
+                                    cull2_override, fresh_override,
+                                    payt_override)
 
     use_mega = _use_megakernel(params, env_fn) and R_local % 256 == 0
     env_cfg = env_weights = None
@@ -218,6 +219,7 @@ def render_streaming_sharded(
                     walk_mxu=walk_mxu_enabled(),
                     walk_cull2=cull2_override(),
                     walk_fresh=fresh_override(),
+                    pay_fused=payt_override(),
                     # Static cache-key arg read only by the HBM walk —
                     # conditional so RAY_HBM_REFLAG sweeps can't force
                     # VMEM-mode recompiles (same as render_streaming):

@@ -413,6 +413,22 @@ def walk_mxu_enabled() -> bool:
     return os.environ.get("RAY_MXU", "0") == "1"
 
 
+def payt_override() -> bool | None:
+    """Fused deferred-payload table for the VMEM megakernel walks
+    (megakernel ``pay_fused``, tables.payt): one [64, TB] x [TB, br]
+    one-hot dot per winner block instead of two dots + an in-kernel
+    bf16 split — bitwise-identical radiometry on CPU and TPU.
+    ``RAY_PAYT=1`` forces on (errors if the scene has no payt table),
+    ``RAY_PAYT=0`` forces off; unset/garbage = auto (on whenever the
+    build made the table — VMEM scenes up to tables.PAYT_MAX_TRIS)."""
+    v = os.environ.get("RAY_PAYT", "")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return None
+
+
 def cull2_override() -> bool | None:
     """Two-level flag computation for the compacted VMEM walk
     (megakernel ``walk_cull2``): coarse 8-row union slab pass + flagged-
@@ -589,6 +605,7 @@ def render_streaming(
                 walk_mxu=walk_mxu_enabled(),
                 walk_cull2=cull2_override(),
                 walk_fresh=fresh_override(),
+                pay_fused=payt_override(),
                     **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
@@ -634,6 +651,7 @@ def render_streaming(
                 walk_mxu=walk_mxu_enabled(),
                 walk_cull2=cull2_override(),
                 walk_fresh=fresh_override(),
+                pay_fused=payt_override(),
                 # hbm_reflag is a static cache-key arg read only by the
                 # HBM walk — pass it conditionally so sweeping
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:

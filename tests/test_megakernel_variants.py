@@ -86,6 +86,17 @@ def mega_scene():
     dict(tin16=False),
     dict(tin16=False, reflag=3),
     dict(tin16=False, walk_cull2=True),
+    # Fused deferred-payload table (pay_fused / tables.payt): one
+    # [64, TB] x [TB, br] dot selects bitwise the same bf16 factors the
+    # two-dot + in-kernel-split form selected (the baseline render runs
+    # pay_fused auto=ON, so forcing it OFF gates fused-vs-unfused, and
+    # the combos gate the fused pass under every walk regime):
+    dict(pay_fused=False),
+    dict(pay_fused=False, sub=16),
+    dict(pay_fused=False, walk_compact=False),
+    dict(pay_fused=True, walk_compact=False),
+    dict(pay_fused=True, walk_cull2=True, sub=8),
+    dict(pay_fused=True, walk_fresh=True, sub=16),
 ])
 def test_walk_variants_bitwise_identical(mega_scene, kw):
     arrays, params, base = mega_scene
