@@ -1715,51 +1715,68 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
             nd_ = (((1,), (0,)), ((), ()))
 
+            def pay_group(bl):
+                # Fused payload table (tables.payt), GROUP form: the
+                # compact winner list is duplicate-free, so each lane's
+                # winner lives in at most ONE of the group's blocks and
+                # the per-block one-hots are lane-disjoint. Stacking
+                # them as extra contraction rows merges the selections
+                # exactly: ONE [64, G*TB] x [G*TB, br] dot returns every
+                # lane its own winner's rows (rows 0:36 the host-
+                # precomputed hi/mid/lo bf16 split of the 12 p columns,
+                # each term bf16-representable and stored f32, rows
+                # 36:55 the nrm candidates — a DEFAULT-precision dot
+                # therefore selects exactly the bf16 factors the old
+                # explicit-bf16 dots selected on TPU, and exactly the
+                # stored f32 values on CPU), and the whole post-dot
+                # payload chain runs ONCE per group instead of once per
+                # block. Bitwise-identical to the per-block dispatch on
+                # both platforms (the extra blocks' zero products add
+                # bitwise-neutrally; gated across walk regimes in
+                # tests/test_megakernel_variants.py):
+                w1 = jnp.concatenate(
+                    [(tri128 == (row - b * TB)) for b in bl],
+                    axis=0).astype(f32)                  # [G*TB, br]
+                lhs = (nrm_ref[:, pl.ds(jnp.minimum(bl[0], i32(NBLK - 1))
+                                        * TB, TB)]
+                       if len(bl) == 1 else
+                       jnp.concatenate(
+                           [nrm_ref[:, pl.ds(jnp.minimum(b, i32(NBLK - 1))
+                                             * TB, TB)] for b in bl],
+                           axis=1))                      # [64, G*TB]
+                out = jax.lax.dot_general(
+                    lhs, w1, nd_, preferred_element_type=f32)  # [64, br]
+                pc = (out[0:12] + out[12:24]) + out[24:36]
+                mine = blkw == bl[0]
+                for b in bl[1:]:
+                    mine = mine | (blkw == b)
+                on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
+                dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
+                og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
+                dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
+                og2w = (pc[9:10] * o[0] + pc[10:11] * o[1]
+                        + pc[11:12] * o[2])
+                dg2w = (pc[9:10] * d[0] + pc[10:11] * d[1]
+                        + pc[11:12] * d[2])
+                r_w = pl.reciprocal(dn_w, approx=True)
+                r_w = r_w * (2.0 - dn_w * r_w)
+                t_w = (pc[0:1] - on_w) * r_w
+                b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
+                b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
+                b1b = b1w.astype(jnp.bfloat16).astype(f32)
+                b2b = b2w.astype(jnp.bfloat16).astype(f32)
+                n_interp = out[44:47] * b1b + out[52:55] * b2b
+                bn_ref[:] = bn_ref[:] + jnp.concatenate(
+                    [out[36:39] + n_interp, out[39:44]], axis=0)
+                bm_ref[:] = bm_ref[:] + out[44:52]
+
             def pay_block(b):
-                # Loads clamp b into range (pay_unroll tail slots pass
-                # b == NBLK); the one-hot/mine masks use the UNCLAMPED b,
-                # so an out-of-range slot contributes exact zeros:
+                if pay_fused:
+                    pay_group([b])
+                    return
                 bs = jnp.minimum(b, i32(NBLK - 1))
                 rel = row - b * TB
                 w1 = (tri128 == rel).astype(f32)
-                if pay_fused:
-                    # Fused payload table (tables.payt): ONE [64, TB] x
-                    # [TB, br] one-hot dot per winner block replaces the
-                    # two dots + in-kernel bf16 split + 4-slice concat
-                    # below. Rows 0:36 hold the host-precomputed
-                    # hi/mid/lo bf16 split of the 12 p columns (each
-                    # value bf16-representable, stored f32), rows 36:55
-                    # the nrm candidate rows — so a DEFAULT-precision
-                    # dot selects exactly the bf16 factors the explicit
-                    # bf16 dot selected on TPU, and exactly the f32
-                    # values on CPU: bitwise-identical both ways (see
-                    # the tables.payt docstring; gated in
-                    # tests/test_megakernel_variants.py):
-                    out = jax.lax.dot_general(
-                        nrm_ref[:, pl.ds(bs * TB, TB)], w1, nd_,
-                        preferred_element_type=f32)          # [64, br]
-                    pc = (out[0:12] + out[12:24]) + out[24:36]
-                    mine = blkw == b
-                    on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
-                    dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
-                    og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
-                    dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
-                    og2w = (pc[9:10] * o[0] + pc[10:11] * o[1]
-                            + pc[11:12] * o[2])
-                    dg2w = (pc[9:10] * d[0] + pc[10:11] * d[1]
-                            + pc[11:12] * d[2])
-                    r_w = pl.reciprocal(dn_w, approx=True)
-                    r_w = r_w * (2.0 - dn_w * r_w)
-                    t_w = (pc[0:1] - on_w) * r_w
-                    b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
-                    b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
-                    b1b = b1w.astype(jnp.bfloat16).astype(f32)
-                    b2b = b2w.astype(jnp.bfloat16).astype(f32)
-                    n_interp = out[44:47] * b1b + out[52:55] * b2b
-                    bn_ref[:] = bn_ref[:] + jnp.concatenate(
-                        [out[36:39] + n_interp, out[39:44]], axis=0)
-                    bm_ref[:] = bm_ref[:] + out[44:52]
-                    return
                 # Re-derive the winner's barycentrics from its p-row,
                 # extracted by the one-hot. The extraction must be EXACT
                 # (the [1, br] recompute below repeats do_block's exact
@@ -1857,8 +1874,16 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     cntw_main = (cntw // pay_unroll) * pay_unroll
 
                     def pbody(k):
-                        for u in range(pay_unroll):
-                            pay_block(cidx_ref[k + u, 0])
+                        # Fused mode hands the WHOLE unroll group to one
+                        # pay_group call (one dot + one payload chain for
+                        # pay_unroll winner blocks); unfused keeps the
+                        # per-block dispatch:
+                        if pay_fused:
+                            pay_group([cidx_ref[k + u, 0]
+                                       for u in range(pay_unroll)])
+                        else:
+                            for u in range(pay_unroll):
+                                pay_block(cidx_ref[k + u, 0])
                         return k + pay_unroll
 
                     jax.lax.while_loop(lambda k: k < cntw_main, pbody,
@@ -1869,6 +1894,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                         takew = (cntw - posw) >= stepw
 
                         def _ptail(posw=posw, stepw=stepw):
+                            if pay_fused:
+                                pay_group([cidx_ref[posw + u, 0]
+                                           for u in range(stepw)])
+                                return
                             for u in range(stepw):
                                 pay_block(cidx_ref[posw + u, 0])
 
