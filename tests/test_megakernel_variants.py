@@ -105,6 +105,26 @@ def test_walk_variants_bitwise_identical(mega_scene, kw):
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
 
 
+@pytest.mark.parametrize("br", [128, 256, 1536])
+def test_bundle_width_invariance_bitwise(mega_scene, monkeypatch, br):
+    """Bundle width (br) must not leak into radiometry: the in-kernel
+    RNG is keyed on (path id, bounce) — never on the bundle/lane a path
+    lands in — so at spp=1 (one sample per pixel: no cross-sample
+    accumulation ordering exists) the image must be bitwise identical
+    across bundle widths. Gates tail handling, per-width cull/flag
+    layouts and the winner merge at 128/256 lanes and at the
+    single-bundle width (1536 = all rays in one dispatch). br is forced
+    through _pick_br because the streaming call site's explicit kwarg
+    overrides a functools.partial keyword (same pattern as RAY_SUBQ
+    below)."""
+    from ipu_ray_lib_tpu.render import streaming as S
+    arrays, params, base = mega_scene
+    monkeypatch.setattr(S, "_pick_br", lambda R, J: br)
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg=f"br={br}")
+
+
 @pytest.mark.parametrize("subq,kw", [
     (2, {}),
     (4, {}),
