@@ -128,6 +128,10 @@ def main():
     cols = jnp.asarray(np.pad(cols_np, (0, pad)))
     max_iters = J * spp * params.max_path_length + 16
     log = open(os.path.join(os.path.dirname(__file__), "results.jsonl"), "a")
+    from _health import tunnel_probe_s
+    probe_s = tunnel_probe_s()
+    print(f"# tunnel probe: {probe_s}s ({'healthy' if probe_s < 0.25 else 'DEGRADED'})",
+          flush=True)
 
     import itertools
     for br, rf, sq, wu1, sb1 in itertools.product(
@@ -184,7 +188,7 @@ def main():
                "blocks_per_iter": round(blocks / sq / max(iters, 1), 2),
                "winners_per_iter": round(winners / max(iters, 1), 2),
                "us_per_iter": round(dt * 1e6 / max(iters, 1), 2),
-               "mean": round(mean, 5),
+               "mean": round(mean, 5), "probe_s": probe_s,
                "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
         log.write(json.dumps(rec) + "\n")
         log.flush()

@@ -9,8 +9,11 @@ equivalent implemented here:
 * one ``jax.sharding.Mesh`` with a single ``rays`` axis;
 * scene arrays replicated, ray batches sharded on ``rays`` via
   ``shard_map`` — XLA moves the data over ICI;
-* per-shard RNG derived with ``jax.random.fold_in(key, axis_index)``
-  (the analogue of per-replica xoshiro jump seeds);
+* per-replica RNG: the production streaming path seeds each replica's
+  counter-RNG from a jump-separated host xoroshiro128** stream
+  (``utils.xoshiro.derive_replica_seeds`` — the reference's scheme);
+  the XLA-loop path derives per-shard ``jax.random`` keys with
+  ``fold_in(key, axis_index)``;
 * results gathered back to the host for image assembly — like the
   reference, no collectives are needed during rendering.
 """
@@ -192,10 +195,13 @@ def render_streaming_sharded(
     def make_shard_fn(spp_b):
         max_iters = J * spp_b * params.max_path_length + 16
 
-        def per_shard(scene_rep, rows_s, cols_s, env_p, seed0):
+        def per_shard(scene_rep, rows_s, cols_s, env_p, seed_s):
             dev = jax.lax.axis_index(RAY_AXIS)
-            seed = (seed0.astype(jnp.uint32)
-                    + jnp.uint32(0x9E3779B9) * dev.astype(jnp.uint32))
+            # Per-replica seed: this shard's jump-separated xoroshiro128**
+            # stream (derive_replica_seeds — the reference's per-replica
+            # seeding scheme, ref src/IpuScene.cpp:648-654), already
+            # folded with the spp-batch index on the host:
+            seed = seed_s[0]
             # This device's slice covers padded-stream pixels
             # [dev*R_local*J, (dev+1)*R_local*J); only < n_pix are real:
             n_valid = jnp.clip(
@@ -241,7 +247,7 @@ def render_streaming_sharded(
         return jax.jit(jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(), P(RAY_AXIS)),
             out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
             check_vma=False,
         ))
@@ -256,7 +262,17 @@ def render_streaming_sharded(
         img[order] = a[:n_pix]
         return img.reshape(h, w, 3)
 
-    base_seed = params.rng_seed & 0xFFFFFFFF
+    # Independent per-replica RNG streams via xoroshiro128** jump()
+    # (utils/xoshiro.py) — the TPU twin of the reference's per-replica
+    # seed derivation (ref src/IpuScene.cpp:648-654). The u64 jump seeds
+    # fold to u32 (the kernel's counter-RNG seed width); per spp-batch
+    # decorrelation folds in the batch index with the same golden-ratio
+    # stride the single-device path uses:
+    from ..utils.xoshiro import derive_replica_seeds
+
+    rep64 = derive_replica_seeds(params.rng_seed, n_dev)
+    rep32 = ((rep64 ^ (rep64 >> _np.uint64(32)))
+             & _np.uint64(0xFFFFFFFF)).astype(_np.uint32)
     # Same watchdog discipline as render_streaming: device time per
     # dispatch scales with J * spp_b (paths per lane), so the spp cap
     # alone under-bounds large frames where J is big — cap the product:
@@ -271,8 +287,9 @@ def render_streaming_sharded(
         fn = shard_fns.get(b)
         if fn is None:
             fn = shard_fns[b] = make_shard_fn(b)
-        seed0 = jnp.uint32((base_seed + 0x85EBCA6B * bi) & 0xFFFFFFFF)
-        flat_b, done_b = fn(scene, rows_d, cols_d, env_params, seed0)
+        seeds_b = jnp.asarray(
+            rep32 + _np.uint32((0x85EBCA6B * bi) & 0xFFFFFFFF))
+        flat_b, done_b = fn(scene, rows_d, cols_d, env_params, seeds_b)
         wgt = _np.float32(b / spp)
         flat_acc = (flat_b * wgt if flat_acc is None
                     else flat_acc + flat_b * wgt)

@@ -58,6 +58,28 @@ def test_cli_collada_scene(tmp_path):
     assert img.max() > 0  # some geometry visible
 
 
+def test_cli_scene_cache_round_trip(tmp_path):
+    """--scene-cache DIR: first run saves the compiled-scene bundle,
+    second run loads it and renders the identical image (the user-facing
+    twin of the reference's saveExe/loadExe flow, ipu_utils.hpp:51-76)."""
+    from ipu_ray_lib_tpu.utils.exr import read_exr
+
+    cache = str(tmp_path / "cache")
+    args = ["--scene", "box-simple", "-w", "24", "-H", "24",
+            "--samples", "2", "--chunk-size", "576", "--tpu-only",
+            "--intersector", "dense", "--scene-cache", cache]
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    out1 = _run(tmp_path / "a", *args)
+    bundles = [f for f in os.listdir(cache) if f.endswith(".tprs")]
+    assert len(bundles) == 1
+    out2 = _run(tmp_path / "b", *args)
+    assert len(os.listdir(cache)) == 1  # second run hit the cache
+    a = read_exr(out1 + "_rgb_tpu.exr")
+    b = read_exr(out2 + "_rgb_tpu.exr")
+    np.testing.assert_array_equal(a, b)
+
+
 def test_cli_rejects_bad_args(tmp_path):
     import trace as cli
 

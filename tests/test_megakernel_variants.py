@@ -114,9 +114,10 @@ def test_bundle_width_invariance_bitwise(mega_scene, monkeypatch, br):
     across bundle widths. Gates tail handling, per-width cull/flag
     layouts and the winner merge at 128/256 lanes and at the
     single-bundle width (1536 = all rays in one dispatch). br is forced
-    through _pick_br because the streaming call site's explicit kwarg
-    overrides a functools.partial keyword (same pattern as RAY_SUBQ
-    below)."""
+    by patching _pick_br directly (not via the RAY_BR env hook, which
+    validates v >= 256 and would reject 128): the streaming call site's
+    explicit kwarg overrides a functools.partial keyword, and the kernel
+    itself only requires br % (128 * subq) == 0."""
     from ipu_ray_lib_tpu.render import streaming as S
     arrays, params, base = mega_scene
     monkeypatch.setattr(S, "_pick_br", lambda R, J: br)

@@ -15,6 +15,7 @@ then writes EXR AOVs and reports cross-renderer MSE.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -72,6 +73,13 @@ def add_options(p: argparse.ArgumentParser) -> None:
                         "(with compile-progress heartbeat) and exit without "
                         "executing; the executable lands in the persistent "
                         "compilation cache for later runs.")
+    p.add_argument("--scene-cache", default="",
+                   help="Directory for compiled-scene bundles: imports + BVH "
+                        "build + table packing persist across runs, keyed by "
+                        "the scene-affecting flags (the user-facing twin of "
+                        "the reference's saveExe/loadExe pathway, "
+                        "ipu_utils.hpp:51-76 — XLA executables already "
+                        "persist via the compilation cache).")
     p.add_argument("--log-level", default="info",
                    choices=["trace", "debug", "info", "warn", "err", "critical", "off"])
 
@@ -181,10 +189,8 @@ def main(argv=None) -> int:
     from ipu_ray_lib_tpu.scene.build import build_scene
     from ipu_ray_lib_tpu.utils.image import mse, write_image
 
-    scene = build_scene_description(args)
     window = parse_crop(args.crop)
-    arrays, params, bvh = build_scene(
-        scene,
+    build_kwargs = dict(
         image_width=args.width,
         image_height=args.height,
         window=window,
@@ -195,6 +201,40 @@ def main(argv=None) -> int:
         rng_seed=args.seed,
         intersector=args.intersector,
     )
+
+    cache_path = None
+    if args.scene_cache:
+        # Bundle key: every flag that changes the built scene or params.
+        # Loads rebuild the deterministic intersector tables; everything
+        # expensive (import parse, SAH build, packing) comes from disk:
+        import hashlib
+        import json as _json
+
+        keysrc = _json.dumps(
+            {"scene": args.scene, "mesh": os.path.abspath(args.mesh_file)
+             if args.mesh_file else "", "normals": args.load_normals,
+             "w": args.width, "h": args.height, "crop": args.crop,
+             "aa": args.anti_alias, "mpl": args.max_path_length,
+             "rsd": args.roulette_start_depth, "spp": args.samples,
+             "seed": args.seed, "intersector": args.intersector},
+            sort_keys=True)
+        tag = hashlib.sha1(keysrc.encode()).hexdigest()[:16]
+        os.makedirs(args.scene_cache, exist_ok=True)
+        cache_path = os.path.join(args.scene_cache, f"scene-{tag}.tprs")
+
+    if cache_path is not None and os.path.exists(cache_path):
+        from ipu_ray_lib_tpu.scene.cache import load_compiled_scene
+
+        arrays, params, bvh = load_compiled_scene(cache_path)
+        log.info("Loaded compiled scene from cache: %s", cache_path)
+    else:
+        scene = build_scene_description(args)
+        arrays, params, bvh = build_scene(scene, **build_kwargs)
+        if cache_path is not None:
+            from ipu_ray_lib_tpu.scene.cache import save_compiled_scene
+
+            save_compiled_scene(cache_path, arrays, params, bvh)
+            log.info("Saved compiled scene to cache: %s", cache_path)
     log.info(
         "Scene built: %d geoms, %d BVH nodes (max depth %d), window %dx%d+%d+%d, intersector=%s",
         params.num_geoms, params.num_bvh_nodes, params.bvh_max_depth,
