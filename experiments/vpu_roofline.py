@@ -90,9 +90,8 @@ def main():
     print(f"# tunnel probe: {probe_s}s", flush=True)
     for op, n_ops in OPS_PER_STEP.items():
         kern = _mk_kernel(op, S, iters)
-        f = jax.jit(functools.partial(
-            pl.pallas_call, kern,
-            out_shape=jax.ShapeDtypeStruct((S, 512), f32)))
+        f = jax.jit(pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((S, 512), f32)))
         r = f(x)
         np.asarray(r)  # compile + warm
         dt = float("inf")
