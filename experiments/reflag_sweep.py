@@ -39,7 +39,7 @@ def main():
     mxu = False
     cull2 = None
     fresh = None
-    pay2 = prep2 = False
+    pay2 = prep2 = cam2 = bxdf2 = rng2 = bank2 = False
     payt = None
     wu = [None]
     subs = [None]
@@ -86,6 +86,14 @@ def main():
             pay2 = bool(int(a[5:]))
         elif a.startswith("prep2="):
             prep2 = bool(int(a[6:]))
+        elif a.startswith("cam2="):
+            cam2 = bool(int(a[5:]))
+        elif a.startswith("bxdf2="):
+            bxdf2 = bool(int(a[6:]))
+        elif a.startswith("rng2="):
+            rng2 = bool(int(a[5:]))
+        elif a.startswith("bank2="):
+            bank2 = bool(int(a[6:]))
         elif a.startswith("wu="):
             wu = [int(x) for x in a[3:].split(",")]
         elif a.startswith("pu="):
@@ -151,6 +159,8 @@ def main():
             _timing_double_vdense_const=vd2c,
             walk_cull2=cull2, walk_fresh=fresh,
             _timing_double_pay=pay2, _timing_double_prep=prep2,
+            _timing_double_camera=cam2, _timing_double_bxdf=bxdf2,
+            _timing_double_rng=rng2, _timing_double_bank=bank2,
             walk_unroll=wu1, pay_unroll=pu, pay_fused=payt,
             return_stats=True)
         flat, done, iters, blocks, *rest = f()  # compile + warm
@@ -180,6 +190,10 @@ def main():
                **({"pay2": 1} if pay2 else {}),
                **({"payt": int(payt)} if payt is not None else {}),
                **({"prep2": 1} if prep2 else {}),
+               **({"cam2": 1} if cam2 else {}),
+               **({"bxdf2": 1} if bxdf2 else {}),
+               **({"rng2": 1} if rng2 else {}),
+               **({"bank2": 1} if bank2 else {}),
                **({"wu": wu1} if wu1 is not None else {}),
                **({"sub": sb1} if sb1 is not None else {}),
                **({"pu": pu} if pu != 1 else {}),

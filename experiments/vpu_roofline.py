@@ -34,33 +34,36 @@ G = 8   # independent streams
 U = 4   # chained ops per stream per iteration
 
 
-def _mk_kernel(op, S, iters):
+def _mk_kernel(op, S, iters, dtype=f32):
     def kern(x_ref, o_ref):
-        accs = [x_ref[:] * f32(1.0 + 0.001 * g) for g in range(G)]
+        accs = [(x_ref[:] * f32(1.0 + 0.001 * g)).astype(dtype)
+                for g in range(G)]
 
         def body(i, accs):
             out = []
+            cst = lambda v: jnp.asarray(v, dtype)
             for g, a in enumerate(accs):
-                c = f32(0.9999 + 0.0001 * g)
+                c = cst(0.9999 + 0.0001 * g)
                 for u in range(U):
                     if op == "fma":
-                        a = a * c + f32(1e-7)
+                        a = a * c + cst(1e-7)
                     elif op == "mul":
                         a = a * c
                     elif op == "add":
                         a = a + c
                     elif op == "min":
-                        a = jnp.minimum(a, a * 1.0 + c)  # min feeds next
+                        a = jnp.minimum(a, a * cst(1.0002) + c)
                     elif op == "max":
                         a = jnp.maximum(a, c - a)
                     elif op == "sel":
-                        a = jnp.where(a > c, a * f32(0.9999), a + f32(1e-6))
+                        a = jnp.where(a > c, a * cst(0.9999),
+                                      a + cst(1e-6))
                     elif op == "slab":
                         # One slab-axis step: 2 products vs per-row
                         # consts + min + max + 2 accum — the cull
                         # pass's per-axis op mix:
                         p1 = a * c
-                        p2 = a * f32(1.0001)
+                        p2 = a * cst(1.0001)
                         a = jnp.minimum(p1, p2) + jnp.maximum(p1, p2) * c
                 out.append(a)
             return out
@@ -69,7 +72,7 @@ def _mk_kernel(op, S, iters):
         acc = accs[0]
         for a in accs[1:]:
             acc = acc + a
-        o_ref[:] = acc
+        o_ref[:] = acc.astype(f32)
 
     return kern
 
@@ -82,6 +85,8 @@ OPS_PER_STEP = {"fma": 1, "mul": 1, "add": 1, "min": 2, "max": 2,
 def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    dtype = (jnp.bfloat16 if len(sys.argv) > 3 and sys.argv[3] == "bf16"
+             else f32)
     x = jnp.full((S, 512), 0.5, f32)
     log = open(os.path.join(os.path.dirname(__file__), "results.jsonl"),
                "a")
@@ -89,7 +94,9 @@ def main():
     probe_s = tunnel_probe_s()
     print(f"# tunnel probe: {probe_s}s", flush=True)
     for op, n_ops in OPS_PER_STEP.items():
-        kern = _mk_kernel(op, S, iters)
+        if op == "sel" and dtype != f32:
+            continue  # cmpf on packed 8x128x2xbf16 fails to lower (Mosaic)
+        kern = _mk_kernel(op, S, iters, dtype)
         f = jax.jit(pl.pallas_call(
             kern, out_shape=jax.ShapeDtypeStruct((S, 512), f32)))
         r = f(x)
@@ -101,6 +108,7 @@ def main():
             dt = min(dt, time.time() - t0)
         total = S * 512 * G * U * iters
         rec = {"exp": "vpu_roofline", "op": op, "S": S, "iters": iters,
+               "dtype": jnp.dtype(dtype).name,
                "chain_steps_per_s": round(total / dt / 1e9, 2),
                "vops_per_s_G": round(total * n_ops / dt / 1e9, 2),
                "dt": round(dt, 4), "probe_s": probe_s,

@@ -184,9 +184,19 @@ def _u01(*streams):
 
 
 def _normal2(*streams):
-    c = lambda v: jnp.full_like(streams[0], np.int32(v))
-    u1 = jnp.maximum(_u01(*streams, c(0xA5)), np.float32(1e-12))
-    u2 = _u01(*streams, c(0x5A))
+    # The two draws batch as one [2, br] hash chain: row r computes
+    # _hash(*streams, cr) exactly as the per-row form did (bitwise
+    # identical), but every int op runs at 2 used sublanes instead of 1
+    # — [1, br] vectors occupy one sublane of each vreg, so row-batching
+    # same-op-different-constant chains multiplies issue density
+    # (finding 65):
+    br_ = streams[0].shape[-1]
+    c2 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (2, br_), 0) == 0,
+        np.int32(0xA5), np.int32(0x5A))
+    uu = _u01(*(jnp.broadcast_to(s, (2, br_)) for s in streams), c2)
+    u1 = jnp.maximum(uu[0:1, :], np.float32(1e-12))
+    u2 = uu[1:2, :]
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = np.float32(2.0 * np.pi) * u2
     return r * jnp.cos(th), r * jnp.sin(th)
@@ -345,6 +355,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  _timing_double_dma=False,
                  _timing_double_vdense=False,
                  _timing_double_vdense_const=False,
+                 _timing_double_camera=False, _timing_double_bxdf=False,
+                 _timing_double_rng=False, _timing_double_bank=False,
                  _count_oracle=False):
     # Timing-instrumentation ladder (each synthesizes a diffuse hit at
     # t=1 for every active lane, so radiometry is meaningless but
@@ -430,7 +442,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     csel = riota % 3
 
     def camera_ray(k):
-        """Fresh camera ray for path k of each slot (row layout)."""
+        """Fresh camera ray for path k of each slot; returns ([3, br] o,
+        [3, br] d) with components on sublanes (finding 65 layout)."""
         j = k // spp
         pid = slot * K + k
         g1, g2 = _normal2(pid, seed, jnp.full_like(pid, np.int32(0xCA3)))
@@ -445,17 +458,19 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         dy = np.float32(-2.0 * tan_theta) * yn
         dz = jnp.full_like(dx, -1.0)
         d = _normalize3((dx, dy, dz))
+        d3 = jnp.concatenate(d, axis=0)
         # offset_ray_origin(0, d, (0,0,1)): mag=1, sign=sign(dz)=-1 always:
-        o = (jnp.zeros_like(dx), jnp.zeros_like(dx),
-             jnp.full_like(dx, np.float32(-RAY_EPSILON)))
-        return o, d
+        o3 = jnp.where(
+            jax.lax.broadcasted_iota(i32, (3, br), 0) == 2,
+            np.float32(-RAY_EPSILON), np.float32(0.0))
+        return o3, d3
 
     # ---- init slot pool --------------------------------------------------
     accum_ref[:] = jnp.zeros((3 * J, br), f32)
     k0 = jnp.zeros((1, br), i32)
     o0, d0 = camera_ray(k0)
-    ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :] = o0[0], o0[1], o0[2]
-    ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :] = d0[0], d0[1], d0[2]
+    ray_ref[0:3, :] = o0
+    ray_ref[3:6, :] = d0
     sh_ref[0:3, :] = jnp.ones((3, br), f32)      # throughput
     sh_ref[3:6, :] = jnp.zeros((3, br), f32)     # colour
     ki_ref[0:1, :] = k0                          # k
@@ -1926,11 +1941,22 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             ki_ref[7:8, :] = jnp.full((1, br), -1, i32)
 
         best_t = bt_ref[:]
-        normal = _normalize3((bn_ref[0:1, :], bn_ref[1:2, :], bn_ref[2:3, :]))
-        albedo = (bn_ref[3:4, :], bn_ref[4:5, :], bn_ref[5:6, :])
+        # Normalize from the [3, br] block (components on sublanes —
+        # finding 65 density): the il chain is the exact _normalize3
+        # arithmetic; n3 = nb3 * il broadcasts one [1, br] row over 3
+        # sublanes in ONE issue instead of three:
+        nb3 = bn_ref[0:3, :]
+        _il = jax.lax.rsqrt(jnp.maximum(
+            nb3[0:1, :] * nb3[0:1, :] + nb3[1:2, :] * nb3[1:2, :]
+            + nb3[2:3, :] * nb3[2:3, :], np.float32(1e-30)))
+        n3 = nb3 * _il
+        normal = (n3[0:1, :], n3[1:2, :], n3[2:3, :])
+        alb3 = bn_ref[3:6, :]
+        albedo = (alb3[0:1, :], alb3[1:2, :], alb3[2:3, :])
         tpacked = jnp.round(bm_ref[3:4, :]).astype(i32)
         ior = bm_ref[4:5, :]
-        emission = (bm_ref[5:6, :], bm_ref[6:7, :], bm_ref[7:8, :])
+        em3 = bm_ref[5:8, :]
+        emission = (em3[0:1, :], em3[1:2, :], em3[2:3, :])
 
         # ---- analytic primitives (spheres + discs, tiny tables) ----------
         if n_ap > 0:
@@ -1985,6 +2011,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             n_sph = _normalize3(_add3(hp_ap, _scale3(c_sel, -1.0)))
             n_ap_v = _where3(kind_sel > 1.5, n_dsc, n_sph)
             normal = _where3(ap_better, n_ap_v, normal)
+            # Re-stack the [3, br] views after the analytic overrides
+            # (values identical to the tuples; the concat cost only
+            # exists on analytic scenes):
+            n3 = jnp.concatenate(normal, axis=0)
+            alb3 = jnp.concatenate(albedo, axis=0)
+            em3 = jnp.concatenate(emission, axis=0)
 
         if _count_oracle and reflag > 0 and not hbm:
             # Diagnostic: the "true-need union" — blocks a perfect cull
@@ -2008,23 +2040,39 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         live = active & found
 
         # ---- shading ------------------------------------------------------
-        tp = (sh_ref[0:1, :], sh_ref[1:2, :], sh_ref[2:3, :])
-        color = (sh_ref[3:4, :], sh_ref[4:5, :], sh_ref[5:6, :])
-
+        # Per-lane xyz state stays [3, br]-packed (components on
+        # sublanes) so uniform ops issue at 3x the [1, br] density
+        # (finding 65); BxDF internals slice component rows where the
+        # math mixes them. Arithmetic is elementwise-identical to the
+        # per-row form — radiometry bitwise unchanged.
+        tp3 = sh_ref[0:3, :]
+        col3 = sh_ref[3:6, :]
+        o3 = ray_ref[0:3, :]
+        d3 = ray_ref[3:6, :]
         em_on = live & (tpacked >= 4)
-        color = _add3(color, _where3(
-            em_on, (tp[0] * emission[0], tp[1] * emission[1],
-                    tp[2] * emission[2]),
-            (jnp.zeros_like(tp[0]),) * 3))
+        col3 = col3 + jnp.where(em_on, tp3 * em3, np.float32(0.0))
 
         rng_b = bounce + np.int32(7) + seed
-        c_ = lambda v: jnp.full_like(pid, np.int32(v))
-        u0 = _u01(pid, rng_b, c_(0))
-        u1 = _u01(pid, rng_b, c_(1))
-        u2 = _u01(pid, rng_b, c_(2))
-        u3 = _u01(pid, rng_b, c_(3))
+        # All four draws in one [4, br] hash chain (row r == stream
+        # constant r — bitwise-identical to four [1, br] calls, at 4x
+        # the sublane density; finding 65):
+        u4 = _u01(jnp.broadcast_to(pid, (4, br)),
+                  jnp.broadcast_to(rng_b, (4, br)),
+                  jax.lax.broadcasted_iota(i32, (4, br), 0))
+        u0, u1 = u4[0:1, :], u4[1:2, :]
+        u2, u3 = u4[2:3, :], u4[3:4, :]
+        # Never-true fold mask for the marginal-cost probes below: the
+        # compiler cannot prove best_t != -1234.5e12, so probe results
+        # folded through it are computed but change nothing (bitwise):
+        _nvr = best_t == np.float32(-1234.5e12)
+        if _timing_double_rng:
+            u4b = _u01(jnp.broadcast_to(pid, (4, br)),
+                       jnp.broadcast_to(rng_b ^ np.int32(0x777), (4, br)),
+                       jax.lax.broadcasted_iota(i32, (4, br), 0))
+            u3 = jnp.where(_nvr, u4b[3:4, :], u3)
 
-        hit_p = _add3(o, _scale3(d, best_t))
+        hit3 = o3 + d3 * best_t
+        hit_p = (hit3[0:1, :], hit3[1:2, :], hit3[2:3, :])
         d_diff = _sample_diffuse(normal, u0, u1)
         d_spec = _reflect(d, normal)
         d_diel, refracted = _dielectric(d, normal, ior, u2)
@@ -2032,28 +2080,39 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         is_diff = mtype == 0
         is_spec = mtype == 1
         new_d = _where3(is_diff, d_diff, _where3(is_spec, d_spec, d_diel))
+        nd3 = jnp.concatenate(new_d, axis=0)
+        if _timing_double_bxdf:
+            # Re-run the three BxDF samplers on permuted inputs (CSE-
+            # distinct) and fold via the never-true mask — marginal =
+            # the samplers' cost:
+            dd2 = _sample_diffuse(normal, u1, u0)
+            ds2 = _reflect(d, (normal[2], normal[0], normal[1]))
+            dl2, _rf2 = _dielectric(d, normal, ior, u3)
+            _s = (dd2[0] + dd2[1] + dd2[2] + ds2[0] + ds2[1] + ds2[2]
+                  + dl2[0] + dl2[1] + dl2[2])
+            nd3 = jnp.where(_nvr, _s, nd3)
         scale_tp = is_diff | is_spec | ((mtype == 2) & refracted)
         stp = live & scale_tp
-        tp = _where3(stp, (tp[0] * albedo[0], tp[1] * albedo[1],
-                           tp[2] * albedo[2]), tp)
+        tp3 = jnp.where(stp, tp3 * alb3, tp3)
 
         # Next-segment origin, pre-offset (ops/bxdf.py offset_ray_origin):
-        mag = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(hit_p[0]),
-                                            jnp.abs(hit_p[1])),
-                                jnp.abs(hit_p[2]))
+        ah3 = jnp.abs(hit3)
+        mag = 1.0 + jnp.maximum(jnp.maximum(ah3[0:1, :], ah3[1:2, :]),
+                                ah3[2:3, :])
         sgn = jnp.sign(_dot3(normal, new_d))
         sgn = jnp.where(sgn == 0.0, 1.0, sgn)
         m_off = mag * np.float32(RAY_EPSILON) * sgn
-        o = _where3(live, _add3(hit_p, _scale3(normal, m_off)), o)
-        d = _where3(live, new_d, d)
+        o3 = jnp.where(live, hit3 + n3 * m_off, o3)
+        d3 = jnp.where(live, nd3, d3)
 
         # Roulette:
-        p_r = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
+        p_r = jnp.maximum(jnp.maximum(tp3[0:1, :], tp3[1:2, :]),
+                          tp3[2:3, :])
         stop_r = (p_r == 0.0) | (u3 > p_r)
         safe_p = jnp.where(p_r == 0.0, 1.0, p_r)
         use_roulette = bounce > roulette_start_depth
         rl = use_roulette & live & ~stop_r
-        tp = _where3(rl, (tp[0] / safe_p, tp[1] / safe_p, tp[2] / safe_p), tp)
+        tp3 = jnp.where(rl, tp3 / safe_p, tp3)
         killed = live & use_roulette & stop_r
 
         escaped = active & ~found
@@ -2152,41 +2211,55 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 ki_ref[5:6, :] = pending_hold.astype(i32)
                 # Parked lanes leave the tracing pool until their flush:
                 active = active & ~escaped
-            color = _add3(color, _where3(
-                env_mask,
-                (tp[0] * env_ref[0:1, :], tp[1] * env_ref[1:2, :],
-                 tp[2] * env_ref[2:3, :]),
-                (jnp.zeros_like(tp[0]),) * 3))
+            col3 = col3 + jnp.where(env_mask, tp3 * env_ref[0:3, :],
+                                    np.float32(0.0))
         else:
             terminated = escaped | killed | over
 
         # ---- bank finished paths into the accumulator ---------------------
         j_cur = k // spp
-        colorx = jnp.where(csel == 0, color[0],
-                           jnp.where(csel == 1, color[1], color[2]))
+        colorx = jnp.where(csel == 0, col3[0:1, :],
+                           jnp.where(csel == 1, col3[1:2, :],
+                                     col3[2:3, :]))
         bank = (jsel == j_cur) & terminated
         accum_ref[:] = accum_ref[:] + jnp.where(bank, colorx, 0.0)
+        if _timing_double_bank:
+            # Second banking pass whose mask is ANDed with the never-
+            # true fold — adds +0.0 everywhere (accum holds only
+            # non-negative values, so x + 0.0 is bitwise x); marginal =
+            # the [3J, br] banking slab cost:
+            colorx2 = jnp.where(csel == 0, col3[2:3, :],
+                                jnp.where(csel == 1, col3[0:1, :],
+                                          col3[1:2, :]))
+            accum_ref[:] = accum_ref[:] + jnp.where(
+                bank & _nvr, colorx2, 0.0)
         ki_ref[3:4, :] = ki_ref[3:4, :] + terminated.astype(i32)
 
         k = jnp.where(terminated, jnp.minimum(k + 1, K), k)
         active = active & ~terminated
         bounce = jnp.where(terminated, 0, bounce)
-        color = _where3(terminated, (jnp.zeros_like(color[0]),) * 3, color)
+        col3 = jnp.where(terminated, np.float32(0.0), col3)
 
         # ---- regenerate idle slots ----------------------------------------
         can_spawn = ~active & (k < k_cap)
         if env_cfg is not None and env_every > 1:
             can_spawn = can_spawn & ~pending_hold
-        co, cd = camera_ray(k)
-        o = _where3(can_spawn, co, o)
-        d = _where3(can_spawn, cd, d)
-        tp = _where3(can_spawn, (jnp.ones_like(tp[0]),) * 3, tp)
+        co3, cd3 = camera_ray(k)
+        if _timing_double_camera:
+            # Extra camera_ray on a CSE-distinct path index, folded via
+            # the never-true mask — marginal = full regen cost:
+            co3b, cd3b = camera_ray(k + i32(1))
+            co3 = jnp.where(_nvr, cd3b, co3)
+            cd3 = jnp.where(_nvr, co3b, cd3)
+        o3 = jnp.where(can_spawn, co3, o3)
+        d3 = jnp.where(can_spawn, cd3, d3)
+        tp3 = jnp.where(can_spawn, np.float32(1.0), tp3)
         active = active | can_spawn
 
-        ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :] = o
-        ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :] = d
-        sh_ref[0:3, :] = jnp.concatenate(tp, axis=0)
-        sh_ref[3:6, :] = jnp.concatenate(color, axis=0)
+        ray_ref[0:3, :] = o3
+        ray_ref[3:6, :] = d3
+        sh_ref[0:3, :] = tp3
+        sh_ref[3:6, :] = col3
         ki_ref[0:1, :] = k
         ki_ref[1:2, :] = bounce
         ki_ref[2:3, :] = active.astype(i32)
@@ -2342,6 +2415,8 @@ def _analytic_tables(scene):
                      "_timing_double_dense_fixed",
                      "_timing_double_dma",
                      "_timing_double_vdense", "_timing_double_vdense_const",
+                     "_timing_double_camera", "_timing_double_bxdf",
+                     "_timing_double_rng", "_timing_double_bank",
                      "_count_oracle"),
 )
 def megakernel_path_trace(
@@ -2539,6 +2614,10 @@ def megakernel_path_trace(
     _timing_double_dma: bool = False,
     _timing_double_vdense: bool = False,
     _timing_double_vdense_const: bool = False,
+    _timing_double_camera: bool = False,
+    _timing_double_bxdf: bool = False,
+    _timing_double_rng: bool = False,
+    _timing_double_bank: bool = False,
     _count_oracle: bool = False,
 ):
     """In-kernel streaming path trace. Returns (rgb [R*J, 3], done): the
@@ -2846,6 +2925,10 @@ def megakernel_path_trace(
         _timing_double_dma=_timing_double_dma,
         _timing_double_vdense=_timing_double_vdense,
         _timing_double_vdense_const=_timing_double_vdense_const,
+        _timing_double_camera=_timing_double_camera,
+        _timing_double_bxdf=_timing_double_bxdf,
+        _timing_double_rng=_timing_double_rng,
+        _timing_double_bank=_timing_double_bank,
         _count_oracle=_count_oracle,
     )
     if env_cfg is not None:

@@ -4,6 +4,8 @@ Covers the reference's replication semantics (SURVEY.md §2 parallelism
 item 1): sharded rays, replicated scene, per-shard RNG, and agreement
 with the single-device path."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -186,3 +188,38 @@ def test_streaming_sharded_spp_batching(cornell_built):
     assert abs(img_b.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
     # The final progressive frame IS the full average:
     assert abs(seen[-1] - img_b.mean()) < 1e-5
+
+
+def test_multihost_two_process(tmp_path):
+    """Real multi-process mesh (VERDICT r3 #6 / docs/SCALING.md): two
+    jax.distributed processes x 4 virtual CPU devices = one global
+    8-device mesh running the production render_path_sharded. Each
+    worker gathers the global result and writes its checksum; both
+    processes must agree (same global program, same seeds) and produce
+    a finite, non-zero render. This backs SCALING.md's multi-host claim
+    with an executed test instead of an assertion."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(port), str(i), outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, log_ in zip(procs, logs):
+        assert p.returncode == 0, log_[-3000:]
+    lines = [open(o).read().split() for o in outs]
+    assert lines[0][0] == "OK" and lines[1][0] == "OK"
+    # Both processes saw the identical global render:
+    assert lines[0][1:] == lines[1][1:], lines
