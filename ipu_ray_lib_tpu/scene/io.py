@@ -47,9 +47,17 @@ def import_scene(filename: str, load_normals: bool = False) -> SceneDescription:
         from .stl import import_stl_scene
 
         return import_stl_scene(filename, load_normals)
+    if fn.endswith(".fbx"):
+        from .fbx import import_fbx_scene
+
+        return import_fbx_scene(filename, load_normals)
+    if fn.endswith(".off"):
+        from .off import import_off_scene
+
+        return import_off_scene(filename, load_normals)
     raise ValueError(
         f"Unsupported scene format: '{filename}' "
-        f"(.glb/.gltf/.dae/.obj/.ply/.stl supported)"
+        f"(.glb/.gltf/.dae/.obj/.ply/.stl/.fbx/.off supported)"
     )
 
 
