@@ -40,6 +40,7 @@ def main():
     cull2 = None
     fresh = None
     pay2 = prep2 = cam2 = bxdf2 = rng2 = bank2 = False
+    bns = [None]
     payt = None
     wu = [None]
     subs = [None]
@@ -94,6 +95,8 @@ def main():
             rng2 = bool(int(a[5:]))
         elif a.startswith("bank2="):
             bank2 = bool(int(a[6:]))
+        elif a.startswith("bn="):
+            bns = [int(x) for x in a[3:].split(",")]
         elif a.startswith("wu="):
             wu = [int(x) for x in a[3:].split(",")]
         elif a.startswith("pu="):
@@ -142,8 +145,8 @@ def main():
           flush=True)
 
     import itertools
-    for br, rf, sq, wu1, sb1 in itertools.product(
-            brs, reflags, subqs, wu, subs):
+    for br, rf, sq, wu1, sb1, bn1 in itertools.product(
+            brs, reflags, subqs, wu, subs, bns):
         if br % (128 * sq):
             continue
         f = functools.partial(
@@ -162,6 +165,7 @@ def main():
             _timing_double_camera=cam2, _timing_double_bxdf=bxdf2,
             _timing_double_rng=rng2, _timing_double_bank=bank2,
             walk_unroll=wu1, pay_unroll=pu, pay_fused=payt,
+            bundles=bn1,
             return_stats=True)
         flat, done, iters, blocks, *rest = f()  # compile + warm
         dt = float("inf")
@@ -196,6 +200,7 @@ def main():
                **({"bank2": 1} if bank2 else {}),
                **({"wu": wu1} if wu1 is not None else {}),
                **({"sub": sb1} if sb1 is not None else {}),
+               **({"bn": bn1} if bn1 is not None else {}),
                **({"pu": pu} if pu != 1 else {}),
                "reflag": rf, "mpaths": round(n_pix * spp / dt / 1e6, 3),
                "dt": round(dt, 3), "iters": iters,

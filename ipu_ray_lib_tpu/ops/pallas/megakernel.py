@@ -184,19 +184,20 @@ def _u01(*streams):
 
 
 def _normal2(*streams):
-    # The two draws batch as one [2, br] hash chain: row r computes
-    # _hash(*streams, cr) exactly as the per-row form did (bitwise
-    # identical), but every int op runs at 2 used sublanes instead of 1
-    # — [1, br] vectors occupy one sublane of each vreg, so row-batching
-    # same-op-different-constant chains multiplies issue density
-    # (finding 65):
-    br_ = streams[0].shape[-1]
+    # The two draws batch as one [2*rows, br] hash chain: row block r
+    # computes _hash(*streams, cr) exactly as the per-row form did
+    # (bitwise identical); stacking rows turns the chain into full
+    # vreg-width work when the caller's streams are [B, br] bundle
+    # blocks (finding 66 layout):
+    rows, br_ = streams[0].shape
     c2 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (2, br_), 0) == 0,
+        jax.lax.broadcasted_iota(jnp.int32, (2 * rows, br_), 0) < rows,
         np.int32(0xA5), np.int32(0x5A))
-    uu = _u01(*(jnp.broadcast_to(s, (2, br_)) for s in streams), c2)
-    u1 = jnp.maximum(uu[0:1, :], np.float32(1e-12))
-    u2 = uu[1:2, :]
+    tiled = (jnp.concatenate([jnp.broadcast_to(s, (rows, br_))] * 2,
+                             axis=0) for s in streams)
+    uu = _u01(*tiled, c2)
+    u1 = jnp.maximum(uu[0:rows, :], np.float32(1e-12))
+    u2 = uu[rows:2 * rows, :]
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = np.float32(2.0 * np.pi) * u2
     return r * jnp.cos(th), r * jnp.sin(th)
@@ -333,7 +334,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  cull_ref, cullq_ref, tin_ref, env_ref, p_buf, pay_buf,
                  sems,
                  bflag_ref, wf_ref, cidx_ref, pbs_ref, mxl_ref,
-                 *, br, nb, n_ap, R, J, spp, K,
+                 *, br, nb, n_ap, R, J, spp, K, bundles=1,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
@@ -429,8 +430,19 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     seed = sc_ref[0]
     n_valid = sc_ref[1]
 
-    lane = jax.lax.broadcasted_iota(i32, (1, br), 1)
-    slot = i * br + lane                               # [1, br] global slot
+    # Bundle-lockstep (finding 66): each program advances B independent
+    # br-lane bundles per iteration. Per-lane state is held as [B, br]
+    # blocks (bundles on sublanes), so at B=8 every elementwise
+    # shading/RNG/regen op fills whole vregs instead of one sublane in
+    # eight — the fixed/rest pool amortises ~B-fold — while the cull /
+    # walk / payload passes run per bundle on row slices, preserving
+    # the measured br-wide walk economy exactly. Per-lane arithmetic,
+    # RNG streams and walk order are unchanged, so radiometry is
+    # bitwise-identical to B=1 (gated in test_megakernel_variants).
+    B = bundles
+    lane = jax.lax.broadcasted_iota(i32, (B, br), 1)
+    brow = jax.lax.broadcasted_iota(i32, (B, br), 0)
+    slot = (i * B + brow) * br + lane                  # [B, br] global slot
     # Per-slot path budget: slot s serves padded-stream pixels {s, s+R, ..};
     # rows with pixel >= n_valid are padding and get no paths:
     valid_j = jnp.clip(-((slot - n_valid) // R), 0, J)
@@ -441,15 +453,33 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     jsel = riota // 3
     csel = riota % 3
 
+    def _bcols(b):
+        """Lane-column slice of bundle ``b`` in a [rows, B*br] block."""
+        return pl.ds(b * br, br)
+
+    def _gather_rows(ref, rows_):
+        """Stack the given ref rows into one [B, br]-style block."""
+        if len(rows_) == 1:
+            return ref[rows_[0]:rows_[0] + 1, :]
+        return jnp.concatenate(
+            [ref[r:r + 1, :] for r in rows_], axis=0)
+
     def camera_ray(k):
-        """Fresh camera ray for path k of each slot; returns ([3, br] o,
-        [3, br] d) with components on sublanes (finding 65 layout)."""
-        j = k // spp
+        """Fresh camera ray for path k of each slot; component tuples of
+        [B, br] bundle blocks (finding 66 layout)."""
+        j = k // spp                                       # [B, br]
         pid = slot * K + k
-        g1, g2 = _normal2(pid, seed, jnp.full_like(pid, np.int32(0xCA3)))
-        jm = j_iota == j
-        pr = jnp.sum(jnp.where(jm, rows_ref[:], 0.0), axis=0, keepdims=True)
-        pc = jnp.sum(jnp.where(jm, cols_ref[:], 0.0), axis=0, keepdims=True)
+        g1, g2 = _normal2(pid, jnp.broadcast_to(seed, (B, br)),
+                          jnp.full_like(pid, np.int32(0xCA3)))
+        prs, pcs = [], []
+        for b in range(B):
+            jm = j_iota == j[b:b + 1, :]
+            prs.append(jnp.sum(jnp.where(jm, rows_ref[:, _bcols(b)], 0.0),
+                               axis=0, keepdims=True))
+            pcs.append(jnp.sum(jnp.where(jm, cols_ref[:, _bcols(b)], 0.0),
+                               axis=0, keepdims=True))
+        pr = prs[0] if B == 1 else jnp.concatenate(prs, axis=0)
+        pc = pcs[0] if B == 1 else jnp.concatenate(pcs, axis=0)
         pu = pr + np.float32(aa) * g1
         pv = pc + np.float32(aa) * g2
         xn = pv * np.float32(inv_w) - 0.5
@@ -458,47 +488,47 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         dy = np.float32(-2.0 * tan_theta) * yn
         dz = jnp.full_like(dx, -1.0)
         d = _normalize3((dx, dy, dz))
-        d3 = jnp.concatenate(d, axis=0)
         # offset_ray_origin(0, d, (0,0,1)): mag=1, sign=sign(dz)=-1 always:
-        o3 = jnp.where(
-            jax.lax.broadcasted_iota(i32, (3, br), 0) == 2,
-            np.float32(-RAY_EPSILON), np.float32(0.0))
-        return o3, d3
+        o = (jnp.zeros_like(dx), jnp.zeros_like(dx),
+             jnp.full_like(dx, np.float32(-RAY_EPSILON)))
+        return o, d
 
     # ---- init slot pool --------------------------------------------------
-    accum_ref[:] = jnp.zeros((3 * J, br), f32)
-    k0 = jnp.zeros((1, br), i32)
+    accum_ref[:] = jnp.zeros((3 * J, B * br), f32)
+    k0 = jnp.zeros((B, br), i32)
     o0, d0 = camera_ray(k0)
-    ray_ref[0:3, :] = o0
-    ray_ref[3:6, :] = d0
-    sh_ref[0:3, :] = jnp.ones((3, br), f32)      # throughput
-    sh_ref[3:6, :] = jnp.zeros((3, br), f32)     # colour
-    ki_ref[0:1, :] = k0                          # k
-    ki_ref[1:2, :] = jnp.zeros((1, br), i32)     # bounce
-    ki_ref[2:3, :] = (k_cap > 0).astype(i32)     # active
-    ki_ref[3:4, :] = jnp.zeros((1, br), i32)     # done count
-    ki_ref[4:5, :] = jnp.zeros((1, br), i32)     # blocks-walked counter
-    ki_ref[5:6, :] = jnp.zeros((1, br), i32)     # pending-env (deferred flush)
-    ki_ref[6:7, :] = jnp.zeros((1, br), i32)     # oracle-need counter (diag)
-    ki_ref[7:8, :] = jnp.full((1, br), -1, i32)  # winner tri row (deferred)
+    for c in range(3):
+        ray_ref[c * B:(c + 1) * B, :] = o0[c]
+        ray_ref[(3 + c) * B:(4 + c) * B, :] = d0[c]
+    sh_ref[0:3 * B, :] = jnp.ones((3 * B, br), f32)      # throughput
+    sh_ref[3 * B:6 * B, :] = jnp.zeros((3 * B, br), f32)  # colour
+    ki_ref[0:B, :] = k0                                   # k
+    ki_ref[B:2 * B, :] = jnp.zeros((B, br), i32)          # bounce
+    ki_ref[2 * B:3 * B, :] = (k_cap > 0).astype(i32)      # active
+    ki_ref[3 * B:4 * B, :] = jnp.zeros((B, br), i32)      # done count
+    ki_ref[4 * B:5 * B, :] = jnp.zeros((B, br), i32)      # blocks counter
+    ki_ref[5 * B:6 * B, :] = jnp.zeros((B, br), i32)      # pending-env
+    ki_ref[6 * B:7 * B, :] = jnp.zeros((B, br), i32)      # oracle diag
+    ki_ref[7 * B:8 * B, :] = jnp.full((B, br), -1, i32)   # winner tri row
 
     def body(carry):
         it, _ = carry
-        o = (ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :])
-        d = (ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :])
+        o = (ray_ref[0:B, :], ray_ref[B:2 * B, :], ray_ref[2 * B:3 * B, :])
+        d = (ray_ref[3 * B:4 * B, :], ray_ref[4 * B:5 * B, :],
+             ray_ref[5 * B:6 * B, :])
         # Per-lane |o|_inf for the watertight acceptance bound (see
         # utils/constants.py WATERTIGHT_EPS_SCALE):
         o_mag = jnp.maximum(jnp.maximum(jnp.abs(o[0]), jnp.abs(o[1])),
                             jnp.abs(o[2]))
-        active = ki_ref[2:3, :] != 0
-        k = ki_ref[0:1, :]
-        bounce = ki_ref[1:2, :]
+        active = ki_ref[2 * B:3 * B, :] != 0
+        k = ki_ref[0:B, :]
+        bounce = ki_ref[B:2 * B, :]
         pid = slot * K + k
 
         t_max = jnp.where(active, _INF, f32(-1.0))
         bt_ref[:] = t_max
-        bn_ref[:] = jnp.zeros((8, br), f32)
-        bm_ref[:] = jnp.zeros((8, br), f32)
+        bn_ref[:] = jnp.zeros((8 * B, br), f32)
+        bm_ref[:] = jnp.zeros((8 * B, br), f32)
 
         # ---- block culling: slab-test every (sub-)block AABB against the
         # live bundle once, vectorised, then drive scalar-predicated skips
@@ -515,7 +545,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         # (deferred only in Python source order — no ref ops happen in
         # between, so trace order is identical):
         cull2 = (walk_cull2 and use_cull and compact and subq == 1
-                 and not hbm and not _count_oracle
+                 and B == 1 and not hbm and not _count_oracle
                  and not _timing_no_walk)
         def tin_store(bhit, tin):
             v = jnp.where(bhit, tin * _SLAB_LO, _INF)
@@ -528,24 +558,29 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                    jnp.where(d[1] == 0.0, f32(1e-30), d[1]),
                    jnp.where(d[2] == 0.0, f32(1e-30), d[2]))
             inv = (1.0 / den[0], 1.0 / den[1], 1.0 / den[2])
+        for bc in range(B if use_cull and not _timing_no_walk else 0):
+            o_b = tuple(c[bc:bc + 1, :] for c in o)
+            inv_b = tuple(c[bc:bc + 1, :] for c in inv)
+            act_b = active[bc:bc + 1, :]
             # Chunk the slab pass over AABB rows: the pass is pure
             # elementwise math, but its [rows, br] temporaries are scoped
             # VMEM — at HBM scale (2045 supers x br 512 for the 2M-tri
             # heightfield) an unchunked pass keeps ~8 live [nbs, br]
             # slabs (~33 MB) on the kernel stack and fails to compile.
-            # SLAB_CHUNK_ROWS-row chunks bound that at ~8 MB with
-            # identical results:
-            _CH = SLAB_CHUNK_ROWS
+            # Chunks scale with bundle width so the live working set
+            # stays ~[512x512] regardless of br. Pure loop structure:
+            # every row's arithmetic is unchanged, results bitwise:
+            _CH = max(8, (SLAB_CHUNK_ROWS * 512) // max(br, 512))
             for c0 in range(0, 0 if cull2 else nbs, _CH):
                 nrows = min(_CH, nbs - c0)
                 rs = pl.ds(c0, nrows)
                 tin = jnp.full((nrows, br), f32(0.0))
-                tout = jnp.where(active, _BIG, f32(-1.0))
+                tout = jnp.where(act_b, _BIG, f32(-1.0))
                 for a in range(3):
                     lo_a = baabb_ref[rs, a:a + 1]
                     hi_a = baabb_ref[rs, a + 3:a + 4]
-                    t0 = (lo_a - o[a]) * inv[a]
-                    t1 = (hi_a - o[a]) * inv[a]
+                    t0 = (lo_a - o_b[a]) * inv_b[a]
+                    t1 = (hi_a - o_b[a]) * inv_b[a]
                     tl = jnp.minimum(t0, t1)
                     th = jnp.maximum(t0, t1) * _SLAB_SCALE
                     tin = jnp.maximum(tin, tl)
@@ -557,7 +592,8 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 # wasted walks):
                 bhit = (tin <= tout) & (baabb_ref[rs, 0:1] < _BIG)
                 bh_i = bhit.astype(i32)
-                cull_ref[rs, :] = jnp.max(bh_i, axis=1, keepdims=True)
+                cull_ref[rs, bc:bc + 1] = jnp.max(bh_i, axis=1,
+                                                  keepdims=True)
                 # Sub-bundle (lane-quarter) flags: a random width-(br/subq)
                 # slice of an incoherent bundle needs far fewer blocks than
                 # the full union (experiments/subbundle_sim.py: Q=4 cuts
@@ -575,13 +611,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 if reflag > 0 or fresh:
                     # Conservative per-lane lower bound on any hit t in
                     # each block, kept for mid-walk flag refreshes and/or
-                    # the fresh per-group walk gates:
-                    tin_ref[rs, :] = tin_store(bhit, tin)
+                    # the fresh per-group walk gates (bundle bc's lane
+                    # columns when B > 1):
+                    tin_ref[rs, _bcols(bc)] = tin_store(bhit, tin)
 
         TBW = TB // sub
         WQ = br // subq
-        use_mxu = (walk_mxu and compact and subq == 1 and not hbm
-                   and not _timing_synth)
+        use_mxu = (walk_mxu and compact and subq == 1 and B == 1
+                   and not hbm and not _timing_synth)
         if use_mxu:
             # MXU walk (walk_mxu): one [U*TBW, 16] x [16, 6*br] HIGHEST
             # matmul per unroll group replaces the 6 per-window VPU
@@ -722,7 +759,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         tri_lane_c = jax.lax.broadcasted_iota(i32, (TB // sub, br // subq),
                                               0)
 
-        def do_block(blk, q=0, mx=None):
+        def do_block(blk, q=0, mx=None, b=0):
             if _timing_stub_walk:
                 # Trivial body: the gate fires and the region is entered,
                 # but no dense work runs — isolates per-invocation
@@ -735,8 +772,13 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # only ever needs blocks its own slab interval admits, so
             # quarter flags are as conservative as bundle flags:
             if subq == 1:
-                best_t = bt_ref[:]
-                oq, dq, omq = o, d, o_mag
+                best_t = bt_ref[b:b + 1, :]
+                if B == 1:
+                    oq, dq, omq = o, d, o_mag
+                else:
+                    oq = tuple(c[b:b + 1, :] for c in o)
+                    dq = tuple(c[b:b + 1, :] for c in d)
+                    omq = o_mag[b:b + 1, :]
             else:
                 # Load the quarter straight from the refs: lane-slicing an
                 # already-loaded vector gives it an offset layout Mosaic
@@ -830,7 +872,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             better = (bt < best_t) & (bt < _INF)
             if _timing_no_dots:
                 if subq == 1:
-                    bt_ref[:] = jnp.where(better, bt, best_t)
+                    bt_ref[b:b + 1, :] = jnp.where(better, bt, best_t)
                 else:
                     bt_ref[:, pl.ds(q * WQ, WQ)] = jnp.where(
                         better, bt, best_t)
@@ -860,12 +902,14 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # a window containing an equal-t lower-row candidate still
             # compares tin < best_t and is never dropped:
             if subq == 1:
+                win_r = 7 * B + b
                 upd = better
                 if near:
                     upd = better | ((bt == best_t) & (bt < _INF)
-                                    & (row_g < ki_ref[7:8, :]))
-                bt_ref[:] = jnp.where(better, bt, best_t)
-                ki_ref[7:8, :] = jnp.where(upd, row_g, ki_ref[7:8, :])
+                                    & (row_g < ki_ref[win_r:win_r + 1, :]))
+                bt_ref[b:b + 1, :] = jnp.where(better, bt, best_t)
+                ki_ref[win_r:win_r + 1, :] = jnp.where(
+                    upd, row_g, ki_ref[win_r:win_r + 1, :])
             else:
                 lcs = pl.ds(q * WQ, WQ)
                 bt_ref[:, lcs] = jnp.where(better, bt, best_t)
@@ -1520,20 +1564,27 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     extra.update(range(i0 + _COMPACT_SEG, i1,
                                        _COMPACT_SEG))
                 bounds = sorted(set(bounds) | extra)
-            for s in range(len(bounds) - 1):
+            # Bundle-lockstep: each bundle's segment walk runs to
+            # completion against its own flag column / best_t row
+            # before the next bundle's starts (ascending bundle order —
+            # bundles are lane-disjoint, so order is bitwise-irrelevant;
+            # B == 1 reduces to the original single loop):
+            for bw, s in ((bw, s) for bw in range(B)
+                          for s in range(len(bounds) - 1)):
                 b0, b1_ = bounds[s], bounds[s + 1]
                 if s > 0 and reflag > 0:
                     # strict <: INF entry bounds (no slab hit) must stay
                     # unflagged even against INF best_t (no hit yet):
-                    rem = (tin_ref[b0:nbs, :] < bt_ref[:]).astype(i32)
+                    rem = (tin_ref[b0:nbs, _bcols(bw)]
+                           < bt_ref[bw:bw + 1, :]).astype(i32)
                     if cull2:
                         # Rows of coarse-unflagged groups carry STALE
                         # entry bounds (the refinement never visited
                         # them this iteration) — a refresh may only
                         # CLEAR flags, never set them:
-                        rem = rem * cull_ref[b0:nbs, :]
-                    cull_ref[b0:nbs, :] = jnp.max(rem, axis=1,
-                                                  keepdims=True)
+                        rem = rem * cull_ref[b0:nbs, bw:bw + 1]
+                    cull_ref[b0:nbs, bw:bw + 1] = jnp.max(
+                        rem, axis=1, keepdims=True)
                     if subq > 1:
                         for qq in range(subq):
                             cullq_ref[b0:nbs, qq:qq + 1] = jnp.max(
@@ -1547,8 +1598,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                         # Under the fresh per-group gates the walked
                         # counter is maintained inside cbody (groups
                         # actually entered), not from the flag list:
-                        ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
-                            cull_ref[b0:b1_, :], axis=0, keepdims=True)
+                        ki_ref[4 * B:4 * B + 1, 0:1] = (
+                            ki_ref[4 * B:4 * B + 1, 0:1] + jnp.sum(
+                                cull_ref[b0:b1_, bw:bw + 1],
+                                axis=0, keepdims=True))
                 else:
                     ki_ref[4:5, 0:1] = ki_ref[4:5, 0:1] + jnp.sum(
                         jnp.sum(cullq_ref[b0:b1_, :], axis=1,
@@ -1562,17 +1615,18 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     # (do_block already supports traced block ids). Same
                     # blocks in the same ascending order — bitwise-
                     # identical radiometry:
-                    cnt = compact_indices(cull_ref[b0:b1_, :], b0)
+                    cnt = compact_indices(cull_ref[b0:b1_, bw:bw + 1], b0)
                     if _timing_double_prep:
                         # Idempotent re-run: same flags, same writes —
                         # the marginal time IS the prep cost:
-                        cnt = compact_indices(cull_ref[b0:b1_, :], b0)
+                        cnt = compact_indices(cull_ref[b0:b1_, bw:bw + 1],
+                                              b0)
 
-                    def walk_group(blks):
+                    def walk_group(blks, bw=bw):
                         # One unroll group: len(blks) independent dense
                         # chains dispatched together (the ILP narrow
                         # windows lose to chain latency, finding 52):
-                        def group(blks=blks):
+                        def group(blks=blks, bw=bw):
                             if use_mxu:
                                 # Stage the group's p windows (the
                                 # staged copy doubles as the dense
@@ -1597,12 +1651,12 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                                           for g in range(6))))
                             else:
                                 for blk in blks:
-                                    do_block(blk)
+                                    do_block(blk, b=bw)
                                     if _timing_double_vdense:
                                         # Idempotent re-run (strict-<
                                         # merge): marginal = full
                                         # per-window dense cost:
-                                        do_block(blk)
+                                        do_block(blk, b=bw)
                                     if _timing_double_vdense_const:
                                         _vdense_const_probe(blk)
 
@@ -1724,239 +1778,259 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # the (few) blocks holding this iteration's winners. Each
             # lane's one-hot is exact: rel leaves [0, TB) whenever the
             # lane's winner lives in a different block:
-            row = ki_ref[7:8, :]
-            blkw = row // i32(TB)                 # -1 for no-hit lanes
             NBLK = nrm_ref.shape[1] // (TB if pay_fused else 3 * TB)
             tri128 = jax.lax.broadcasted_iota(i32, (TB, br), 0)
             nd_ = (((1,), (0,)), ((), ()))
+            # Bundle-lockstep: one payload dispatch per bundle against
+            # its own winner rows / o/d rows / bank block (lane-disjoint
+            # — ascending order, bitwise-irrelevant):
+          # (indentation preserved below via the bp loop)
+            for bp in range(B):
+              row = ki_ref[7 * B + bp:7 * B + bp + 1, :]
+              blkw = row // i32(TB)               # -1 for no-hit lanes
+              o_p = tuple(c[bp:bp + 1, :] for c in o)
+              d_p = tuple(c[bp:bp + 1, :] for c in d)
+              bnlo, bnhi = bp * 8, (bp + 1) * 8
 
-            def pay_group(bl):
-                # Fused payload table (tables.payt), GROUP form: the
-                # compact winner list is duplicate-free, so each lane's
-                # winner lives in at most ONE of the group's blocks and
-                # the per-block one-hots are lane-disjoint. Stacking
-                # them as extra contraction rows merges the selections
-                # exactly: ONE [64, G*TB] x [G*TB, br] dot returns every
-                # lane its own winner's rows (rows 0:36 the host-
-                # precomputed hi/mid/lo bf16 split of the 12 p columns,
-                # each term bf16-representable and stored f32, rows
-                # 36:55 the nrm candidates — a DEFAULT-precision dot
-                # therefore selects exactly the bf16 factors the old
-                # explicit-bf16 dots selected on TPU, and exactly the
-                # stored f32 values on CPU), and the whole post-dot
-                # payload chain runs ONCE per group instead of once per
-                # block. Bitwise-identical to the per-block dispatch on
-                # both platforms (the extra blocks' zero products add
-                # bitwise-neutrally; gated across walk regimes in
-                # tests/test_megakernel_variants.py):
-                w1 = jnp.concatenate(
-                    [(tri128 == (row - b * TB)) for b in bl],
-                    axis=0).astype(f32)                  # [G*TB, br]
-                lhs = (nrm_ref[:, pl.ds(jnp.minimum(bl[0], i32(NBLK - 1))
-                                        * TB, TB)]
-                       if len(bl) == 1 else
-                       jnp.concatenate(
-                           [nrm_ref[:, pl.ds(jnp.minimum(b, i32(NBLK - 1))
-                                             * TB, TB)] for b in bl],
-                           axis=1))                      # [64, G*TB]
-                out = jax.lax.dot_general(
-                    lhs, w1, nd_, preferred_element_type=f32)  # [64, br]
-                pc = (out[0:12] + out[12:24]) + out[24:36]
-                mine = blkw == bl[0]
-                for b in bl[1:]:
-                    mine = mine | (blkw == b)
-                on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
-                dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
-                og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
-                dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
-                og2w = (pc[9:10] * o[0] + pc[10:11] * o[1]
-                        + pc[11:12] * o[2])
-                dg2w = (pc[9:10] * d[0] + pc[10:11] * d[1]
-                        + pc[11:12] * d[2])
-                r_w = pl.reciprocal(dn_w, approx=True)
-                r_w = r_w * (2.0 - dn_w * r_w)
-                t_w = (pc[0:1] - on_w) * r_w
-                b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
-                b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
-                b1b = b1w.astype(jnp.bfloat16).astype(f32)
-                b2b = b2w.astype(jnp.bfloat16).astype(f32)
-                n_interp = out[44:47] * b1b + out[52:55] * b2b
-                bn_ref[:] = bn_ref[:] + jnp.concatenate(
-                    [out[36:39] + n_interp, out[39:44]], axis=0)
-                bm_ref[:] = bm_ref[:] + out[44:52]
+              def pay_group(bl, row=row, blkw=blkw, o=o_p, d=d_p,
+                              bnlo=bnlo, bnhi=bnhi):
+                  # Fused payload table (tables.payt), GROUP form: the
+                  # compact winner list is duplicate-free, so each lane's
+                  # winner lives in at most ONE of the group's blocks and
+                  # the per-block one-hots are lane-disjoint. Stacking
+                  # them as extra contraction rows merges the selections
+                  # exactly: ONE [64, G*TB] x [G*TB, br] dot returns every
+                  # lane its own winner's rows (rows 0:36 the host-
+                  # precomputed hi/mid/lo bf16 split of the 12 p columns,
+                  # each term bf16-representable and stored f32, rows
+                  # 36:55 the nrm candidates — a DEFAULT-precision dot
+                  # therefore selects exactly the bf16 factors the old
+                  # explicit-bf16 dots selected on TPU, and exactly the
+                  # stored f32 values on CPU), and the whole post-dot
+                  # payload chain runs ONCE per group instead of once per
+                  # block. Bitwise-identical to the per-block dispatch on
+                  # both platforms (the extra blocks' zero products add
+                  # bitwise-neutrally; gated across walk regimes in
+                  # tests/test_megakernel_variants.py):
+                  w1 = jnp.concatenate(
+                      [(tri128 == (row - b * TB)) for b in bl],
+                      axis=0).astype(f32)                  # [G*TB, br]
+                  lhs = (nrm_ref[:, pl.ds(jnp.minimum(bl[0], i32(NBLK - 1))
+                                          * TB, TB)]
+                         if len(bl) == 1 else
+                         jnp.concatenate(
+                             [nrm_ref[:, pl.ds(jnp.minimum(b, i32(NBLK - 1))
+                                               * TB, TB)] for b in bl],
+                             axis=1))                      # [64, G*TB]
+                  out = jax.lax.dot_general(
+                      lhs, w1, nd_, preferred_element_type=f32)  # [64, br]
+                  pc = (out[0:12] + out[12:24]) + out[24:36]
+                  mine = blkw == bl[0]
+                  for b in bl[1:]:
+                      mine = mine | (blkw == b)
+                  on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
+                  dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
+                  og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
+                  dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
+                  og2w = (pc[9:10] * o[0] + pc[10:11] * o[1]
+                          + pc[11:12] * o[2])
+                  dg2w = (pc[9:10] * d[0] + pc[10:11] * d[1]
+                          + pc[11:12] * d[2])
+                  r_w = pl.reciprocal(dn_w, approx=True)
+                  r_w = r_w * (2.0 - dn_w * r_w)
+                  t_w = (pc[0:1] - on_w) * r_w
+                  b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
+                  b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
+                  b1b = b1w.astype(jnp.bfloat16).astype(f32)
+                  b2b = b2w.astype(jnp.bfloat16).astype(f32)
+                  n_interp = out[44:47] * b1b + out[52:55] * b2b
+                  bn_ref[bnlo:bnhi, :] = bn_ref[bnlo:bnhi, :] + jnp.concatenate(
+                      [out[36:39] + n_interp, out[39:44]], axis=0)
+                  bm_ref[bnlo:bnhi, :] = bm_ref[bnlo:bnhi, :] + out[44:52]
 
-            def pay_block(b):
-                if pay_fused:
-                    pay_group([b])
-                    return
-                bs = jnp.minimum(b, i32(NBLK - 1))
-                rel = row - b * TB
-                w1 = (tri128 == rel).astype(f32)
-                # Re-derive the winner's barycentrics from its p-row,
-                # extracted by the one-hot. The extraction must be EXACT
-                # (the [1, br] recompute below repeats do_block's exact
-                # op sequence on the same scalars, so b1/b2 match the
-                # in-walk values bitwise). Precision.HIGHEST does that
-                # but costs ~6 bf16 MXU passes; a manual 3-way bf16
-                # split needs only 3: hi/mid/lo carry f32's 24 mantissa
-                # bits exactly (each residual is exactly representable),
-                # the one-hot is bf16-exact, every product is exact in
-                # the f32 accumulator, and hi+(mid+lo sums) reconstruct
-                # the original f32 bitwise (hi+mid fits 18 bits; the
-                # final add hits the exactly-representable x). Default
-                # f32 dots would round through ONE bf16 pass (finding
-                # 14) — not enough:
-                pb12 = p_ref[pl.ds(bs * TB, TB), 0:12]
-                hi_s = pb12.astype(jnp.bfloat16)
-                r1_s = pb12 - hi_s.astype(f32)
-                mid_s = r1_s.astype(jnp.bfloat16)
-                lo_s = (r1_s - mid_s.astype(f32)).astype(jnp.bfloat16)
-                w1b = w1.astype(jnp.bfloat16)
-                nd0p = (((0,), (0,)), ((), ()))
-                # ONE [TB, 36] dot instead of three [TB, 12] dots: the
-                # hi/mid/lo splits ride as extra columns (each row's
-                # contraction is element-for-element the same bf16
-                # products with the same f32 accumulate, so the exact-
-                # reconstruction argument — and the bits — are
-                # unchanged), and the MXU invocation count drops 3x:
-                pcs = jax.lax.dot_general(
-                    jnp.concatenate([hi_s, mid_s, lo_s], axis=1), w1b,
-                    nd0p, preferred_element_type=f32)    # [36, br]
-                pc = (pcs[0:12] + pcs[12:24]) + pcs[24:36]   # [12, br]
-                on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
-                dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
-                og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
-                dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
-                og2w = pc[9:10] * o[0] + pc[10:11] * o[1] + pc[11:12] * o[2]
-                dg2w = pc[9:10] * d[0] + pc[10:11] * d[1] + pc[11:12] * d[2]
-                r_w = pl.reciprocal(dn_w, approx=True)
-                r_w = r_w * (2.0 - dn_w * r_w)
-                t_w = (pc[0:1] - on_w) * r_w
-                # Lanes whose winner lives in another block extract an
-                # all-zero row (dn_w == 0 -> t_w is NaN); their one-hot
-                # column is all zero anyway — mask to keep the NaN out
-                # of the weight product:
-                mine = blkw == b
-                b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
-                b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
-                c0 = bs * 3 * TB
-                # ONE [22, TB] dot replaces four: rows 0-7 candidate
-                # normal block (n_cand), 8-15 material block (m_cand),
-                # 16-18 / 19-21 the two vertex-normal interp blocks.
-                # The old form dotted the interp blocks against
-                # w2 = w1 * b1w; since b1w is constant along the
-                # contraction axis and w1 is an exact 0/1 one-hot,
-                # N·(w1*b1w) == (N·w1) * b1w term-for-term — and the
-                # DEFAULT-precision dot rounds its inputs through bf16,
-                # so scaling AFTER the dot by bf16-rounded b1w/b2w
-                # multiplies the identical bf16 factors in the same f32
-                # arithmetic: bitwise-identical payload, two fewer MXU
-                # dispatches and no [TB, br] w2/w3 weight builds.
-                # Interp weights touch ONLY normal rows 0-2: segments
-                # 1/2's spare rows carry material data whose weighted
-                # leakage was a real radiometry bug (finding 30):
-                cand = jax.lax.dot_general(
-                    jnp.concatenate(
-                        [nrm_ref[:, pl.ds(c0, TB)],
-                         nrm_ref[:, pl.ds(c0 + TB, TB)],
-                         nrm_ref[0:3, pl.ds(c0 + TB, TB)],
-                         nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)]], axis=0),
-                    w1, nd_, preferred_element_type=f32)     # [22, br]
-                b1b = b1w.astype(jnp.bfloat16).astype(f32)
-                b2b = b2w.astype(jnp.bfloat16).astype(f32)
-                n_interp = cand[16:19] * b1b + cand[19:22] * b2b
-                bn_ref[:] = bn_ref[:] + jnp.concatenate(
-                    [cand[0:3] + n_interp, cand[3:8]], axis=0)
-                bm_ref[:] = bm_ref[:] + cand[8:16]
+              def pay_block(b, row=row, blkw=blkw, o=o_p, d=d_p,
+                            bnlo=bnlo, bnhi=bnhi):
+                  if pay_fused:
+                      pay_group([b])
+                      return
+                  bs = jnp.minimum(b, i32(NBLK - 1))
+                  rel = row - b * TB
+                  w1 = (tri128 == rel).astype(f32)
+                  # Re-derive the winner's barycentrics from its p-row,
+                  # extracted by the one-hot. The extraction must be EXACT
+                  # (the [1, br] recompute below repeats do_block's exact
+                  # op sequence on the same scalars, so b1/b2 match the
+                  # in-walk values bitwise). Precision.HIGHEST does that
+                  # but costs ~6 bf16 MXU passes; a manual 3-way bf16
+                  # split needs only 3: hi/mid/lo carry f32's 24 mantissa
+                  # bits exactly (each residual is exactly representable),
+                  # the one-hot is bf16-exact, every product is exact in
+                  # the f32 accumulator, and hi+(mid+lo sums) reconstruct
+                  # the original f32 bitwise (hi+mid fits 18 bits; the
+                  # final add hits the exactly-representable x). Default
+                  # f32 dots would round through ONE bf16 pass (finding
+                  # 14) — not enough:
+                  pb12 = p_ref[pl.ds(bs * TB, TB), 0:12]
+                  hi_s = pb12.astype(jnp.bfloat16)
+                  r1_s = pb12 - hi_s.astype(f32)
+                  mid_s = r1_s.astype(jnp.bfloat16)
+                  lo_s = (r1_s - mid_s.astype(f32)).astype(jnp.bfloat16)
+                  w1b = w1.astype(jnp.bfloat16)
+                  nd0p = (((0,), (0,)), ((), ()))
+                  # ONE [TB, 36] dot instead of three [TB, 12] dots: the
+                  # hi/mid/lo splits ride as extra columns (each row's
+                  # contraction is element-for-element the same bf16
+                  # products with the same f32 accumulate, so the exact-
+                  # reconstruction argument — and the bits — are
+                  # unchanged), and the MXU invocation count drops 3x:
+                  pcs = jax.lax.dot_general(
+                      jnp.concatenate([hi_s, mid_s, lo_s], axis=1), w1b,
+                      nd0p, preferred_element_type=f32)    # [36, br]
+                  pc = (pcs[0:12] + pcs[12:24]) + pcs[24:36]   # [12, br]
+                  on_w = pc[3:4] * o[0] + pc[4:5] * o[1] + pc[5:6] * o[2]
+                  dn_w = pc[3:4] * d[0] + pc[4:5] * d[1] + pc[5:6] * d[2]
+                  og1w = pc[6:7] * o[0] + pc[7:8] * o[1] + pc[8:9] * o[2]
+                  dg1w = pc[6:7] * d[0] + pc[7:8] * d[1] + pc[8:9] * d[2]
+                  og2w = pc[9:10] * o[0] + pc[10:11] * o[1] + pc[11:12] * o[2]
+                  dg2w = pc[9:10] * d[0] + pc[10:11] * d[1] + pc[11:12] * d[2]
+                  r_w = pl.reciprocal(dn_w, approx=True)
+                  r_w = r_w * (2.0 - dn_w * r_w)
+                  t_w = (pc[0:1] - on_w) * r_w
+                  # Lanes whose winner lives in another block extract an
+                  # all-zero row (dn_w == 0 -> t_w is NaN); their one-hot
+                  # column is all zero anyway — mask to keep the NaN out
+                  # of the weight product:
+                  mine = blkw == b
+                  b1w = jnp.where(mine, og1w + t_w * dg1w - pc[1:2], 0.0)
+                  b2w = jnp.where(mine, og2w + t_w * dg2w - pc[2:3], 0.0)
+                  c0 = bs * 3 * TB
+                  # ONE [22, TB] dot replaces four: rows 0-7 candidate
+                  # normal block (n_cand), 8-15 material block (m_cand),
+                  # 16-18 / 19-21 the two vertex-normal interp blocks.
+                  # The old form dotted the interp blocks against
+                  # w2 = w1 * b1w; since b1w is constant along the
+                  # contraction axis and w1 is an exact 0/1 one-hot,
+                  # N·(w1*b1w) == (N·w1) * b1w term-for-term — and the
+                  # DEFAULT-precision dot rounds its inputs through bf16,
+                  # so scaling AFTER the dot by bf16-rounded b1w/b2w
+                  # multiplies the identical bf16 factors in the same f32
+                  # arithmetic: bitwise-identical payload, two fewer MXU
+                  # dispatches and no [TB, br] w2/w3 weight builds.
+                  # Interp weights touch ONLY normal rows 0-2: segments
+                  # 1/2's spare rows carry material data whose weighted
+                  # leakage was a real radiometry bug (finding 30):
+                  cand = jax.lax.dot_general(
+                      jnp.concatenate(
+                          [nrm_ref[:, pl.ds(c0, TB)],
+                           nrm_ref[:, pl.ds(c0 + TB, TB)],
+                           nrm_ref[0:3, pl.ds(c0 + TB, TB)],
+                           nrm_ref[0:3, pl.ds(c0 + 2 * TB, TB)]], axis=0),
+                      w1, nd_, preferred_element_type=f32)     # [22, br]
+                  b1b = b1w.astype(jnp.bfloat16).astype(f32)
+                  b2b = b2w.astype(jnp.bfloat16).astype(f32)
+                  n_interp = cand[16:19] * b1b + cand[19:22] * b2b
+                  bn_ref[bnlo:bnhi, :] = bn_ref[bnlo:bnhi, :] + jnp.concatenate(
+                      [cand[0:3] + n_interp, cand[3:8]], axis=0)
+                  bm_ref[bnlo:bnhi, :] = bm_ref[bnlo:bnhi, :] + cand[8:16]
 
-            def run_payload():
-                nb_iota = jax.lax.broadcasted_iota(i32, (NBLK, br), 0)
-                wf_ref[:] = jnp.max((nb_iota == blkw).astype(i32), axis=1,
-                                    keepdims=True)
-                if compact:
-                    # Compacted winner-block dispatch (finding 48;
-                    # cidx_ref is free again — the walk is done). Winner
-                    # contributions are lane-disjoint and zero elsewhere,
-                    # so dispatch order is bitwise-irrelevant; ascending
-                    # order is kept anyway:
-                    cntw = compact_indices(wf_ref[:], 0)
+              def run_payload():
+                  nb_iota = jax.lax.broadcasted_iota(i32, (NBLK, br), 0)
+                  wf_ref[:] = jnp.max((nb_iota == blkw).astype(i32), axis=1,
+                                      keepdims=True)
+                  if compact:
+                      # Compacted winner-block dispatch (finding 48;
+                      # cidx_ref is free again — the walk is done). Winner
+                      # contributions are lane-disjoint and zero elsewhere,
+                      # so dispatch order is bitwise-irrelevant; ascending
+                      # order is kept anyway:
+                      cntw = compact_indices(wf_ref[:], 0)
 
-                    # Exact full unroll groups + log-ladder tail (the
-                    # walk's finding-58 discipline): the former sentinel
-                    # tail slots ran REAL payload dots against the
-                    # zero-contribution NBLK block — ~1.5 wasted
-                    # pay_blocks/iter at pu=4 (winners ~5/iter):
-                    cntw_main = (cntw // pay_unroll) * pay_unroll
+                      # Exact full unroll groups + log-ladder tail (the
+                      # walk's finding-58 discipline): the former sentinel
+                      # tail slots ran REAL payload dots against the
+                      # zero-contribution NBLK block — ~1.5 wasted
+                      # pay_blocks/iter at pu=4 (winners ~5/iter):
+                      cntw_main = (cntw // pay_unroll) * pay_unroll
 
-                    def pbody(k):
-                        # Fused mode hands the WHOLE unroll group to one
-                        # pay_group call (one dot + one payload chain for
-                        # pay_unroll winner blocks); unfused keeps the
-                        # per-block dispatch:
-                        if pay_fused:
-                            pay_group([cidx_ref[k + u, 0]
-                                       for u in range(pay_unroll)])
-                        else:
-                            for u in range(pay_unroll):
-                                pay_block(cidx_ref[k + u, 0])
-                        return k + pay_unroll
+                      def pbody(k):
+                          # Fused mode hands the WHOLE unroll group to one
+                          # pay_group call (one dot + one payload chain for
+                          # pay_unroll winner blocks); unfused keeps the
+                          # per-block dispatch:
+                          if pay_fused:
+                              pay_group([cidx_ref[k + u, 0]
+                                         for u in range(pay_unroll)])
+                          else:
+                              for u in range(pay_unroll):
+                                  pay_block(cidx_ref[k + u, 0])
+                          return k + pay_unroll
 
-                    jax.lax.while_loop(lambda k: k < cntw_main, pbody,
-                                       i32(0))
-                    posw = cntw_main
-                    stepw = pay_unroll // 2
-                    while stepw >= 1:
-                        takew = (cntw - posw) >= stepw
+                      jax.lax.while_loop(lambda k: k < cntw_main, pbody,
+                                         i32(0))
+                      posw = cntw_main
+                      stepw = pay_unroll // 2
+                      while stepw >= 1:
+                          takew = (cntw - posw) >= stepw
 
-                        def _ptail(posw=posw, stepw=stepw):
-                            if pay_fused:
-                                pay_group([cidx_ref[posw + u, 0]
-                                           for u in range(stepw)])
-                                return
-                            for u in range(stepw):
-                                pay_block(cidx_ref[posw + u, 0])
+                          def _ptail(posw=posw, stepw=stepw):
+                              if pay_fused:
+                                  pay_group([cidx_ref[posw + u, 0]
+                                             for u in range(stepw)])
+                                  return
+                              for u in range(stepw):
+                                  pay_block(cidx_ref[posw + u, 0])
 
-                        pl.when(takew)(_ptail)
-                        posw = posw + jnp.where(takew, i32(stepw), i32(0))
-                        stepw //= 2
-                else:
-                    def wpay(b, _):
-                        pl.when(wf_ref[b, 0] > 0)(
-                            functools.partial(pay_block, b))
-                        return 0
+                          pl.when(takew)(_ptail)
+                          posw = posw + jnp.where(takew, i32(stepw), i32(0))
+                          stepw //= 2
+                  else:
+                      def wpay(b, _):
+                          pl.when(wf_ref[b, 0] > 0)(
+                              functools.partial(pay_block, b))
+                          return 0
 
-                    jax.lax.fori_loop(0, NBLK, wpay, 0)
+                      jax.lax.fori_loop(0, NBLK, wpay, 0)
 
-            run_payload()
-            # Winner-blocks diagnostic (stats lane 3; negligible cost):
-            ki_ref[4:5, 1:2] = ki_ref[4:5, 1:2] + jnp.sum(
-                wf_ref[:], axis=0, keepdims=True)
-            if _timing_double_pay:
-                # bn/bm accumulate from zero (zeroed at iteration start,
-                # untouched by the non-hbm walk), so re-zero + re-run is
-                # idempotent; the marginal time IS the payload-pass cost:
-                bn_ref[:] = jnp.zeros((8, br), f32)
-                bm_ref[:] = jnp.zeros((8, br), f32)
-                run_payload()
-            ki_ref[7:8, :] = jnp.full((1, br), -1, i32)
+              run_payload()
+              # Winner-blocks diagnostic (stats lane 3; negligible cost):
+              ki_ref[4 * B:4 * B + 1, 1:2] = (
+                  ki_ref[4 * B:4 * B + 1, 1:2]) + jnp.sum(
+                  wf_ref[:], axis=0, keepdims=True)
+              if _timing_double_pay:
+                  # bn/bm accumulate from zero (zeroed at iteration start,
+                  # untouched by the non-hbm walk), so re-zero + re-run is
+                  # idempotent; the marginal time IS the payload-pass cost:
+                  bn_ref[bnlo:bnhi, :] = jnp.zeros((8, br), f32)
+                  bm_ref[bnlo:bnhi, :] = jnp.zeros((8, br), f32)
+                  run_payload()
+            
+            ki_ref[7 * B:8 * B, :] = jnp.full((B, br), -1, i32)
 
-        best_t = bt_ref[:]
-        # Normalize from the [3, br] block (components on sublanes —
-        # finding 65 density): the il chain is the exact _normalize3
-        # arithmetic; n3 = nb3 * il broadcasts one [1, br] row over 3
-        # sublanes in ONE issue instead of three:
-        nb3 = bn_ref[0:3, :]
+        best_t = bt_ref[:]                               # [B, br]
+        # Field gather: the payload banks are bundle-major [8, br]
+        # blocks (bundle bp at rows bp*8..bp*8+8); shading wants
+        # field-major [B, br] blocks (bundles on sublanes — the
+        # finding-66 lockstep layout). B == 1 is a plain slice:
+        if B == 1:
+            nxyz = (bn_ref[0:1, :], bn_ref[1:2, :], bn_ref[2:3, :])
+            albedo = (bn_ref[3:4, :], bn_ref[4:5, :], bn_ref[5:6, :])
+            tpk_raw = bm_ref[3:4, :]
+            ior = bm_ref[4:5, :]
+            emission = (bm_ref[5:6, :], bm_ref[6:7, :], bm_ref[7:8, :])
+        else:
+            def _gf(ref, f):
+                return _gather_rows(ref, [b_ * 8 + f for b_ in range(B)])
+
+            nxyz = (_gf(bn_ref, 0), _gf(bn_ref, 1), _gf(bn_ref, 2))
+            albedo = (_gf(bn_ref, 3), _gf(bn_ref, 4), _gf(bn_ref, 5))
+            tpk_raw = _gf(bm_ref, 3)
+            ior = _gf(bm_ref, 4)
+            emission = (_gf(bm_ref, 5), _gf(bm_ref, 6), _gf(bm_ref, 7))
         _il = jax.lax.rsqrt(jnp.maximum(
-            nb3[0:1, :] * nb3[0:1, :] + nb3[1:2, :] * nb3[1:2, :]
-            + nb3[2:3, :] * nb3[2:3, :], np.float32(1e-30)))
-        n3 = nb3 * _il
-        normal = (n3[0:1, :], n3[1:2, :], n3[2:3, :])
-        alb3 = bn_ref[3:6, :]
-        albedo = (alb3[0:1, :], alb3[1:2, :], alb3[2:3, :])
-        tpacked = jnp.round(bm_ref[3:4, :]).astype(i32)
-        ior = bm_ref[4:5, :]
-        em3 = bm_ref[5:8, :]
-        emission = (em3[0:1, :], em3[1:2, :], em3[2:3, :])
+            nxyz[0] * nxyz[0] + nxyz[1] * nxyz[1] + nxyz[2] * nxyz[2],
+            np.float32(1e-30)))
+        normal = (nxyz[0] * _il, nxyz[1] * _il, nxyz[2] * _il)
+        tpacked = jnp.round(tpk_raw).astype(i32)
 
         # ---- analytic primitives (spheres + discs, tiny tables) ----------
         if n_ap > 0:
@@ -1965,58 +2039,75 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             nx, ny, nz = ap_ref[:, 4:5], ap_ref[:, 5:6], ap_ref[:, 6:7]
             r2 = ap_ref[:, 7:8]
             doff = ap_ref[:, 8:9]
-            ocx = cx - o[0]
-            ocy = cy - o[1]
-            ocz = cz - o[2]
-            tca = ocx * d[0] + ocy * d[1] + ocz * d[2]   # [P, br]
-            l2 = ocx * ocx + ocy * ocy + ocz * ocz - tca * tca
-            td = jnp.sqrt(jnp.maximum(r2 - l2, 0.0))
-            t0 = tca - td
-            t1 = tca + td
-            t_sph = jnp.where(t0 < 0.0, t1, t0)
-            ok_sph = ((kind == 1.0) & (tca >= 0.0) & (l2 <= r2)
-                      & (t_sph > 0.0))
-            dn_ = nx * d[0] + ny * d[1] + nz * d[2]
-            on_ = nx * o[0] + ny * o[1] + nz * o[2]
-            t_dsc = -(on_ + doff) / jnp.where(dn_ == 0.0, 1.0, dn_)
-            hx = o[0] + d[0] * t_dsc - cx
-            hy = o[1] + d[1] * t_dsc - cy
-            hz = o[2] + d[2] * t_dsc - cz
-            d2 = hx * hx + hy * hy + hz * hz
-            ok_dsc = (kind == 2.0) & (dn_ != 0.0) & (t_dsc > 0.0) & (d2 < r2)
-            ok_ap = ok_sph | ok_dsc
-            t_ap = jnp.where(ok_ap, jnp.where(kind == 1.0, t_sph, t_dsc), _INF)
-            t_ap = jnp.where(t_ap < best_t, t_ap, _INF)
-            bt_ap = jnp.min(t_ap, axis=0, keepdims=True)   # [1, br]
             ap_lane = jax.lax.broadcasted_iota(i32, (n_ap, br), 0)
-            bi_ap = jnp.min(jnp.where(t_ap <= bt_ap, ap_lane, i32(0x7FFFFFFF)),
-                            axis=0, keepdims=True)
-            oh_ap = (ap_lane == bi_ap).astype(f32)
             nd_ = (((1,), (0,)), ((), ()))
-            pay = jax.lax.dot_general(
-                apay_ref[:], oh_ap, nd_, preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)        # [16, br]
-            ap_better = bt_ap < best_t
-            best_t = jnp.where(ap_better, bt_ap, best_t)
-            albedo = _where3(ap_better, (pay[0:1], pay[1:2], pay[2:3]), albedo)
-            ior = jnp.where(ap_better, pay[3:4], ior)
-            tpacked = jnp.where(ap_better, jnp.round(pay[4:5]).astype(i32),
+            # Per-bundle [P, br] tests + one-hot payload dot (the [P, *]
+            # grids cannot widen across bundles; ops are identical per
+            # lane, so B == 1 values are unchanged bit-for-bit):
+            bt_rows, pay_per_b = [], []
+            for ba in range(B):
+                o_a = tuple(c[ba:ba + 1, :] for c in o)
+                d_a = tuple(c[ba:ba + 1, :] for c in d)
+                bt_a = best_t[ba:ba + 1, :]
+                ocx = cx - o_a[0]
+                ocy = cy - o_a[1]
+                ocz = cz - o_a[2]
+                tca = ocx * d_a[0] + ocy * d_a[1] + ocz * d_a[2]  # [P, br]
+                l2 = ocx * ocx + ocy * ocy + ocz * ocz - tca * tca
+                td = jnp.sqrt(jnp.maximum(r2 - l2, 0.0))
+                t0 = tca - td
+                t1 = tca + td
+                t_sph = jnp.where(t0 < 0.0, t1, t0)
+                ok_sph = ((kind == 1.0) & (tca >= 0.0) & (l2 <= r2)
+                          & (t_sph > 0.0))
+                dn_ = nx * d_a[0] + ny * d_a[1] + nz * d_a[2]
+                on_ = nx * o_a[0] + ny * o_a[1] + nz * o_a[2]
+                t_dsc = -(on_ + doff) / jnp.where(dn_ == 0.0, 1.0, dn_)
+                hx = o_a[0] + d_a[0] * t_dsc - cx
+                hy = o_a[1] + d_a[1] * t_dsc - cy
+                hz = o_a[2] + d_a[2] * t_dsc - cz
+                d2 = hx * hx + hy * hy + hz * hz
+                ok_dsc = ((kind == 2.0) & (dn_ != 0.0) & (t_dsc > 0.0)
+                          & (d2 < r2))
+                ok_ap = ok_sph | ok_dsc
+                t_ap = jnp.where(
+                    ok_ap, jnp.where(kind == 1.0, t_sph, t_dsc), _INF)
+                t_ap = jnp.where(t_ap < bt_a, t_ap, _INF)
+                bt_ap = jnp.min(t_ap, axis=0, keepdims=True)   # [1, br]
+                bi_ap = jnp.min(
+                    jnp.where(t_ap <= bt_ap, ap_lane, i32(0x7FFFFFFF)),
+                    axis=0, keepdims=True)
+                oh_ap = (ap_lane == bi_ap).astype(f32)
+                pay = jax.lax.dot_general(
+                    apay_ref[:], oh_ap, nd_, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)        # [16, br]
+                bt_rows.append(bt_ap)
+                pay_per_b.append(pay)
+            bt_apw = (bt_rows[0] if B == 1
+                      else jnp.concatenate(bt_rows, axis=0))    # [B, br]
+
+            def _payf(f):
+                if B == 1:
+                    return pay_per_b[0][f:f + 1, :]
+                return jnp.concatenate(
+                    [pay_per_b[ba][f:f + 1, :] for ba in range(B)], axis=0)
+
+            ap_better = bt_apw < best_t
+            best_t = jnp.where(ap_better, bt_apw, best_t)
+            albedo = _where3(ap_better, (_payf(0), _payf(1), _payf(2)),
+                             albedo)
+            ior = jnp.where(ap_better, _payf(3), ior)
+            tpacked = jnp.where(ap_better, jnp.round(_payf(4)).astype(i32),
                                 tpacked)
-            emission = _where3(ap_better, (pay[5:6], pay[6:7], pay[7:8]),
+            emission = _where3(ap_better, (_payf(5), _payf(6), _payf(7)),
                                emission)
-            c_sel = (pay[8:9], pay[9:10], pay[10:11])
-            n_dsc = (pay[11:12], pay[12:13], pay[13:14])
-            kind_sel = pay[14:15]
+            c_sel = (_payf(8), _payf(9), _payf(10))
+            n_dsc = (_payf(11), _payf(12), _payf(13))
+            kind_sel = _payf(14)
             hp_ap = _add3(o, _scale3(d, best_t))
             n_sph = _normalize3(_add3(hp_ap, _scale3(c_sel, -1.0)))
             n_ap_v = _where3(kind_sel > 1.5, n_dsc, n_sph)
             normal = _where3(ap_better, n_ap_v, normal)
-            # Re-stack the [3, br] views after the analytic overrides
-            # (values identical to the tuples; the concat cost only
-            # exists on analytic scenes):
-            n3 = jnp.concatenate(normal, axis=0)
-            alb3 = jnp.concatenate(albedo, axis=0)
-            em3 = jnp.concatenate(emission, axis=0)
 
         if _count_oracle and reflag > 0 and not hbm:
             # Diagnostic: the "true-need union" — blocks a perfect cull
@@ -2040,39 +2131,40 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         live = active & found
 
         # ---- shading ------------------------------------------------------
-        # Per-lane xyz state stays [3, br]-packed (components on
-        # sublanes) so uniform ops issue at 3x the [1, br] density
-        # (finding 65); BxDF internals slice component rows where the
-        # math mixes them. Arithmetic is elementwise-identical to the
-        # per-row form — radiometry bitwise unchanged.
-        tp3 = sh_ref[0:3, :]
-        col3 = sh_ref[3:6, :]
-        o3 = ray_ref[0:3, :]
-        d3 = ray_ref[3:6, :]
+        # All per-lane state is [B, br] bundle blocks (finding 66): at
+        # B=8 every elementwise op below fills whole vregs. Component
+        # tuples keep the original op sequence — per-lane arithmetic is
+        # bitwise-identical at every B.
+        tp = (sh_ref[0:B, :], sh_ref[B:2 * B, :], sh_ref[2 * B:3 * B, :])
+        color = (sh_ref[3 * B:4 * B, :], sh_ref[4 * B:5 * B, :],
+                 sh_ref[5 * B:6 * B, :])
+
         em_on = live & (tpacked >= 4)
-        col3 = col3 + jnp.where(em_on, tp3 * em3, np.float32(0.0))
+        color = _add3(color, _where3(
+            em_on, (tp[0] * emission[0], tp[1] * emission[1],
+                    tp[2] * emission[2]),
+            (jnp.zeros_like(tp[0]),) * 3))
 
         rng_b = bounce + np.int32(7) + seed
-        # All four draws in one [4, br] hash chain (row r == stream
-        # constant r — bitwise-identical to four [1, br] calls, at 4x
-        # the sublane density; finding 65):
-        u4 = _u01(jnp.broadcast_to(pid, (4, br)),
-                  jnp.broadcast_to(rng_b, (4, br)),
-                  jax.lax.broadcasted_iota(i32, (4, br), 0))
-        u0, u1 = u4[0:1, :], u4[1:2, :]
-        u2, u3 = u4[2:3, :], u4[3:4, :]
+        # All four draws in one [4B, br] hash chain (row c*B+b is
+        # bundle b's stream-constant-c draw — bitwise-identical to four
+        # [B, br] calls; finding 65 density):
+        _i4 = jax.lax.broadcasted_iota(i32, (4 * B, br), 0) // i32(B)
+        u4 = _u01(jnp.concatenate([pid] * 4, axis=0),
+                  jnp.concatenate([rng_b] * 4, axis=0), _i4)
+        u0, u1 = u4[0:B, :], u4[B:2 * B, :]
+        u2, u3 = u4[2 * B:3 * B, :], u4[3 * B:4 * B, :]
         # Never-true fold mask for the marginal-cost probes below: the
         # compiler cannot prove best_t != -1234.5e12, so probe results
         # folded through it are computed but change nothing (bitwise):
         _nvr = best_t == np.float32(-1234.5e12)
         if _timing_double_rng:
-            u4b = _u01(jnp.broadcast_to(pid, (4, br)),
-                       jnp.broadcast_to(rng_b ^ np.int32(0x777), (4, br)),
-                       jax.lax.broadcasted_iota(i32, (4, br), 0))
-            u3 = jnp.where(_nvr, u4b[3:4, :], u3)
+            u4b = _u01(jnp.concatenate([pid] * 4, axis=0),
+                       jnp.concatenate([rng_b ^ np.int32(0x777)] * 4,
+                                       axis=0), _i4)
+            u3 = jnp.where(_nvr, u4b[3 * B:4 * B, :], u3)
 
-        hit3 = o3 + d3 * best_t
-        hit_p = (hit3[0:1, :], hit3[1:2, :], hit3[2:3, :])
+        hit_p = _add3(o, _scale3(d, best_t))
         d_diff = _sample_diffuse(normal, u0, u1)
         d_spec = _reflect(d, normal)
         d_diel, refracted = _dielectric(d, normal, ior, u2)
@@ -2080,7 +2172,6 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         is_diff = mtype == 0
         is_spec = mtype == 1
         new_d = _where3(is_diff, d_diff, _where3(is_spec, d_spec, d_diel))
-        nd3 = jnp.concatenate(new_d, axis=0)
         if _timing_double_bxdf:
             # Re-run the three BxDF samplers on permuted inputs (CSE-
             # distinct) and fold via the never-true mask — marginal =
@@ -2090,29 +2181,30 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             dl2, _rf2 = _dielectric(d, normal, ior, u3)
             _s = (dd2[0] + dd2[1] + dd2[2] + ds2[0] + ds2[1] + ds2[2]
                   + dl2[0] + dl2[1] + dl2[2])
-            nd3 = jnp.where(_nvr, _s, nd3)
+            new_d = _where3(_nvr, (_s, _s, _s), new_d)
         scale_tp = is_diff | is_spec | ((mtype == 2) & refracted)
         stp = live & scale_tp
-        tp3 = jnp.where(stp, tp3 * alb3, tp3)
+        tp = _where3(stp, (tp[0] * albedo[0], tp[1] * albedo[1],
+                           tp[2] * albedo[2]), tp)
 
         # Next-segment origin, pre-offset (ops/bxdf.py offset_ray_origin):
-        ah3 = jnp.abs(hit3)
-        mag = 1.0 + jnp.maximum(jnp.maximum(ah3[0:1, :], ah3[1:2, :]),
-                                ah3[2:3, :])
+        mag = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(hit_p[0]),
+                                            jnp.abs(hit_p[1])),
+                                jnp.abs(hit_p[2]))
         sgn = jnp.sign(_dot3(normal, new_d))
         sgn = jnp.where(sgn == 0.0, 1.0, sgn)
         m_off = mag * np.float32(RAY_EPSILON) * sgn
-        o3 = jnp.where(live, hit3 + n3 * m_off, o3)
-        d3 = jnp.where(live, nd3, d3)
+        o = _where3(live, _add3(hit_p, _scale3(normal, m_off)), o)
+        d = _where3(live, new_d, d)
 
         # Roulette:
-        p_r = jnp.maximum(jnp.maximum(tp3[0:1, :], tp3[1:2, :]),
-                          tp3[2:3, :])
+        p_r = jnp.maximum(jnp.maximum(tp[0], tp[1]), tp[2])
         stop_r = (p_r == 0.0) | (u3 > p_r)
         safe_p = jnp.where(p_r == 0.0, 1.0, p_r)
         use_roulette = bounce > roulette_start_depth
         rl = use_roulette & live & ~stop_r
-        tp3 = jnp.where(rl, tp3 / safe_p, tp3)
+        tp = _where3(rl, (tp[0] / safe_p, tp[1] / safe_p, tp[2] / safe_p),
+                     tp)
         killed = live & use_roulette & stop_r
 
         escaped = active & ~found
@@ -2130,15 +2222,17 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         # scenes where escapes trickle:
         if env_cfg is not None:
             P_, E_, layers_, log_tm = env_cfg
-            env_ref[:] = jnp.zeros((8, br), f32)
+            env_ref[:] = jnp.zeros((8, B * br), f32)
 
-            def _env():
+            def _env(ba=0):
                 bf16 = jnp.bfloat16
                 rot = econ_ref[0:1, 0:1]
                 maxv = econ_ref[0:1, 1:2]
-                dy = jnp.clip(d[1], -1.0, 1.0)
+                d_e = (d[0][ba:ba + 1, :], d[1][ba:ba + 1, :],
+                       d[2][ba:ba + 1, :])
+                dy = jnp.clip(d_e[1], -1.0, 1.0)
                 theta = _acos(dy)
-                phi = _atan2(d[2], d[0]) + rot
+                phi = _atan2(d_e[2], d_e[0]) + rot
                 two_pi = np.float32(2.0 * np.pi)
                 phi = jnp.where(phi < 0.0, phi + two_pi, phi)
                 phi = jnp.where(phi > two_pi, phi - two_pi, phi)
@@ -2180,89 +2274,122 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                        x[2:3] * maxv + econ_ref[0:1, 4:5])
                 if log_tm:
                     bgr = (jnp.exp(bgr[0]), jnp.exp(bgr[1]), jnp.exp(bgr[2]))
-                env_ref[0:1, :] = bgr[2]               # BGR -> RGB
-                env_ref[1:2, :] = bgr[1]
-                env_ref[2:3, :] = bgr[0]
+                env_ref[0:1, _bcols(ba)] = bgr[2]      # BGR -> RGB
+                env_ref[1:2, _bcols(ba)] = bgr[1]
+                env_ref[2:3, _bcols(ba)] = bgr[0]
 
             if env_every == 1:
-                pl.when(jnp.max(escaped.astype(i32)) > 0)(_env)
+                for ba in range(B):
+                    pl.when(jnp.max(
+                        escaped[ba:ba + 1, :].astype(i32)) > 0)(
+                        functools.partial(_env, ba))
                 env_mask = escaped
                 terminated = escaped | killed | over
             else:
-                pending = (ki_ref[5:6, :] != 0) | escaped
+                pending = (ki_ref[5 * B:6 * B, :] != 0) | escaped
                 survivors = live & ~killed & ~over
-                flush = (
-                    (jax.lax.rem(it, i32(env_every)) == i32(env_every - 1))
-                    | (jnp.sum(survivors.astype(i32)) == 0)
-                )
-                if env_count > 0:
-                    # Flush-on-count: the MLP's [P, br] cost is per-call,
-                    # so fire as soon as a worthwhile batch of lanes has
-                    # parked instead of waiting out the clock (the cadence
-                    # above remains the max-wait bound that keeps
-                    # max_iters valid). Pure scheduling — the estimator
-                    # is bitwise-identical across triggers.
-                    flush = flush | (
-                        jnp.sum(pending.astype(i32)) >= i32(env_count))
-                pl.when(flush & (jnp.max(pending.astype(i32)) > 0))(_env)
-                env_mask = pending & flush
+                em_rows = []
+                for ba in range(B):
+                    pend_b = pending[ba:ba + 1, :]
+                    flush = (
+                        (jax.lax.rem(it, i32(env_every))
+                         == i32(env_every - 1))
+                        | (jnp.sum(
+                            survivors[ba:ba + 1, :].astype(i32)) == 0)
+                    )
+                    if env_count > 0:
+                        # Flush-on-count: the MLP's [P, br] cost is
+                        # per-call, so fire as soon as a worthwhile
+                        # batch of lanes has parked instead of waiting
+                        # out the clock (the cadence above remains the
+                        # max-wait bound that keeps max_iters valid).
+                        # Pure scheduling — the estimator is bitwise-
+                        # identical across triggers.
+                        flush = flush | (
+                            jnp.sum(pend_b.astype(i32))
+                            >= i32(env_count))
+                    pl.when(flush
+                            & (jnp.max(pend_b.astype(i32)) > 0))(
+                        functools.partial(_env, ba))
+                    em_rows.append(pend_b & flush)
+                env_mask = (em_rows[0] if B == 1
+                            else jnp.concatenate(em_rows, axis=0))
                 terminated = killed | over | env_mask
                 pending_hold = pending & ~env_mask
-                ki_ref[5:6, :] = pending_hold.astype(i32)
+                ki_ref[5 * B:6 * B, :] = pending_hold.astype(i32)
                 # Parked lanes leave the tracing pool until their flush:
                 active = active & ~escaped
-            col3 = col3 + jnp.where(env_mask, tp3 * env_ref[0:3, :],
-                                    np.float32(0.0))
+            env_rgb = tuple(
+                _gather_rows(env_ref, [c])[:, 0:br] if B == 1 else
+                jnp.concatenate(
+                    [env_ref[c:c + 1, _bcols(ba)] for ba in range(B)],
+                    axis=0)
+                for c in range(3))
+            color = _add3(color, _where3(
+                env_mask,
+                (tp[0] * env_rgb[0], tp[1] * env_rgb[1],
+                 tp[2] * env_rgb[2]),
+                (jnp.zeros_like(tp[0]),) * 3))
         else:
             terminated = escaped | killed | over
 
         # ---- bank finished paths into the accumulator ---------------------
+        # Per-bundle [3J, br] banking passes against the bundle's accum
+        # columns (the [3J, *] slab cannot widen across bundles; per-lane
+        # cost is unchanged):
         j_cur = k // spp
-        colorx = jnp.where(csel == 0, col3[0:1, :],
-                           jnp.where(csel == 1, col3[1:2, :],
-                                     col3[2:3, :]))
-        bank = (jsel == j_cur) & terminated
-        accum_ref[:] = accum_ref[:] + jnp.where(bank, colorx, 0.0)
-        if _timing_double_bank:
-            # Second banking pass whose mask is ANDed with the never-
-            # true fold — adds +0.0 everywhere (accum holds only
-            # non-negative values, so x + 0.0 is bitwise x); marginal =
-            # the [3J, br] banking slab cost:
-            colorx2 = jnp.where(csel == 0, col3[2:3, :],
-                                jnp.where(csel == 1, col3[0:1, :],
-                                          col3[1:2, :]))
-            accum_ref[:] = accum_ref[:] + jnp.where(
-                bank & _nvr, colorx2, 0.0)
-        ki_ref[3:4, :] = ki_ref[3:4, :] + terminated.astype(i32)
+        for bb in range(B):
+            colorx = jnp.where(
+                csel == 0, color[0][bb:bb + 1, :],
+                jnp.where(csel == 1, color[1][bb:bb + 1, :],
+                          color[2][bb:bb + 1, :]))
+            bank = (jsel == j_cur[bb:bb + 1, :]) & terminated[bb:bb + 1, :]
+            accum_ref[:, _bcols(bb)] = (accum_ref[:, _bcols(bb)]
+                                        + jnp.where(bank, colorx, 0.0))
+            if _timing_double_bank:
+                # Second banking pass whose mask is ANDed with the never-
+                # true fold — adds +0.0 everywhere (accum holds only
+                # non-negative values, so x + 0.0 is bitwise x); marginal
+                # = the [3J, br] banking slab cost:
+                colorx2 = jnp.where(
+                    csel == 0, color[2][bb:bb + 1, :],
+                    jnp.where(csel == 1, color[0][bb:bb + 1, :],
+                              color[1][bb:bb + 1, :]))
+                accum_ref[:, _bcols(bb)] = (
+                    accum_ref[:, _bcols(bb)]
+                    + jnp.where(bank & _nvr[bb:bb + 1, :], colorx2, 0.0))
+        ki_ref[3 * B:4 * B, :] = (ki_ref[3 * B:4 * B, :]
+                                  + terminated.astype(i32))
 
         k = jnp.where(terminated, jnp.minimum(k + 1, K), k)
         active = active & ~terminated
         bounce = jnp.where(terminated, 0, bounce)
-        col3 = jnp.where(terminated, np.float32(0.0), col3)
+        color = _where3(terminated, (jnp.zeros_like(color[0]),) * 3, color)
 
         # ---- regenerate idle slots ----------------------------------------
         can_spawn = ~active & (k < k_cap)
         if env_cfg is not None and env_every > 1:
             can_spawn = can_spawn & ~pending_hold
-        co3, cd3 = camera_ray(k)
+        co, cd = camera_ray(k)
         if _timing_double_camera:
             # Extra camera_ray on a CSE-distinct path index, folded via
             # the never-true mask — marginal = full regen cost:
-            co3b, cd3b = camera_ray(k + i32(1))
-            co3 = jnp.where(_nvr, cd3b, co3)
-            cd3 = jnp.where(_nvr, co3b, cd3)
-        o3 = jnp.where(can_spawn, co3, o3)
-        d3 = jnp.where(can_spawn, cd3, d3)
-        tp3 = jnp.where(can_spawn, np.float32(1.0), tp3)
+            co2, cd2 = camera_ray(k + i32(1))
+            co = _where3(_nvr, cd2, co)
+            cd = _where3(_nvr, co2, cd)
+        o = _where3(can_spawn, co, o)
+        d = _where3(can_spawn, cd, d)
+        tp = _where3(can_spawn, (jnp.ones_like(tp[0]),) * 3, tp)
         active = active | can_spawn
 
-        ray_ref[0:3, :] = o3
-        ray_ref[3:6, :] = d3
-        sh_ref[0:3, :] = tp3
-        sh_ref[3:6, :] = col3
-        ki_ref[0:1, :] = k
-        ki_ref[1:2, :] = bounce
-        ki_ref[2:3, :] = active.astype(i32)
+        for c in range(3):
+            ray_ref[c * B:(c + 1) * B, :] = o[c]
+            ray_ref[(3 + c) * B:(4 + c) * B, :] = d[c]
+            sh_ref[c * B:(c + 1) * B, :] = tp[c]
+            sh_ref[(3 + c) * B:(4 + c) * B, :] = color[c]
+        ki_ref[0:B, :] = k
+        ki_ref[B:2 * B, :] = bounce
+        ki_ref[2 * B:3 * B, :] = active.astype(i32)
 
         alive = active
         if env_cfg is not None and env_every > 1:
@@ -2276,15 +2403,20 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     it_end, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.sum((k_cap > 0).astype(i32)))
     )
-    done_ref[0:1, :] = ki_ref[3:4, :]
+    for b in range(B):
+        done_ref[0:1, _bcols(b)] = ki_ref[3 * B + b:3 * B + b + 1, :]
     # Stats row: lane 0 = iterations, lane 1 = quarter-walks (== block
     # walks when subq == 1; the host divides by subq for
     # block-equivalents), lane 2 = oracle true-need blocks
-    # (when _count_oracle), lane 3 = deferred-payload winner blocks:
-    stats = jnp.where(lane == 0, it_end, 0)
-    stats = jnp.where(lane == 1, ki_ref[4:5, 0:1], stats)
-    stats = jnp.where(lane == 2, ki_ref[6:7, 0:1], stats)
-    stats = jnp.where(lane == 3, ki_ref[4:5, 1:2], stats)
+    # (when _count_oracle), lane 3 = deferred-payload winner blocks.
+    # Counters live in the shared 4*B / 6*B rows; the stats row spans
+    # the full B*br output width (host sums lane k over programs, so
+    # only the first lane-block's values may be non-zero):
+    lane_w = jax.lax.broadcasted_iota(i32, (1, B * br), 1)
+    stats = jnp.where(lane_w == 0, it_end, 0)
+    stats = jnp.where(lane_w == 1, ki_ref[4 * B:4 * B + 1, 0:1], stats)
+    stats = jnp.where(lane_w == 2, ki_ref[6 * B:6 * B + 1, 0:1], stats)
+    stats = jnp.where(lane_w == 3, ki_ref[4 * B:4 * B + 1, 1:2], stats)
     done_ref[1:2, :] = stats
 
 
@@ -2406,6 +2538,7 @@ def _analytic_tables(scene):
                      "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
                      "hbm_sub", "hbm_wu", "hbm_pay_gate", "hbm_pb_stage",
+                     "bundles",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
                      "_timing_cull_only", "_timing_stub_walk",
                      "_timing_const_pb",
@@ -2598,6 +2731,21 @@ def megakernel_path_trace(
                                  # 9.22 vs 8.15 Mpaths/s at br512/rf1.
                                  # RAY_WALK_COMPACT=0 restores the gated
                                  # walk (A/B escape hatch).
+    bundles: int | None = None,  # bundle-lockstep width B (finding 66):
+                                 # each kernel program advances B
+                                 # independent br-lane bundles per
+                                 # bounce iteration with per-lane state
+                                 # held as [B, br] blocks (bundles on
+                                 # sublanes) — at B=8 the elementwise
+                                 # shading/RNG/regen pool fills whole
+                                 # vregs instead of one sublane in 8,
+                                 # while each bundle's cull/walk/payload
+                                 # runs on its own row/column slices
+                                 # (identical per-lane work + walk
+                                 # order: radiometry bitwise-identical
+                                 # to B=1 at every B). VMEM compact walk
+                                 # only. None = auto (RAY_BUNDLES env
+                                 # override via streaming).
     return_stats: bool = False,
     _timing_no_dots: bool = False,
     _timing_no_walk: bool = False,
@@ -2628,6 +2776,14 @@ def megakernel_path_trace(
     K = J * spp
     assert R % br == 0, (R, br)
     nrb = R // br
+    if bundles is None:
+        bundles = 1
+    if bundles not in (1, 2, 4, 8):
+        raise ValueError(f"bundles must be 1, 2, 4 or 8, got {bundles}")
+    if nrb % bundles:
+        raise ValueError(
+            f"slots/br = {nrb} ray bundles must divide by bundles="
+            f"{bundles}")
 
     tables: BlockedSceneTables = scene.blocked
     ap, apay, n_ap = _analytic_tables(scene)
@@ -2792,6 +2948,17 @@ def megakernel_path_trace(
     # subq > 1 compacts one index list per lane quarter (finding 53):
     compact_on = (walk_compact and cull_on
                   and not (hbm or two_level))
+    if bundles > 1 and not (compact_on and subq == 1 and not hbm
+                            and not two_level):
+        raise ValueError(
+            "bundles > 1 requires the compacted VMEM walk "
+            "(walk_compact, subq == 1, non-HBM, non-two-level)")
+    if bundles > 1 and (walk_mxu or walk_fresh or _count_oracle
+                        or _timing_double_vdense
+                        or _timing_double_vdense_const):
+        raise ValueError(
+            "bundles > 1 does not support walk_mxu / walk_fresh / "
+            "_count_oracle / vdense probes")
     mxu_on = walk_mxu and compact_on and subq == 1
     cull2_on = bool(walk_cull2) and compact_on and subq == 1
     # Fresh per-group walk gates (see the walk_fresh param note):
@@ -2814,10 +2981,10 @@ def megakernel_path_trace(
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrb,),
+        grid=(nrb // bundles,),
         in_specs=[
-            pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
-            pl.BlockSpec((J, br), lambda i, sc_: (0, i)),
+            pl.BlockSpec((J, br * bundles), lambda i, sc_: (0, i)),
+            pl.BlockSpec((J, br * bundles), lambda i, sc_: (0, i)),
             pl.BlockSpec(memory_space=ms_scene),     # p (HBM when hbm)
             pl.BlockSpec(memory_space=ms_scene),     # pay8 (HBM, split)
             pl.BlockSpec(memory_space=ms_scene),     # nrm
@@ -2830,17 +2997,17 @@ def megakernel_path_trace(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # econst
         ],
         out_specs=[
-            pl.BlockSpec((3 * J, br), lambda i, sc_: (0, i)),
-            pl.BlockSpec((2, br), lambda i, sc_: (0, i)),
+            pl.BlockSpec((3 * J, br * bundles), lambda i, sc_: (0, i)),
+            pl.BlockSpec((2, br * bundles), lambda i, sc_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, br), jnp.float32),    # best_t
-            pltpu.VMEM((8, br), jnp.float32),    # normal+albedo+id payload
-            pltpu.VMEM((8, br), jnp.float32),    # material payload bank 2
-            pltpu.VMEM((8, br), jnp.float32),    # ray o/d
-            pltpu.VMEM((8, br), jnp.float32),    # tp + colour
-            pltpu.VMEM((8, br), jnp.int32),      # k/bounce/active/done
-            pltpu.VMEM((nbs_c, 1), jnp.int32),   # (sub-)block cull flags
+            pltpu.VMEM((bundles, br), jnp.float32),      # best_t
+            pltpu.VMEM((8 * bundles, br), jnp.float32),  # payload bank 1
+            pltpu.VMEM((8 * bundles, br), jnp.float32),  # payload bank 2
+            pltpu.VMEM((6 * bundles, br), jnp.float32),  # ray o/d
+            pltpu.VMEM((6 * bundles, br), jnp.float32),  # tp + colour
+            pltpu.VMEM((8 * bundles, br), jnp.int32),    # k/bounce/...
+            pltpu.VMEM((nbs_c, bundles), jnp.int32),  # cull flags
             # per-lane-quarter cull flags (flat walk with subq > 1 only):
             pltpu.VMEM((nbs_c, subq)
                        if subq > 1 and not (hbm or two_level) else (1, 1),
@@ -2848,11 +3015,11 @@ def megakernel_path_trace(
             # per-lane entry bounds for mid-walk flag refreshes
             # (bf16 when tin16 — see the param note):
             pltpu.VMEM((nbs_c if tin_on else 1,
-                        br if tin_on else 1),
+                        br * bundles if tin_on else 1),
                        jnp.bfloat16 if tin16 else jnp.float32),
             # env radiance staging (when an env MLP is fused in):
-            pltpu.VMEM((8, br) if env_cfg is not None else (1, 1),
-                       jnp.float32),
+            pltpu.VMEM((8, br * bundles) if env_cfg is not None
+                       else (1, 1), jnp.float32),
             # HBM-streaming slab window(s) + DMA semaphores. Fused pn8
             # (VMEM-sized scenes): one super = [PN_SUPER, SB*16] f32 —
             # 160 KB per slot, ONE DMA. Split (hbm_split, big scenes):
@@ -2890,7 +3057,7 @@ def megakernel_path_trace(
         max_iters = max_iters + K * env_every + env_every
     kern = functools.partial(
         _mega_kernel, br=br, nb=nb_kern, n_ap=n_ap,
-        R=R, J=J, spp=spp, K=K,
+        R=R, J=J, spp=spp, K=K, bundles=bundles,
         max_path_length=params.max_path_length,
         roulette_start_depth=params.roulette_start_depth,
         max_iters=max_iters,
@@ -2988,7 +3155,7 @@ def megakernel_path_trace(
         # Per grid step: lane 0 = iterations, lane 1 = blocks walked,
         # lane 2 = oracle true-need blocks (when _count_oracle), lane 3 =
         # deferred-payload winner blocks (always last element).
-        steps = done[1].reshape(nrb, br)
+        steps = done[1].reshape(nrb // bundles, br * bundles)
         if _count_oracle:
             return (flat, n_done, jnp.sum(steps[:, 0]),
                     jnp.sum(steps[:, 1]), jnp.sum(steps[:, 2]),

@@ -448,3 +448,39 @@ def test_walk_mxu_matches_vpu_walk(mega_scene, kw):
     assert done == 48 * 32
     np.testing.assert_allclose(img, base, rtol=1e-5, atol=1e-6,
                                err_msg=f"variant {kw}")
+
+
+@pytest.mark.parametrize("bn", [2, 8])
+def test_bundle_lockstep_bitwise_identical(mega_scene, bn):
+    """Bundle-lockstep (megakernel `bundles`, finding 66): B independent
+    br-lane bundles advance per kernel iteration with per-lane state as
+    [B, br] sublane blocks. Per-lane arithmetic, RNG streams and walk
+    order are unchanged, so images must be bitwise-identical to B=1.
+    Measured SLOWER at every B on TPU (B=1 10.29 / B=2 11.04 / B=4
+    11.20 / B=8 11.45 us per bundle-iteration, same window): (1, br)
+    vectors are already issue-dense and the fixed pool is dependency-
+    bound — knob kept as the measured record, default 1."""
+    import jax.numpy as jnp
+
+    from ipu_ray_lib_tpu.ops.pallas.megakernel import megakernel_path_trace
+    from ipu_ray_lib_tpu.render import streaming as S
+
+    arrays, params, _ = mega_scene
+    n_pix = 48 * 32
+    R, J = 2048, 1
+    rows_np, cols_np, _ = S._pixel_stream(params, 32)
+    rows = jnp.asarray(np.pad(rows_np, (0, R * J - n_pix)))
+    cols = jnp.asarray(np.pad(cols_np, (0, R * J - n_pix)))
+    mi = J * 2 * params.max_path_length + 16
+
+    def run(bundles):
+        flat, done = megakernel_path_trace(
+            arrays, rows, cols, jnp.uint32(7), jnp.int32(n_pix),
+            params=params, slots=R, j_per_slot=J, spp=2, max_iters=mi,
+            br=256, interpret=True, bundles=bundles)
+        return np.asarray(flat), int(done)
+
+    base, done1 = run(1)
+    img, done_b = run(bn)
+    assert done_b == done1 == n_pix * 2
+    np.testing.assert_array_equal(img, base, err_msg=f"bundles={bn}")
