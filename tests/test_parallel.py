@@ -127,14 +127,20 @@ def test_streaming_sharded_megakernel_path(cornell_built):
     from ipu_ray_lib_tpu.render.streaming import render_streaming
 
     arrays, params, _ = cornell_built
+    # spp 16, not 4: the crop's estimator is heavy-tailed (roulette +
+    # emissive spikes), and at spp 4 two INDEPENDENT renders routinely
+    # sit >15% apart in mean (measured: single-device spp-4 0.0533 vs
+    # its own spp-32 truth 0.0604 — an 11.8% one-sided error). The
+    # tolerance compares two estimators, so both need enough samples:
     p = dataclasses.replace(params, window_w=48, window_h=48,
-                            window_c=40, window_r=40, samples_per_pixel=4,
+                            window_c=40, window_r=40,
+                            samples_per_pixel=16,
                             intersector="pallas")
     mesh = make_ray_mesh()
     img_sh, done = render_streaming_sharded(arrays, p, mesh, chunk_slots=256)
-    assert done == 48 * 48 * 4
+    assert done == 48 * 48 * 16
     img_1, done1 = render_streaming(arrays, p, chunk_slots=2048)
-    assert done1 == 48 * 48 * 4
+    assert done1 == 48 * 48 * 16
     assert np.isfinite(img_sh).all()
     assert abs(img_sh.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
 
