@@ -454,8 +454,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     csel = riota % 3
 
     def _bcols(b):
-        """Lane-column slice of bundle ``b`` in a [rows, B*br] block."""
-        return pl.ds(b * br, br)
+        """Lane-column slice of bundle ``b`` in a [rows, B*br] block.
+        Static python slice — ``b`` is always a python int (unrolled
+        bundle loops), and a static slice lowers without the
+        dynamic-slice machinery a pl.ds would invoke."""
+        return slice(b * br, (b + 1) * br)
 
     def _gather_rows(ref, rows_):
         """Stack the given ref rows into one [B, br]-style block."""
