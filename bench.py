@@ -78,6 +78,17 @@ def main() -> int:
         "unit": "paths/s",
         "vs_baseline": round(mpaths_s / BASELINE_MPATHS_PER_CHIP, 4),
     }
+    # Tunnel-health stamp (finding 64 discipline): identical compiled
+    # programs measure differently across tunnel windows; the probe
+    # (~0.12-0.25 s healthy) makes the window a recorded fact:
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "experiments"))
+        from _health import tunnel_probe_s
+
+        record["probe_s"] = tunnel_probe_s()
+    except Exception:
+        pass
     # Walk telemetry (VERDICT r2 #8): the falsifiable counters behind the
     # headline — bundle-iterations, dense blocks walked per iteration, and
     # the implied pair-test rate (128-tri x br-ray blocks):

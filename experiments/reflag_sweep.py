@@ -177,10 +177,14 @@ def main():
         iters, blocks = int(iters), int(blocks)
         winners = int(rest[-1]) if rest else 0
         rec = {"exp": "reflag_sweep", "size": size, "spp": spp,
-               "br": br, "subq": sq, **({"nowalk": 1} if nowalk else {}),
+               "br": br, "subq": sq,
+               # Resolved walk mode recorded UNCONDITIONALLY (finding 64:
+               # four rows with `compact` merely absent were misread as
+               # production config):
+               "compact": int(compact),
+               **({"nowalk": 1} if nowalk else {}),
                **({"cullonly": 1} if cullonly else {}),
                **({"stub": 1} if stub else {}),
-               **({"compact": 1} if compact else {}),
                **({"nodots": 1} if nodots else {}),
                **({"constpb": 1} if constpb else {}),
                **({"vd2": 1} if vd2 else {}),
