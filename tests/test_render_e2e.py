@@ -216,3 +216,28 @@ def test_shadow_pallas_matches_oracle(cornell_scene, oracle_out):
     assert mse(out.rgb[both], oracle_out["rgb"][both]) < 2e-3
     dots = np.abs(np.sum(out.normal * oracle_out["normal"], axis=-1))[both]
     assert np.quantile(dots, 0.01) > 0.999
+
+
+def test_f16_readback_shadow_aovs(cornell_built, monkeypatch):
+    """RAY_READBACK_F16 on the shadow-trace AOV readback (weak #8 of
+    VERDICT r3: large-frame shadow mode is host-link-bound): float AOVs
+    must match the f32 readback to half precision; integer AOVs (geom /
+    prim ids) must stay exact."""
+    import dataclasses
+
+    import numpy as np
+
+    from ipu_ray_lib_tpu.render.renderer import render
+
+    arrays, params, _ = cornell_built
+    p = dataclasses.replace(params, window_w=32, window_h=32,
+                            window_c=48, window_r=48)
+    base = render(arrays, p, mode="shadow-trace", chunk_size=512)
+    monkeypatch.setenv("RAY_READBACK_F16", "1")
+    half = render(arrays, p, mode="shadow-trace", chunk_size=512)
+    np.testing.assert_array_equal(half.geom_id, base.geom_id)
+    np.testing.assert_array_equal(half.prim_id, base.prim_id)
+    np.testing.assert_allclose(half.normal, base.normal, atol=2e-3)
+    np.testing.assert_allclose(half.rgb, base.rgb, rtol=2e-3, atol=2e-3)
+    finite = np.isfinite(base.t)
+    np.testing.assert_allclose(half.t[finite], base.t[finite], rtol=2e-3)
