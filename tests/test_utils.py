@@ -258,12 +258,15 @@ def test_off_import(tmp_path):
     assert out.hit_count > 0
 
 
-def _fbx_binary_bytes():
-    """Minimal spec-conforming binary FBX (version 7400, u32 records):
-    one quad Geometry (zlib-compressed vertex array), a Model with an
-    Lcl Translation, a red Material, and OO connections."""
+def _fbx_binary_bytes(version=7400):
+    """Minimal spec-conforming binary FBX: one quad Geometry
+    (zlib-compressed vertex array), a Model with an Lcl Translation, a
+    red Material, and OO connections. version >= 7500 switches the
+    record headers to the u64 layout (FBX 2016+)."""
     import struct
     import zlib
+
+    big = version >= 7500
 
     def S(s):
         b = s.encode()
@@ -291,10 +294,12 @@ def _fbx_binary_bytes():
     def node(name, props, children=()):
         return (name, props, children)
 
+    hdr_fmt, hdr_n, null_n = ("<QQQ", 24, 25) if big else ("<III", 12, 13)
+
     def ser(n, start):
         name = n[0].encode()
         props = b"".join(n[1])
-        header = 12 + 1 + len(name)
+        header = hdr_n + 1 + len(name)
         pos = start + header + len(props)
         kid_bytes = b""
         if n[2]:
@@ -302,9 +307,9 @@ def _fbx_binary_bytes():
                 kb = ser(k, pos)
                 kid_bytes += kb
                 pos += len(kb)
-            kid_bytes += b"\x00" * 13
-            pos += 13
-        return (struct.pack("<III", pos, len(n[1]), len(props))
+            kid_bytes += b"\x00" * null_n
+            pos += null_n
+        return (struct.pack(hdr_fmt, pos, len(n[1]), len(props))
                 + bytes([len(name)]) + name + props + kid_bytes)
 
     verts = [0, 0, -5, 1, 0, -5, 1, 1, -5, 0, 1, -5]
@@ -336,24 +341,29 @@ def _fbx_binary_bytes():
         ]),
     ]
     out = b"Kaydara FBX Binary  \x00\x1a\x00" + __import__("struct").pack(
-        "<I", 7400)
+        "<I", version)
     pos = len(out)
     for n in tree:
         b = ser(n, pos)
         out += b
         pos += len(b)
-    out += b"\x00" * 13
+    out += b"\x00" * null_n
     return out
 
 
-def test_fbx_import_binary(tmp_path):
-    """Binary FBX: node records, zlib arrays, polygon fan triangulation,
-    material + connection wiring (the assimp-breadth FBX gap,
+import pytest
+
+
+@pytest.mark.parametrize("version", [7400, 7500])
+def test_fbx_import_binary(tmp_path, version):
+    """Binary FBX: node records (u32 pre-7500, u64 from FBX 2016's
+    7500), zlib arrays, polygon fan triangulation, material +
+    connection wiring (the assimp-breadth FBX gap,
     ref scene_utils.cpp:152-176)."""
     import numpy as np
 
     fbx = tmp_path / "quad.fbx"
-    fbx.write_bytes(_fbx_binary_bytes())
+    fbx.write_bytes(_fbx_binary_bytes(version))
     from ipu_ray_lib_tpu.scene.io import import_scene
 
     scene = import_scene(str(fbx))
