@@ -2029,10 +2029,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             tpk_raw = _gf(bm_ref, 3)
             ior = _gf(bm_ref, 4)
             emission = (_gf(bm_ref, 5), _gf(bm_ref, 6), _gf(bm_ref, 7))
-        _il = jax.lax.rsqrt(jnp.maximum(
-            nxyz[0] * nxyz[0] + nxyz[1] * nxyz[1] + nxyz[2] * nxyz[2],
-            np.float32(1e-30)))
-        normal = (nxyz[0] * _il, nxyz[1] * _il, nxyz[2] * _il)
+        normal = _normalize3(nxyz)
         tpacked = jnp.round(tpk_raw).astype(i32)
 
         # ---- analytic primitives (spheres + discs, tiny tables) ----------

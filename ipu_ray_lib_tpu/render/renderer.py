@@ -250,10 +250,15 @@ def render(
     f16 = os.environ.get("RAY_READBACK_F16", "0") == "1"
 
     def _read_f(x):
-        import jax.numpy as jnp
-
-        return (np.asarray(x.astype(jnp.float16)).astype(np.float32)
-                if f16 else np.asarray(x))
+        if not f16:
+            return np.asarray(x)
+        # Clamp finite values to the f16 range before the cast: hit
+        # distances / hit points beyond 65504 must degrade to ~3-digit
+        # precision like everything else, not overflow to inf. True
+        # infinities (the miss sentinel in t) pass through unchanged:
+        fmax = jnp.float32(np.finfo(np.float16).max)
+        xc = jnp.where(jnp.isfinite(x), jnp.clip(x, -fmax, fmax), x)
+        return np.asarray(xc.astype(jnp.float16)).astype(np.float32)
 
     for ci, sl, res, err in pending:
         if err is not None:

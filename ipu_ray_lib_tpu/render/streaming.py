@@ -476,6 +476,20 @@ def subq_granularity() -> int:
     return v if v in (1, 2, 4, 8) else default
 
 
+def bundles_override(nrb: int) -> int:
+    """Bundle-lockstep width for the compacted VMEM walk (megakernel
+    ``bundles``, finding 66): B bundles advance per kernel program with
+    [B, br] sublane-major per-lane state. Measured SLOWER at every B on
+    TPU (record knob); ``RAY_BUNDLES`` in {1, 2, 4, 8} forces it for
+    A/Bs when it divides the bundle count ``nrb``; anything else falls
+    back to 1."""
+    try:
+        v = int(os.environ.get("RAY_BUNDLES", "1"))
+    except (TypeError, ValueError):
+        return 1
+    return v if v in (1, 2, 4, 8) and nrb % v == 0 else 1
+
+
 def sub_granularity() -> int | None:
     """Sub-block walk granularity override for the VMEM megakernel walks
     (megakernel ``sub``: dense windows of 128/sub triangle rows against
@@ -641,6 +655,8 @@ def render_streaming(
                 jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),
                 params=params, slots=R, j_per_slot=J, spp=spp_b,
                 max_iters=max_iters, br=_pick_br(R, J),
+                bundles=(bundles_override(R // _pick_br(R, J))
+                         if params.intersector != "pallas-hbm" else 1),
                 env_cfg=env_cfg, env_weights=env_weights,
                 env_every=env_every, env_count=env_count,
                 hbm=params.intersector == "pallas-hbm",

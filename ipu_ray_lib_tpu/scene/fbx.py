@@ -197,11 +197,17 @@ def _parse_ascii(text: str) -> _Node:
 
 
 def _arr(node) -> np.ndarray:
-    """First property as a numpy array (binary arrays / ASCII lists)."""
+    """Node values as a numpy array. Three storages exist in the wild:
+    a typed binary array (one ndarray prop), an ASCII ``*N { a: ... }``
+    list (one list prop), and FBX 6.x plain value lists (ASCII
+    ``Vertices: 0,0,-5,...`` / binary N scalar props) where every value
+    is its own prop."""
     p = node.props[0]
     if isinstance(p, np.ndarray):
         return p
-    return np.asarray(p, np.float64)
+    if isinstance(p, list):
+        return np.asarray(p, np.float64)
+    return np.asarray(node.props, np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -271,12 +277,15 @@ def import_fbx_scene(filename: str, load_normals: bool = False
     for node in objects.children:
         nid = node.props[0] if node.props and isinstance(
             node.props[0], (int, np.integer)) else None
-        if node.name == "Geometry" or (node.name == "Model" and len(
-                node.props) > 1 and _is_mesh_model_60(node)):
-            vn = node.first("Vertices")
-            pn = node.first("PolygonVertexIndex")
-            if vn is None or pn is None:
-                continue
+        # Geometry lives on Geometry nodes (FBX 7.x) or directly on
+        # 'Mesh'-typed Model nodes (FBX 6.x). A 7.x Model is ALSO typed
+        # 'Mesh' but carries no Vertices — it must still register as a
+        # Model (transform + material connections), so the discriminator
+        # is the presence of geometry children, not the type string:
+        vn = node.first("Vertices")
+        pn = node.first("PolygonVertexIndex")
+        has_geo = vn is not None and pn is not None
+        if has_geo and node.name in ("Geometry", "Model"):
             verts = _arr(vn).astype(np.float64).reshape(-1, 3)
             tris = _triangulate(_arr(pn).astype(np.int64))
             key = nid if nid is not None else f"g{len(geoms)}"
@@ -356,16 +365,6 @@ def import_fbx_scene(filename: str, load_normals: bool = False
              len(scene.meshes), len(scene.materials), filename,
              "binary" if buf.startswith(_MAGIC) else "ascii")
     return scene
-
-
-def _is_mesh_model_60(node) -> bool:
-    """FBX 6.x stores geometry directly on Model nodes of type 'Mesh'."""
-    for p in node.props:
-        if isinstance(p, bytes) and b"Mesh" in p:
-            return True
-        if isinstance(p, str) and "Mesh" in p:
-            return True
-    return False
 
 
 def _material_from(node) -> Material:

@@ -18,32 +18,38 @@ from .types import Camera, HostMesh, Material, SceneDescription
 def import_off_scene(filename: str, load_normals: bool = False
                      ) -> SceneDescription:
     log = logger()
+    # Line-based parse: OFF vertex and face records are one per line,
+    # and both may carry trailing colour/normal values (COFF/NOFF
+    # variants, per-face colours) that a flat token stream cannot
+    # delimit — per-line parsing takes the leading fields and ignores
+    # the rest of each record:
     with open(filename) as fh:
-        tokens = []
-        for line in fh:
-            body = line.split("#")[0].strip()
+        lines = []
+        for raw in fh:
+            body = raw.split("#")[0].strip()
             if body:
-                tokens.extend(body.split())
-    if not tokens or tokens[0] not in ("OFF", "COFF", "NOFF", "CNOFF"):
+                lines.append(body)
+    if not lines or lines[0].split()[0] not in ("OFF", "COFF", "NOFF",
+                                                "CNOFF"):
         raise ValueError(f"'{filename}' is not an OFF file")
-    has_color = "C" in tokens[0]
-    has_normal = "N" in tokens[0]
-    pos = 1
-    nv, nf = int(tokens[pos]), int(tokens[pos + 1])
-    pos += 3  # skip edge count
-    stride = 3 + (3 if has_normal else 0) + (4 if has_color else 0)
-    verts = np.asarray(tokens[pos:pos + nv * stride],
-                       np.float64).reshape(nv, stride)[:, :3]
-    pos += nv * stride
+    head = lines[0].split()
+    li = 1
+    if len(head) > 1:       # counts on the keyword line
+        counts = head[1:4]
+    else:
+        counts = lines[li].split()[:3]
+        li += 1
+    nv, nf = int(counts[0]), int(counts[1])
+    verts = np.empty((nv, 3), np.float64)
+    for i in range(nv):
+        f = lines[li + i].split()
+        verts[i] = [float(f[0]), float(f[1]), float(f[2])]
+    li += nv
     tris = []
-    for _ in range(nf):
-        k = int(tokens[pos])
-        face = [int(t) for t in tokens[pos + 1:pos + 1 + k]]
-        # face lines may carry trailing colour values — skip to next line
-        # is not possible in token space; OFF colour-per-face appends up
-        # to 4 numbers, detected as non-index floats is unreliable, so
-        # we follow the common subset: indices only:
-        pos += 1 + k
+    for i in range(nf):
+        f = lines[li + i].split()
+        k = int(f[0])
+        face = [int(t) for t in f[1:1 + k]]   # trailing colours ignored
         for j in range(1, k - 1):
             tris.append((face[0], face[j], face[j + 1]))
     scene = SceneDescription()

@@ -239,9 +239,9 @@ def test_off_import(tmp_path):
     """OFF import: counts header, fan triangulation of a quad face."""
     off = tmp_path / "quad.off"
     off.write_text(
-        "OFF\n# a quad and a tri\n4 2 0\n"
+        "OFF\n# a quad and a tri; faces carry trailing colours\n4 2 0\n"
         "0 0 -5\n1 0 -5\n1 1 -5\n0 1 -5\n"
-        "4 0 1 2 3\n3 0 2 3\n"
+        "4 0 1 2 3 255 0 0\n3 0 2 3 0.2 0.8 0.2 1.0\n"
     )
     from ipu_ray_lib_tpu.scene.io import import_scene
 
@@ -324,7 +324,7 @@ def _fbx_binary_bytes(version=7400):
                            S("Mesh")], [
                 node("Properties70", [], [
                     node("P", [S("Lcl Translation"), S("Lcl Translation"),
-                               S(""), S("A"), D(0.0), D(0.0), D(0.0)]),
+                               S(""), S("A"), D(2.0), D(0.0), D(-1.0)]),
                 ]),
             ]),
             node("Material", [L(300), S("Material::Red\x00\x01Material"),
@@ -367,9 +367,14 @@ def test_fbx_import_binary(tmp_path, version):
     from ipu_ray_lib_tpu.scene.io import import_scene
 
     scene = import_scene(str(fbx))
-    mesh = scene.meshes[0]
+    assert len(scene.meshes) == 1            # Geometry bound via its Model,
+    mesh = scene.meshes[0]                   # not duplicated as an orphan
     assert len(mesh.triangles) == 2          # quad -> 2 tris
     assert len(mesh.vertices) == 4
+    # The Model's Lcl Translation (2, 0, -1) must apply (a 7.x Model is
+    # typed "Mesh" but carries no geometry; it must register as the
+    # transform/material carrier):
+    np.testing.assert_allclose(mesh.vertices[0], [2.0, 0.0, -6.0])
     np.testing.assert_allclose(scene.materials[scene.mat_ids[0]].albedo,
                                [0.8, 0.1, 0.1])
 
@@ -418,3 +423,52 @@ def test_fbx_import_ascii(tmp_path):
     assert len(scene.meshes[0].triangles) == 2
     np.testing.assert_allclose(scene.materials[scene.mat_ids[0]].albedo,
                                [0.1, 0.9, 0.2])
+
+
+def test_fbx_import_ascii_v6_value_list(tmp_path):
+    """FBX 6.x-style geometry: a 'Mesh'-typed Model node carrying
+    Vertices/PolygonVertexIndex directly as plain value lists (no *N/a:
+    wrapper) — the legacy exporter format."""
+    fbx = tmp_path / "six.fbx"
+    fbx.write_text(
+        'Objects:  {\n'
+        '\tModel: "Model::Quad", "Mesh" {\n'
+        '\t\tVertices: 0,0,-5,1,0,-5,1,1,-5,0,1,-5\n'
+        '\t\tPolygonVertexIndex: 0,1,2,-4\n'
+        '\t}\n'
+        '}\n'
+    )
+    from ipu_ray_lib_tpu.scene.io import import_scene
+
+    scene = import_scene(str(fbx))
+    assert len(scene.meshes) == 1
+    assert len(scene.meshes[0].triangles) == 2
+    assert len(scene.meshes[0].vertices) == 4
+
+
+def test_cli_scene_cache_invalidates_on_mesh_edit(tmp_path):
+    """--scene-cache keys mesh files by (path, mtime, size): editing the
+    scene file must MISS the cache, not silently load stale geometry."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    import trace as cli
+
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 -5\nv 1 0 -5\nv 1 1 -5\nf 1 2 3\n")
+    cache = str(tmp_path / "cache")
+    args = ["--mesh-file", str(obj), "-w", "8", "-H", "8",
+            "--render-mode", "shadow-trace", "--visualise", "id",
+            "--chunk-size", "64", "--tpu-only", "--intersector", "dense",
+            "--scene-cache", cache,
+            "-o", str(tmp_path / "o1"), "--log-level", "warn"]
+    assert cli.main(args) == 0
+    assert len(_os.listdir(cache)) == 1
+    # Edit the mesh (different size => different key even if mtime
+    # granularity is coarse):
+    obj.write_text("v 0 0 -5\nv 2 0 -5\nv 2 2 -5\nv 0 2 -5\n"
+                   "f 1 2 3\nf 1 3 4\n")
+    args[-3] = str(tmp_path / "o2")
+    assert cli.main(args) == 0
+    assert len(_os.listdir(cache)) == 2   # second bundle, not a stale hit

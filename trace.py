@@ -210,9 +210,17 @@ def main(argv=None) -> int:
         import hashlib
         import json as _json
 
+        # Mesh files key by (path, mtime, size) so an edited scene file
+        # invalidates its bundle instead of silently loading stale
+        # geometry:
+        mesh_key = ""
+        if args.mesh_file:
+            st = os.stat(args.mesh_file)
+            mesh_key = (f"{os.path.abspath(args.mesh_file)}"
+                        f":{st.st_mtime_ns}:{st.st_size}")
         keysrc = _json.dumps(
-            {"scene": args.scene, "mesh": os.path.abspath(args.mesh_file)
-             if args.mesh_file else "", "normals": args.load_normals,
+            {"scene": args.scene, "mesh": mesh_key,
+             "normals": args.load_normals,
              "w": args.width, "h": args.height, "crop": args.crop,
              "aa": args.anti_alias, "mpl": args.max_path_length,
              "rsd": args.roulette_start_depth, "spp": args.samples,
