@@ -2971,13 +2971,19 @@ def megakernel_path_trace(
         fresh_on = False
     tin_on = reflag_on or fresh_on
     if walk_unroll is None:
-        # Keep ~256 tri-rows of independent dense chains in flight per
-        # loop iteration: wu=8 at 32-tri windows (finding 52: beats wu=4
+        # Keep enough independent dense chains in flight per loop
+        # iteration: wu=8 at 32/16-tri windows (finding 52: beats wu=4
         # on both Cornell 9.40 vs 9.28 and the 252-block terrain 1.114
         # vs 0.900, same-window), wu=2 at 64/128-row windows (deeper
         # unroll there doubles the live set and measurably loses — 64k
-        # boundary 0.740 vs 1.016 at wu=4, sub=1 bench 6.08 vs 6.67):
-        walk_unroll = {4: 8, 8: 8, 16: 8}.get(sub, 2) if not hbm else 2
+        # boundary 0.740 vs 1.016 at wu=4, sub=1 bench 6.08 vs 6.67).
+        # At 8-tri windows (sub=16) the finding-58 exact-tail ladder
+        # removed the tail-clamp waste that made deep unrolls lose, and
+        # wu=32 now wins (finding 67, same-window ladders: Cornell
+        # 15.63/16.09/16.16/16.19 M at wu 8/16/32/64; 16k-tri stress
+        # +6.3% at wu32; the sub=8 regime still loses at wu32 — 5.96 vs
+        # 4.86 on the 32k stress — so the bump is sub16-only):
+        walk_unroll = {4: 8, 8: 8, 16: 32}.get(sub, 2) if not hbm else 2
     ms_scene = pltpu.ANY if hbm else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
