@@ -334,7 +334,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  cull_ref, cullq_ref, tin_ref, env_ref, p_buf, pay_buf,
                  sems,
                  bflag_ref, wf_ref, cidx_ref, pbs_ref, mxl_ref,
-                 *, br, nb, n_ap, R, J, spp, K, bundles=1,
+                 *, br, nb, n_ap, R, J, spp, K, k_total=None, bundles=1,
                  max_path_length, roulette_start_depth, max_iters,
                  tan_theta, inv_w, inv_h, aspect, aa,
                  use_cull=True, sub=1, subq=1, compact=False, reflag=0,
@@ -429,6 +429,16 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     i32 = jnp.int32
     seed = sc_ref[0]
     n_valid = sc_ref[1]
+    # Pixel-group offset (round 5): this dispatch serves padded-stream
+    # rows [j0, j0 + J) of a K_TOTAL-path global schedule. With j0=0 and
+    # k_total=K (the defaults) every expression below reduces to the
+    # single-dispatch form; with a group split, pid and pixel mappings
+    # match the global schedule exactly, so the union of group dispatches
+    # is bitwise-identical to one full dispatch (render/streaming.py
+    # readback/compute overlap).
+    j0 = sc_ref[2]
+    K_tot = K if k_total is None else k_total
+    pid0 = j0 * spp                                    # i32 scalar
 
     # Bundle-lockstep (finding 66): each program advances B independent
     # br-lane bundles per iteration. Per-lane state is held as [B, br]
@@ -443,9 +453,10 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
     lane = jax.lax.broadcasted_iota(i32, (B, br), 1)
     brow = jax.lax.broadcasted_iota(i32, (B, br), 0)
     slot = (i * B + brow) * br + lane                  # [B, br] global slot
-    # Per-slot path budget: slot s serves padded-stream pixels {s, s+R, ..};
-    # rows with pixel >= n_valid are padding and get no paths:
-    valid_j = jnp.clip(-((slot - n_valid) // R), 0, J)
+    # Per-slot path budget: slot s serves padded-stream pixels
+    # {s + j0*R, s + (j0+1)*R, ..}; rows with pixel >= n_valid are
+    # padding and get no paths:
+    valid_j = jnp.clip(-((slot - n_valid) // R) - j0, 0, J)
     k_cap = valid_j * spp
 
     j_iota = jax.lax.broadcasted_iota(i32, (J, br), 0)
@@ -471,7 +482,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         """Fresh camera ray for path k of each slot; component tuples of
         [B, br] bundle blocks (finding 66 layout)."""
         j = k // spp                                       # [B, br]
-        pid = slot * K + k
+        pid = slot * K_tot + pid0 + k
         g1, g2 = _normal2(pid, jnp.broadcast_to(seed, (B, br)),
                           jnp.full_like(pid, np.int32(0xCA3)))
         prs, pcs = [], []
@@ -526,7 +537,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         active = ki_ref[2 * B:3 * B, :] != 0
         k = ki_ref[0:B, :]
         bounce = ki_ref[B:2 * B, :]
-        pid = slot * K + k
+        pid = slot * K_tot + pid0 + k
 
         t_max = jnp.where(active, _INF, f32(-1.0))
         bt_ref[:] = t_max
@@ -2532,6 +2543,7 @@ def _analytic_tables(scene):
 @functools.partial(
     jax.jit,
     static_argnames=("params", "slots", "j_per_slot", "spp", "max_iters",
+                     "k_total",
                      "br", "interpret", "use_cull", "sub", "subq", "reflag",
                      "walk_fresh", "walk_near", "pay_fused",
                      "walk_compact", "walk_unroll", "pay_unroll",
@@ -2564,6 +2576,14 @@ def megakernel_path_trace(
     j_per_slot: int,
     spp: int,
     max_iters: int,
+    j0: jnp.ndarray | int = 0,  # dynamic pixel-group offset: this dispatch
+                                # serves padded-stream rows [j0, j0+J) of a
+                                # k_total-path global schedule (pid/pixel
+                                # mappings match the full dispatch exactly,
+                                # so group unions are bitwise-identical —
+                                # render/streaming.py readback overlap)
+    k_total: int | None = None,  # static global paths-per-slot (defaults
+                                 # to J*spp: no split)
     br: int = BR,
     interpret: bool = False,
     use_cull: bool = True,
@@ -2792,6 +2812,7 @@ def megakernel_path_trace(
     sc = jnp.stack([
         jnp.asarray(seed).astype(jnp.uint32).astype(jnp.int32),
         jnp.asarray(n_valid).astype(jnp.int32),
+        jnp.asarray(j0).astype(jnp.int32),
     ])
 
     tan_theta = float(np.tan(params.fov_radians / 2.0))
@@ -3063,7 +3084,7 @@ def megakernel_path_trace(
         max_iters = max_iters + K * env_every + env_every
     kern = functools.partial(
         _mega_kernel, br=br, nb=nb_kern, n_ap=n_ap,
-        R=R, J=J, spp=spp, K=K, bundles=bundles,
+        R=R, J=J, spp=spp, K=K, k_total=k_total, bundles=bundles,
         max_path_length=params.max_path_length,
         roulette_start_depth=params.roulette_start_depth,
         max_iters=max_iters,

@@ -520,6 +520,29 @@ def reflag_override() -> int | None:
     return v if v >= 0 else None
 
 
+def pix_group_count(J: int) -> int:
+    """Pixel-group count for readback/compute overlap (round 5): the
+    megakernel render is split into G dispatches over padded-stream row
+    ranges [g*J/G, (g+1)*J/G); group g's 25/G-MB accumulator rides the
+    d2h link while group g+1 computes (the axon tunnel overlaps d2h
+    copies with compute — experiments/e2e_gap_probe.py), so only the
+    LAST group's readback is exposed. The group union is
+    bitwise-identical to the single dispatch (megakernel j0/k_total
+    contract). ``RAY_PIX_GROUPS`` forces a count (1 disables); auto
+    picks 4 when the row count allows (hardware sweep r5: G=4 cuts the
+    e2e gap ~4x with drain tails under 1%)."""
+    try:
+        v = int(os.environ.get("RAY_PIX_GROUPS", "0"))
+    except (TypeError, ValueError):
+        v = 0
+    if v >= 1:
+        return v if J % v == 0 else 1
+    for g in (4, 2):
+        if J % g == 0 and J >= 2 * g:
+            return g
+    return 1
+
+
 def _use_megakernel(params, env_fn) -> bool:
     """The in-kernel bounce loop covers the pallas intersector; NIF
     environment lights are fused into the kernel as an MXU MLP when the
@@ -590,14 +613,18 @@ def render_streaming(
         env_every = env_flush_cadence(scene)
         env_count = env_flush_count() if env_every > 1 else 0
 
+    # Pixel-group split (readback/compute overlap, see pix_group_count):
+    G = pix_group_count(J) if use_mega else 1
+    Jg = J // G
+
     if compile_only:
         from ..runtime.config import CompileProgress
 
-        # First production batch size — the same J*spp-capped pick the
+        # First production batch size — the same Jg*spp-capped pick the
         # render loop below makes, so the AOT-compiled program is the
         # one the real run executes:
-        b = min(SPP_BATCH, max(1, MAX_K_PER_DISPATCH // J), spp)
-        max_iters = J * b * params.max_path_length + 16
+        b = min(SPP_BATCH, max(1, MAX_K_PER_DISPATCH // Jg), spp)
+        max_iters = Jg * b * params.max_path_length + 16
         cseed = jnp.uint32((seed or 0) & 0xFFFFFFFF)
         if use_mega:
             from ..ops.pallas.megakernel import megakernel_path_trace
@@ -606,8 +633,10 @@ def render_streaming(
             name = "megakernel_path_trace"
             with CompileProgress(name):
                 compiled = megakernel_path_trace.lower(
-                    scene, rows_d, cols_d, cseed, jnp.int32(n_pix),
-                    params=params, slots=R, j_per_slot=J, spp=b,
+                    scene, rows_d[:R * Jg], cols_d[:R * Jg], cseed,
+                    jnp.int32(n_pix),
+                    params=params, slots=R, j_per_slot=Jg, spp=b,
+                    j0=jnp.int32(0), k_total=J * b,
                     max_iters=max_iters, br=_pick_br(R, J),
                     env_cfg=env_cfg, env_weights=env_weights,
                     env_every=env_every, env_count=env_count,
@@ -643,17 +672,21 @@ def render_streaming(
         logger().info("Compile-only: %s ready (memory: %s)", name, mem)
         return None, 0
 
-    def run_batch(batch_seed, spp_b):
-        """One bounded-spp render; returns (flat [R*J, 3] spp-averaged
-        radiance, device-resident; done)."""
-        max_iters = J * spp_b * params.max_path_length + 16
+    def run_batch(batch_seed, spp_b, j0=0):
+        """One bounded-spp render of padded-stream rows [j0, j0+Jg);
+        returns (flat [R*Jg, 3] spp-averaged radiance, device-resident;
+        done). Device scalars stay device-side (stats too) so callers
+        can keep dispatching without blocking."""
+        max_iters = Jg * spp_b * params.max_path_length + 16
         if use_mega:
             from ..ops.pallas.megakernel import megakernel_path_trace
 
+            lo = j0 * R
             out = megakernel_path_trace(
-                scene, rows_d, cols_d,
+                scene, rows_d[lo:lo + R * Jg], cols_d[lo:lo + R * Jg],
                 jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),
-                params=params, slots=R, j_per_slot=J, spp=spp_b,
+                params=params, slots=R, j_per_slot=Jg, spp=spp_b,
+                j0=jnp.int32(j0), k_total=J * spp_b,
                 max_iters=max_iters, br=_pick_br(R, J),
                 bundles=(bundles_override(R // _pick_br(R, J))
                          if params.intersector != "pallas-hbm" else 1),
@@ -682,11 +715,11 @@ def render_streaming(
             )
             if stats_out is not None:
                 flat_d, done, iters, blocks, winners = out
-                stats_out["iters"] = stats_out.get("iters", 0) + int(iters)
-                stats_out["blocks_walked"] = (
-                    stats_out.get("blocks_walked", 0) + int(blocks))
-                stats_out["winner_blocks"] = (
-                    stats_out.get("winner_blocks", 0) + int(winners))
+                # Device scalars are accumulated as futures and summed
+                # at the end of the render — an int() here would block
+                # the dispatch pipeline on this batch's completion and
+                # forfeit the group-overlap win:
+                stat_futures.append((iters, blocks, winners))
                 stats_out["br"] = _pick_br(R, J)
                 stats_out["subq"] = subq_granularity()
                 return flat_d, done
@@ -702,31 +735,67 @@ def render_streaming(
         flat_d = accum.transpose(0, 2, 1).reshape(R * J, 3) / spp_b
         return flat_d, done
 
+    stat_futures: list = []
+    fetch_f16 = os.environ.get("RAY_READBACK_F16", "0") == "1"
+    img = np.empty((n_pix, 3), np.float32)
+
+    def fetch_into(flat_dev, j0):
+        """Copy a group's settled accumulator to the host and scatter it
+        into the image. Called AFTER the next group's dispatches are
+        enqueued, so the d2h copy (and the host scatter) overlap that
+        group's device compute. Optional half-precision readback: large
+        frames are host-link bound (a 4k² f32 image is 201 MB; the dev
+        tunnel moves ~20 MB/s); f16 holds ~3 significant digits —
+        plenty for display/preview (``RAY_READBACK_F16=1``). The f16
+        cast happens at accumulation time, in the producing group's
+        dispatch window — casting here would enqueue it behind the NEXT
+        group's kernels and serialise the pipeline."""
+        try:
+            flat_dev.copy_to_host_async()
+        except Exception:   # backend-dependent; np.asarray still works
+            pass
+        flat = np.asarray(flat_dev)
+        if fetch_f16:
+            flat = flat.astype(np.float32)
+        lo, hi = j0 * R, min((j0 + Jg) * R, n_pix)
+        if hi > lo:
+            img[order[lo:hi]] = flat[:hi - lo]
+
     # Bound single-dispatch device time: one megakernel call at very high
     # spp runs minutes inside one XLA program and trips the TPU worker
     # watchdog (observed crash at 1440^2 spp 256, ~160 s/call). Render in
     # decorrelated batches — identical estimator, bounded calls — and
-    # accumulate ON DEVICE so the multi-MB image crosses the (slow) host
+    # accumulate ON DEVICE so each group's image crosses the (slow) host
     # link exactly once (see SPP_BATCH / MAX_K_PER_DISPATCH above):
-    b_cap = max(1, MAX_K_PER_DISPATCH // J)
-    flat_acc = None
-    done = 0
-    s = bi = 0
-    while s < spp:
-        b = min(SPP_BATCH, b_cap, spp - s)
-        flat_b, done_b = run_batch((seed + 0x9E3779B9 * bi) & 0xFFFFFFFF, b)
-        wgt = np.float32(b / spp)
-        flat_acc = flat_b * wgt if flat_acc is None else flat_acc + flat_b * wgt
-        done += int(done_b)
-        s += b
-        bi += 1
-    # Optional half-precision readback: large frames are host-link bound
-    # (a 4k² f32 image is 201 MB; the dev tunnel moves ~13 MB/s). f16
-    # holds ~3 significant digits — plenty for display/preview:
-    if os.environ.get("RAY_READBACK_F16", "0") == "1":
-        flat = np.asarray(flat_acc.astype(jnp.float16)).astype(np.float32)
-    else:
-        flat = np.asarray(flat_acc)
-    img = np.empty((n_pix, 3), np.float32)
-    img[order] = flat[:n_pix]
+    b_cap = max(1, MAX_K_PER_DISPATCH // Jg)
+    done_d: list = []
+    prev = None
+    for g in range(G):
+        j0 = g * Jg
+        flat_acc = None
+        s = bi = 0
+        while s < spp:
+            b = min(SPP_BATCH, b_cap, spp - s)
+            flat_b, done_b = run_batch(
+                (seed + 0x9E3779B9 * bi) & 0xFFFFFFFF, b, j0)
+            wgt = np.float32(b / spp)
+            flat_acc = (flat_b * wgt if flat_acc is None
+                        else flat_acc + flat_b * wgt)
+            done_d.append(done_b)
+            s += b
+            bi += 1
+        if fetch_f16:
+            flat_acc = flat_acc.astype(jnp.float16)
+        if prev is not None:
+            fetch_into(*prev)
+        prev = (flat_acc, j0)
+    fetch_into(*prev)
+    done = sum(int(x) for x in done_d)
+    if stats_out is not None and stat_futures:
+        stats_out["iters"] = (stats_out.get("iters", 0)
+                              + sum(int(f[0]) for f in stat_futures))
+        stats_out["blocks_walked"] = (stats_out.get("blocks_walked", 0)
+                                      + sum(int(f[1]) for f in stat_futures))
+        stats_out["winner_blocks"] = (stats_out.get("winner_blocks", 0)
+                                      + sum(int(f[2]) for f in stat_futures))
     return img.reshape(h, w, 3), done

@@ -105,6 +105,27 @@ def test_walk_variants_bitwise_identical(mega_scene, kw):
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
 
 
+def test_pix_group_split_bitwise_identical(mega_scene, monkeypatch):
+    """Pixel-group readback overlap (round 5): render_streaming splits
+    the frame into G dispatches over padded-stream row ranges so group
+    g's d2h readback rides under group g+1's compute. The megakernel's
+    j0/k_total contract keeps every path's (pid, pixel) mapping equal to
+    the single-dispatch schedule, so the assembled image must be
+    BITWISE-identical for every divisor split (ref parity: the
+    reference's save/load/compute interleave never changes results
+    either, src/IpuScene.cpp:583-618)."""
+    from ipu_ray_lib_tpu.render import streaming as S
+    arrays, params, _ = mega_scene
+    monkeypatch.setenv("RAY_PIX_GROUPS", "1")
+    base, done = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
+    assert done == 48 * 32
+    for g in ("2", "3"):
+        monkeypatch.setenv("RAY_PIX_GROUPS", g)
+        img, dg = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
+        assert dg == 48 * 32
+        np.testing.assert_array_equal(img, base, err_msg=f"G={g}")
+
+
 @pytest.mark.parametrize("br", [128, 256, 1536])
 def test_bundle_width_invariance_bitwise(mega_scene, monkeypatch, br):
     """Bundle width (br) must not leak into radiometry: the in-kernel
