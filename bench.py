@@ -21,6 +21,23 @@ import time
 
 BASELINE_MPATHS_PER_CHIP = 100.0  # north-star target (BASELINE.md)
 
+# Healthy-band threshold for the tunnel probe (finding 64 discipline,
+# VERDICT r4 #8): identical compiled programs measure up to ~1.8x slower
+# in degraded axon-tunnel windows. The probe (experiments/_health.py: 20
+# chained 1024^2 matmuls + readback) measures ~0.12-0.25 s in healthy
+# windows and >= 0.4 s when throttled. A BENCH row with
+# probe_band_ok=false is a degraded-window measurement and must not
+# replace an in-band headline row in the bench history.
+HEALTHY_PROBE_S = 0.25
+
+
+def probe_band_ok(probe_s: float | None) -> bool | None:
+    """Whether a tunnel-probe reading is inside the documented healthy
+    band (None = probe unavailable; the row is unstamped, not ok)."""
+    if probe_s is None:
+        return None
+    return bool(probe_s < HEALTHY_PROBE_S)
+
 
 def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", 1440))
@@ -87,6 +104,7 @@ def main() -> int:
         from _health import tunnel_probe_s
 
         record["probe_s"] = tunnel_probe_s()
+        record["probe_band_ok"] = probe_band_ok(record["probe_s"])
     except Exception:
         pass
     # Walk telemetry (VERDICT r2 #8): the falsifiable counters behind the

@@ -472,3 +472,22 @@ def test_cli_scene_cache_invalidates_on_mesh_edit(tmp_path):
     args[-3] = str(tmp_path / "o2")
     assert cli.main(args) == 0
     assert len(_os.listdir(cache)) == 2   # second bundle, not a stale hit
+
+
+def test_bench_probe_band(tmp_path):
+    """bench.py stamps probe_band_ok so a degraded-tunnel-window BENCH
+    row is machine-distinguishable from a healthy one (VERDICT r4 #8:
+    identical compiled programs measure up to ~1.8x slower in throttled
+    windows — finding 63/64). The band edge is the documented healthy
+    probe ceiling (experiments/_health.py)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    import bench
+
+    assert bench.HEALTHY_PROBE_S == 0.25
+    assert bench.probe_band_ok(0.14) is True
+    assert bench.probe_band_ok(0.249) is True
+    assert bench.probe_band_ok(0.25) is False
+    assert bench.probe_band_ok(0.61) is False
+    assert bench.probe_band_ok(None) is None
