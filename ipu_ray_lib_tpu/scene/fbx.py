@@ -13,9 +13,15 @@ offsets, u64 from version 7500; zlib-compressed typed arrays); ASCII
 files parse as the brace-structured node tree with ``a:`` continuation
 lines.
 
-FBX rarely carries a usable camera in the wild; like the STL/PLY/OFF
-importers, a missing camera falls back to the origin looking down -z
-with a warning (the reference errors here only for its own demo assets).
+Cameras import from 'Camera'-typed Model nodes (round 5, closing the
+last importer delta vs src/scene_utils.cpp:177-207): Lcl Translation /
+Rotation give the camera's world pose, FieldOfView (degrees, from the
+Model's own properties or its connected NodeAttribute) the horizontal
+FOV, and the scene is transformed into camera space exactly as the
+glTF/Collada importers do. FBX cameras natively aim down their local
++X axis with +Y up (Maya convention); the importer rebases that onto
+the renderer's -Z-forward convention. Only a genuinely camera-free
+file falls back to the origin looking down -z with a warning.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ import zlib
 import numpy as np
 
 from ..utils.log import logger
-from .io import interpret_material
+from .io import _to_camera_space, interpret_material
 from .types import Camera, HostMesh, Material, SceneDescription
 
 _MAGIC = b"Kaydara FBX Binary  \x00"
@@ -240,6 +246,30 @@ def _euler_xyz(deg):
     return mz @ my @ mx
 
 
+def _node_type(node) -> str:
+    """The FBX object subtype: the LAST string prop of an Objects child
+    (binary Model props are [id, "Name\\x00\\x01Model", "Mesh"|"Camera"|..];
+    FBX 6.x ASCII drops the id)."""
+    t = ""
+    for p in node.props:
+        if isinstance(p, bytes):
+            t = p.split(b"\x00")[0].decode("utf-8", "replace")
+        elif isinstance(p, str):
+            t = p
+    return t
+
+
+# FBX cameras aim down their local +X axis with +Y up (the Maya
+# convention assimp also rebases, ref scene_utils.cpp:177-207 reads the
+# converted matrix); the renderer's convention is -Z forward / +Y up.
+# Columns = the renderer camera's (right, up, back) axes expressed in
+# FBX camera-local coordinates: right=+Z, up=+Y, back=-X (forward -Z
+# maps onto FBX forward +X, right-handed):
+_FBX_CAM_TO_GL = np.array([[0.0, 0.0, -1.0],
+                           [0.0, 1.0, 0.0],
+                           [1.0, 0.0, 0.0]])
+
+
 def _triangulate(pvi: np.ndarray) -> np.ndarray:
     """PolygonVertexIndex -> [T, 3] uint32 fan triangulation. A negative
     entry v marks the polygon's last corner with true index ~v."""
@@ -274,6 +304,7 @@ def import_fbx_scene(filename: str, load_normals: bool = False
 
     # id -> (kind, payload)
     geoms, models, mats = {}, {}, {}
+    cam_models, attrs = {}, {}   # Camera-typed Models; NodeAttributes
     for node in objects.children:
         nid = node.props[0] if node.props and isinstance(
             node.props[0], (int, np.integer)) else None
@@ -294,7 +325,14 @@ def import_fbx_scene(filename: str, load_normals: bool = False
                 models[key] = {"geom": key, "mats": [],
                                "p70": _props70(node)}
         elif node.name == "Model":
-            models[nid] = {"geom": None, "mats": [], "p70": _props70(node)}
+            if _node_type(node) == "Camera":
+                key = nid if nid is not None else f"c{len(cam_models)}"
+                cam_models[key] = {"p70": _props70(node), "attr": {}}
+            else:
+                models[nid] = {"geom": None, "mats": [],
+                               "p70": _props70(node)}
+        elif node.name == "NodeAttribute":
+            attrs[nid] = _props70(node)
         elif node.name == "Material":
             mats[nid] = _material_from(node)
 
@@ -311,6 +349,8 @@ def import_fbx_scene(filename: str, load_normals: bool = False
                     models[parent]["geom"] = child
                 elif child in mats:
                     models[parent]["mats"].append(child)
+            elif parent in cam_models and child in attrs:
+                cam_models[parent]["attr"] = attrs[child]
 
     scene = SceneDescription()
     mat_list = []
@@ -357,9 +397,35 @@ def import_fbx_scene(filename: str, load_normals: bool = False
     if not scene.meshes:
         raise ValueError(f"FBX '{filename}': no mesh geometry found")
     scene.materials = mat_list
-    log.warning("FBX camera import unsupported; assuming origin looking "
-                "down -z (fov 45)")
-    scene.camera = Camera(horizontal_fov=float(np.pi / 4))
+    cam = next(iter(cam_models.values()), None)
+    if cam is not None:
+        # Model Lcl properties give the pose; FOV may live on the Model
+        # itself or on its connected 'Camera' NodeAttribute:
+        p70, a70 = cam["p70"], cam["attr"]
+        fov_deg = 45.0
+        for key in ("FieldOfView", "FieldOfViewX"):
+            v = p70.get(key) or a70.get(key)
+            if v:
+                fov_deg = float(v[0])
+                break
+        rot = _euler_xyz(p70.get("Lcl Rotation", [0, 0, 0])[:3]
+                         if len(p70.get("Lcl Rotation", [])) >= 3
+                         else [0, 0, 0])
+        trans = np.asarray(
+            p70.get("Lcl Translation", [0, 0, 0])[:3]
+            if len(p70.get("Lcl Translation", [])) >= 3 else [0, 0, 0],
+            np.float64)
+        cam_world = np.eye(4)
+        cam_world[:3, :3] = rot @ _FBX_CAM_TO_GL
+        cam_world[:3, 3] = trans
+        _to_camera_space(scene, cam_world)
+        scene.camera = Camera(horizontal_fov=float(np.deg2rad(fov_deg)))
+        log.info("FBX camera: position %s, rotation applied, fov %.1f deg",
+                 trans.tolist(), fov_deg)
+    else:
+        log.warning("FBX file carries no camera; assuming origin looking "
+                    "down -z (fov 45)")
+        scene.camera = Camera(horizontal_fov=float(np.pi / 4))
     scene.validate()
     log.info("Imported %d meshes, %d materials from '%s' (%s)",
              len(scene.meshes), len(scene.materials), filename,
