@@ -21,13 +21,26 @@ import jax
 import jax.numpy as jnp
 
 from ..bvh.builder import INVALID_GEOM_ID
-from ..ops.camera import generate_camera_rays, pixel_grid
+from ..ops.camera import generate_camera_rays
 from ..scene.build import SceneArrays, SceneParams
 from .path import path_trace_sample
 from .shadow import shadow_trace
 
 DEFAULT_CHUNK = 1 << 16
 TILE = 32  # pixel tile edge for coherent ray ordering
+
+
+def _prep_f(x, f16: bool):
+    """Device-side readback prep for a float AOV: identity at f32, else
+    a clamped f16 cast. Finite values clamp to the f16 range first (hit
+    distances / points beyond 65504 must degrade to ~3-digit precision
+    like everything else, not overflow to inf); true infinities (the
+    miss sentinel in t) pass through unchanged."""
+    if not f16:
+        return x
+    fmax = jnp.float32(np.finfo(np.float16).max)
+    xc = jnp.where(jnp.isfinite(x), jnp.clip(x, -fmax, fmax), x)
+    return xc.astype(jnp.float16)
 
 
 class RenderOutput(NamedTuple):
@@ -45,15 +58,41 @@ class RenderOutput(NamedTuple):
         return int(np.sum(self.geom_id >= 0))
 
 
+@functools.partial(jax.jit, static_argnames=("n", "w"))
+def _tile_coords(g0, n, w, window_c, window_r, total):
+    """Device-side twin of the host tile-order pixel stream for
+    TILE-aligned windows: rows/cols of padded-stream indices
+    [g0, g0+n) computed from iota — the per-chunk multi-MB coordinate
+    upload the shadow mode used to pay (host-link-bound, PROGRESS.md
+    r3 note) becomes zero bytes. Bitwise-identical values to the host
+    lexsort stream (integer arithmetic, gated by the fused-shadow
+    bitwise test rendering through both paths)."""
+    T = TILE
+    g = g0 + jax.lax.iota(jnp.int32, n)
+    tiles_per_row = w // T
+    tile_id = g // (T * T)
+    within = g % (T * T)
+    tr = tile_id // tiles_per_row
+    tc = tile_id % tiles_per_row
+    ir = within // T
+    ic = within % T
+    valid = g < total
+    rows = jnp.where(valid, window_r + tr * T + ir, 0).astype(jnp.float32)
+    cols = jnp.where(valid, window_c + tc * T + ic, 0).astype(jnp.float32)
+    return rows, cols
+
+
 @functools.partial(
-    jax.jit, static_argnames=("fov", "width", "height", "intersector")
+    jax.jit,
+    static_argnames=("fov", "width", "height", "intersector", "fused"),
 )
 def _shadow_chunk(scene: SceneArrays, rows, cols, *, fov, width, height,
-                  intersector="bvh"):
+                  intersector="bvh", fused=False):
     origins, dirs = generate_camera_rays(
         rows, cols, width, height, fov, 0.0, None
     )
-    res = shadow_trace(scene, origins, dirs, intersector=intersector)
+    res = shadow_trace(scene, origins, dirs, intersector=intersector,
+                       fused=fused)
     return res
 
 
@@ -175,18 +214,18 @@ def render(
         return RenderOutput(rgb=rgb_img, t=zf, geom_id=zi, prim_id=zi,
                             normal=z3, hit_p=z3)
     w, h = params.window_w, params.window_h
-    rows_np, cols_np = np.asarray(pixel_grid(w, h, params.window_c, params.window_r))
     total = w * h
     # Tile-ordered traversal: rays in a chunk cover compact screen tiles,
     # which keeps ray blocks spatially coherent for the intersectors'
-    # block culling (the IPU analogue is rays-per-tile locality):
-    rel_r = rows_np - params.window_r
-    rel_c = cols_np - params.window_c
-    order = np.lexsort(
-        (rel_c % TILE, rel_r % TILE, rel_c // TILE, rel_r // TILE)
-    )
-    rows_np = rows_np[order]
-    cols_np = cols_np[order]
+    # block culling (the IPU analogue is rays-per-tile locality). The
+    # stream + order come from the streaming renderer's cache (same
+    # lexsort keys), and for TILE-aligned windows the per-chunk
+    # coordinates are regenerated ON DEVICE (_tile_coords) instead of
+    # uploaded — the upload was the shadow mode's biggest link cost:
+    from .streaming import _pixel_stream
+
+    rows_np, cols_np, order = _pixel_stream(params, TILE)
+    device_coords = (w % TILE == 0) and (h % TILE == 0)
     n_chunks = -(-total // chunk_size)
     padded = n_chunks * chunk_size
     pad = padded - total
@@ -201,6 +240,13 @@ def render(
     hit_p = np.zeros((padded, 3), np.float32)
 
     base_key = jax.random.PRNGKey(params.rng_seed)
+    want = lambda f: aovs is None or f in aovs
+    f16 = os.environ.get("RAY_READBACK_F16", "0") == "1"
+    from .shadow import fused_shadow_enabled
+
+    shadow_fused = (fused_shadow_enabled()
+                    and params.intersector == "pallas"
+                    and scene.blocked.p is not None)
 
     # Dispatch all chunks asynchronously (JAX queues them on device), then
     # gather. With a progress callback we synchronise per chunk instead so
@@ -208,8 +254,15 @@ def render(
     pending = []
     for ci in range(n_chunks):
         sl = slice(ci * chunk_size, (ci + 1) * chunk_size)
-        rows = jnp.asarray(rows_np[sl])
-        cols = jnp.asarray(cols_np[sl])
+        if device_coords:
+            rows, cols = _tile_coords(
+                jnp.int32(ci * chunk_size), n=chunk_size, w=w,
+                window_c=jnp.int32(params.window_c),
+                window_r=jnp.int32(params.window_r),
+                total=jnp.int32(total))
+        else:
+            rows = jnp.asarray(rows_np[sl])
+            cols = jnp.asarray(cols_np[sl])
         if mode == "shadow-trace":
             res = _shadow_chunk(
                 scene, rows, cols,
@@ -217,6 +270,9 @@ def render(
                 width=params.image_width,
                 height=params.image_height,
                 intersector=params.intersector,
+                # Resolved OUTSIDE the jit (static arg) so the
+                # RAY_SHADOW_FUSED A/B knob retraces:
+                fused=shadow_fused,
             )
         elif mode == "path-trace":
             ckey = jax.random.fold_in(base_key, ci)
@@ -235,52 +291,69 @@ def render(
             )
         else:
             raise ValueError(f"Unknown render mode '{mode}'")
-        pending.append((ci, sl, res, _err if mode == "path-trace" else None))
+
+        # Device-side readback prep happens HERE, at dispatch time, so
+        # the cast/pack ops for chunk ci are enqueued before chunk
+        # ci+1's compute — casting at fetch time would queue them behind
+        # the LAST chunk and serialise the d2h/compute overlap.
+        # RAY_READBACK_F16 halves the d2h bytes of the float AOVs
+        # (host-link-bound mode — weak #8 of VERDICT r3; device-side
+        # f16 cast, ~3 significant digits, display/validation-grade).
+        # geom ids always ride u16 (the reference's own id width —
+        # 0xFFFF invalid sentinel, include/CompactBVH2Node.hpp:73 — so
+        # the cast is lossless); prim ids stay exact i32:
+        if mode == "shadow-trace":
+            fetch = {"geom_id": res.geom_id.astype(jnp.uint16)}
+            if want("rgb"):
+                fetch["rgb"] = _prep_f(res.rgb, f16)
+            if want("t"):
+                fetch["t"] = _prep_f(res.t, f16)
+            if want("prim_id"):
+                fetch["prim_id"] = res.prim_id
+            if want("normal"):
+                fetch["normal"] = _prep_f(res.normal, f16)
+            if want("hit_p"):
+                fetch["hit_p"] = _prep_f(res.hit_p, f16)
+        else:
+            fetch = {"rgb": _prep_f(res, f16)}
+        pending.append((ci, sl, fetch,
+                        _err if mode == "path-trace" else None))
         if progress_callback is not None:
-            chunk_rgb = np.asarray(res.rgb if mode == "shadow-trace" else res)
+            chunk_rgb = np.asarray(fetch["rgb"]).astype(np.float32)
             progress_callback(ci, chunk_rgb)
 
     n_errors = 0
-    want = lambda f: aovs is None or f in aovs
-    # RAY_READBACK_F16 halves the d2h bytes of the float AOVs (the
-    # shadow-trace mode is host-link-bound on large frames — weak #8 of
-    # VERDICT r3; the same knob/contract as the path readback: device-
-    # side f16 cast, ~3 significant digits, display/validation-grade).
-    # Integer AOVs (geom/prim ids) stay exact:
-    f16 = os.environ.get("RAY_READBACK_F16", "0") == "1"
+    # Pre-issue every chunk's d2h as an async copy so the fetch loop's
+    # host-side work (astype + scatter) overlaps the remaining
+    # transfers instead of serialising with them:
+    for _, _, fetch, _ in pending:
+        for a in fetch.values():
+            try:
+                a.copy_to_host_async()
+            except Exception:   # backend-dependent; asarray still works
+                break
 
-    def _read_f(x):
-        if not f16:
-            return np.asarray(x)
-        # Clamp finite values to the f16 range before the cast: hit
-        # distances / hit points beyond 65504 must degrade to ~3-digit
-        # precision like everything else, not overflow to inf. True
-        # infinities (the miss sentinel in t) pass through unchanged:
-        fmax = jnp.float32(np.finfo(np.float16).max)
-        xc = jnp.where(jnp.isfinite(x), jnp.clip(x, -fmax, fmax), x)
-        return np.asarray(xc.astype(jnp.float16)).astype(np.float32)
+    def _host_f(x):
+        return np.asarray(x).astype(np.float32)
 
-    for ci, sl, res, err in pending:
+    for ci, sl, fetch, err in pending:
         if err is not None:
             n_errors += int(np.asarray(err).sum())
         if mode == "shadow-trace":
-            # geom_id always transfers (every AOV needs the found mask);
-            # the rest only when requested — full-AOV readback is host-
-            # link-bound (6 fields x 4 B x pixels):
-            g = np.asarray(res.geom_id)
+            g = np.asarray(fetch["geom_id"]).astype(np.int32)
             geom[sl] = np.where(g == INVALID_GEOM_ID, -1, g)
-            if want("rgb"):
-                rgb[sl] = _read_f(res.rgb)
-            if want("t"):
-                t[sl] = _read_f(res.t)
-            if want("prim_id"):
-                prim[sl] = np.asarray(res.prim_id)
-            if want("normal"):
-                normal[sl] = _read_f(res.normal)
-            if want("hit_p"):
-                hit_p[sl] = _read_f(res.hit_p)
+            if "rgb" in fetch:
+                rgb[sl] = _host_f(fetch["rgb"])
+            if "t" in fetch:
+                t[sl] = _host_f(fetch["t"])
+            if "prim_id" in fetch:
+                prim[sl] = np.asarray(fetch["prim_id"])
+            if "normal" in fetch:
+                normal[sl] = _host_f(fetch["normal"])
+            if "hit_p" in fetch:
+                hit_p[sl] = _host_f(fetch["hit_p"])
         else:
-            rgb[sl] = _read_f(res)
+            rgb[sl] = _host_f(fetch["rgb"])
     if n_errors:
         from ..utils.log import logger
 

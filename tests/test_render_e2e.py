@@ -199,6 +199,34 @@ def test_megakernel_matches_dense_streaming(cornell_scene):
     assert float(np.quantile(d, 0.99)) < 2e-2, float(np.quantile(d, 0.99))
 
 
+def test_fused_shadow_kernel_bitwise(cornell_scene):
+    """The fused single-dispatch shadow kernel (round 5,
+    ops/pallas/shadow_kernel.py — walk + sphere/disc overrides +
+    occlusion + shading decisions in ONE pallas_call) must be
+    BITWISE-identical to the two-dispatch glue mode on every AOV, on a
+    scene exercising triangles, spheres and discs. The kernel banks the
+    decisions; the epilogue reuses the glue's exact XLA expressions, so
+    even XLA's in-context FMA contraction matches (ref: ShadowTrace is
+    one device kernel, codelets/TraceCodelets.cpp:269-316)."""
+    import os
+
+    arrays, params, _ = build_scene(
+        cornell_scene, image_width=48, image_height=32,
+        intersector="pallas",
+    )
+    assert os.environ.get("RAY_SHADOW_FUSED", "1") != "0"
+    fused = render(arrays, params, mode="shadow-trace", chunk_size=512)
+    os.environ["RAY_SHADOW_FUSED"] = "0"
+    try:
+        glue = render(arrays, params, mode="shadow-trace", chunk_size=512)
+    finally:
+        os.environ.pop("RAY_SHADOW_FUSED", None)
+    assert fused.hit_count == glue.hit_count > 0
+    for f in ("rgb", "t", "geom_id", "prim_id", "normal", "hit_p"):
+        np.testing.assert_array_equal(
+            getattr(fused, f), getattr(glue, f), err_msg=f)
+
+
 def test_shadow_pallas_matches_oracle(cornell_scene, oracle_out):
     """The pallas-kernel shadow path (payload albedo/normals through the
     one-hot selection) must match the f64 oracle AOVs too — the original
