@@ -520,27 +520,37 @@ def reflag_override() -> int | None:
     return v if v >= 0 else None
 
 
-def pix_group_count(J: int) -> int:
-    """Pixel-group count for readback/compute overlap (round 5): the
-    megakernel render is split into G dispatches over padded-stream row
-    ranges [g*J/G, (g+1)*J/G); group g's 25/G-MB accumulator rides the
-    d2h link while group g+1 computes (the axon tunnel overlaps d2h
-    copies with compute — experiments/e2e_gap_probe.py), so only the
-    LAST group's readback is exposed. The group union is
-    bitwise-identical to the single dispatch (megakernel j0/k_total
-    contract). ``RAY_PIX_GROUPS`` forces a count (1 disables); auto
-    picks 4 when the row count allows (hardware sweep r5: G=4 cuts the
-    e2e gap ~4x with drain tails under 1%)."""
+def pix_group_schedule(J: int) -> list:
+    """Pixel-group schedule for readback/compute overlap (round 5): the
+    megakernel render is split into dispatches over padded-stream row
+    ranges [(j0, Jg), ...]; group g's accumulator rides the d2h link
+    while group g+1 computes (the axon tunnel overlaps d2h copies with
+    compute — experiments/e2e_gap_probe.py), so only the LAST group's
+    readback is exposed. The group union is bitwise-identical to the
+    single dispatch (megakernel j0/k_total contract). ``RAY_PIX_GROUPS``
+    forces an equal split of that count (1 disables); auto keeps ~4
+    dispatches (each extra dispatch measured ~0.1 s of tunnel+drain
+    overhead) but makes the FINAL group a single row so the exposed
+    readback is 1/J of the frame, e.g. J=16 -> [5, 5, 5, 1]."""
     try:
         v = int(os.environ.get("RAY_PIX_GROUPS", "0"))
     except (TypeError, ValueError):
         v = 0
-    if v >= 1:
-        return v if J % v == 0 else 1
-    for g in (4, 2):
-        if J % g == 0 and J >= 2 * g:
-            return g
-    return 1
+    if v == 1 or (v > 1 and J % v) or (v == 0 and J < 4):
+        return [(0, J)]
+    if v > 1:
+        Jg = J // v
+        return [(g * Jg, Jg) for g in range(v)]
+    if J < 8:
+        sizes = [J - 1, 1]
+    else:
+        q, r = divmod(J - 1, 3)
+        sizes = [q + 1] * r + [q] * (3 - r) + [1]
+    out, j0 = [], 0
+    for s in sizes:
+        out.append((j0, s))
+        j0 += s
+    return out
 
 
 def _use_megakernel(params, env_fn) -> bool:
@@ -613,9 +623,9 @@ def render_streaming(
         env_every = env_flush_cadence(scene)
         env_count = env_flush_count() if env_every > 1 else 0
 
-    # Pixel-group split (readback/compute overlap, see pix_group_count):
-    G = pix_group_count(J) if use_mega else 1
-    Jg = J // G
+    # Pixel-group split (readback/compute overlap, see pix_group_schedule):
+    schedule = pix_group_schedule(J) if use_mega else [(0, J)]
+    Jg = schedule[0][1]
 
     if compile_only:
         from ..runtime.config import CompileProgress
@@ -672,20 +682,21 @@ def render_streaming(
         logger().info("Compile-only: %s ready (memory: %s)", name, mem)
         return None, 0
 
-    def run_batch(batch_seed, spp_b, j0=0):
-        """One bounded-spp render of padded-stream rows [j0, j0+Jg);
-        returns (flat [R*Jg, 3] spp-averaged radiance, device-resident;
+    def run_batch(batch_seed, spp_b, j0=0, jg=None):
+        """One bounded-spp render of padded-stream rows [j0, j0+jg);
+        returns (flat [R*jg, 3] spp-averaged radiance, device-resident;
         done). Device scalars stay device-side (stats too) so callers
         can keep dispatching without blocking."""
-        max_iters = Jg * spp_b * params.max_path_length + 16
+        jg = J if jg is None else jg
+        max_iters = jg * spp_b * params.max_path_length + 16
         if use_mega:
             from ..ops.pallas.megakernel import megakernel_path_trace
 
             lo = j0 * R
             out = megakernel_path_trace(
-                scene, rows_d[lo:lo + R * Jg], cols_d[lo:lo + R * Jg],
+                scene, rows_d[lo:lo + R * jg], cols_d[lo:lo + R * jg],
                 jnp.uint32(batch_seed & 0xFFFFFFFF), jnp.int32(n_pix),
-                params=params, slots=R, j_per_slot=Jg, spp=spp_b,
+                params=params, slots=R, j_per_slot=jg, spp=spp_b,
                 j0=jnp.int32(j0), k_total=J * spp_b,
                 max_iters=max_iters, br=_pick_br(R, J),
                 bundles=(bundles_override(R // _pick_br(R, J))
@@ -739,7 +750,7 @@ def render_streaming(
     fetch_f16 = os.environ.get("RAY_READBACK_F16", "0") == "1"
     img = np.empty((n_pix, 3), np.float32)
 
-    def fetch_into(flat_dev, j0):
+    def fetch_into(flat_dev, j0, jg):
         """Copy a group's settled accumulator to the host and scatter it
         into the image. Called AFTER the next group's dispatches are
         enqueued, so the d2h copy (and the host scatter) overlap that
@@ -757,7 +768,7 @@ def render_streaming(
         flat = np.asarray(flat_dev)
         if fetch_f16:
             flat = flat.astype(np.float32)
-        lo, hi = j0 * R, min((j0 + Jg) * R, n_pix)
+        lo, hi = j0 * R, min((j0 + jg) * R, n_pix)
         if hi > lo:
             img[order[lo:hi]] = flat[:hi - lo]
 
@@ -767,17 +778,16 @@ def render_streaming(
     # decorrelated batches — identical estimator, bounded calls — and
     # accumulate ON DEVICE so each group's image crosses the (slow) host
     # link exactly once (see SPP_BATCH / MAX_K_PER_DISPATCH above):
-    b_cap = max(1, MAX_K_PER_DISPATCH // Jg)
     done_d: list = []
     prev = None
-    for g in range(G):
-        j0 = g * Jg
+    for j0, jg in schedule:
+        b_cap = max(1, MAX_K_PER_DISPATCH // jg)
         flat_acc = None
         s = bi = 0
         while s < spp:
             b = min(SPP_BATCH, b_cap, spp - s)
             flat_b, done_b = run_batch(
-                (seed + 0x9E3779B9 * bi) & 0xFFFFFFFF, b, j0)
+                (seed + 0x9E3779B9 * bi) & 0xFFFFFFFF, b, j0, jg)
             wgt = np.float32(b / spp)
             flat_acc = (flat_b * wgt if flat_acc is None
                         else flat_acc + flat_b * wgt)
@@ -788,7 +798,7 @@ def render_streaming(
             flat_acc = flat_acc.astype(jnp.float16)
         if prev is not None:
             fetch_into(*prev)
-        prev = (flat_acc, j0)
+        prev = (flat_acc, j0, jg)
     fetch_into(*prev)
     done = sum(int(x) for x in done_d)
     if stats_out is not None and stat_futures:

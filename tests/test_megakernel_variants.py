@@ -124,6 +124,12 @@ def test_pix_group_split_bitwise_identical(mega_scene, monkeypatch):
         img, dg = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
         assert dg == 48 * 32
         np.testing.assert_array_equal(img, base, err_msg=f"G={g}")
+    # Auto schedule (unequal tail group, J=6 -> [(0, 5), (5, 1)]):
+    monkeypatch.delenv("RAY_PIX_GROUPS")
+    assert S.pix_group_schedule(6) == [(0, 5), (5, 1)]
+    img, dg = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
+    assert dg == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg="auto schedule")
 
 
 @pytest.mark.parametrize("br", [128, 256, 1536])
