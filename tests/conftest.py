@@ -29,6 +29,32 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full-gates", action="store_true", default=False,
+        help="run the full bitwise-gate matrix (record-knob variants, "
+             "exhaustive combos) — the weekly/pre-release mode; the "
+             "default run keeps one representative gate per family and "
+             "finishes in ~15 min (VERDICT r4 #7)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fullgate: exhaustive/record-knob bitwise gates, skipped by "
+        "default; enable with --full-gates")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full-gates"):
+        return
+    skip = pytest.mark.skip(
+        reason="full-matrix gate (run with --full-gates)")
+    for item in items:
+        if "fullgate" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cornell_scene():
     from ipu_ray_lib_tpu.scene.builtin import make_cornell_box_scene

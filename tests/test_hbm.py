@@ -49,6 +49,7 @@ def test_hbm_matches_vmem_kernel(cornell):
     assert np.allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.fullgate
 def test_render_path_trace_hbm_matches_pallas(cornell):
     """Same RNG streams + same acceptance tests => identical images."""
     import dataclasses
@@ -91,6 +92,7 @@ def test_pn8_super_packing_contract():
     np.testing.assert_array_equal(rebuilt_nrm, nrm)
 
 
+@pytest.mark.fullgate
 def test_pay8_split_contract(monkeypatch):
     """Under the split layout (auto above HBM_SPLIT_MIN_TRIS;
     RAY_HBM_SPLIT=1 forces it) the payload moves to the bf16 pay8 table

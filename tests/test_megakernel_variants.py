@@ -12,6 +12,12 @@ import functools
 import numpy as np
 import pytest
 
+# Exhaustive / record-knob gates: skipped in the default run, enabled
+# with --full-gates (the weekly/pre-release mode) — see conftest.py
+# and VERDICT r4 #7 (suite-time bound). Every gate FAMILY keeps at
+# least one representative in the default run.
+FULL = pytest.mark.fullgate
+
 
 def _render(arrays, params, **kw):
     from ipu_ray_lib_tpu.ops.pallas import megakernel as MK
@@ -47,7 +53,7 @@ def mega_scene():
     dict(sub=2),
     dict(sub=4),
     dict(sub=8),
-    dict(sub=8, walk_unroll=16),
+    pytest.param(dict(sub=8, walk_unroll=16), marks=FULL),
     dict(sub=16),
     dict(sub=16, reflag=0),
     # Compacted walk (finding 48): branch-free index-list walk must
@@ -60,18 +66,18 @@ def mega_scene():
     # improve any lane — bitwise at every granularity/refresh/cull2
     # combo, including rf=0 (scratch allocated for the gates alone):
     dict(walk_fresh=True),
-    dict(walk_fresh=True, reflag=0),
-    dict(walk_fresh=True, sub=16, reflag=1),
-    dict(walk_fresh=True, sub=16, reflag=0, walk_cull2=True),
-    dict(walk_fresh=True, sub=8, walk_unroll=4),
+    pytest.param(dict(walk_fresh=True, reflag=0), marks=FULL),
+    pytest.param(dict(walk_fresh=True, sub=16, reflag=1), marks=FULL),
+    pytest.param(dict(walk_fresh=True, sub=16, reflag=0, walk_cull2=True), marks=FULL),
+    pytest.param(dict(walk_fresh=True, sub=8, walk_unroll=4), marks=FULL),
     # Lexicographic (t, row) winner merge (walk_near, finding 59): on
     # the ascending-index walks shipped today the equal-t clause is a
     # semantic no-op (later windows' rows are strictly larger), so it
     # must be bitwise — the gate that licenses reordered walks later:
-    dict(walk_near=True),
-    dict(walk_near=True, sub=16, reflag=0),
-    dict(walk_near=True, walk_cull2=True, sub=8),
-    dict(walk_near=True, walk_fresh=True, sub=16),
+    pytest.param(dict(walk_near=True), marks=FULL),
+    pytest.param(dict(walk_near=True, sub=16, reflag=0), marks=FULL),
+    pytest.param(dict(walk_near=True, walk_cull2=True, sub=8), marks=FULL),
+    pytest.param(dict(walk_near=True, walk_fresh=True, sub=16), marks=FULL),
     # Two-level flag pass (walk_cull2): coarse-group slab + refinement
     # must produce the identical flags (f32 monotonicity contract) and
     # hence bitwise-identical walks at every granularity/refresh combo:
@@ -84,17 +90,17 @@ def mega_scene():
     # lower bound can only keep extra blocks, which cannot beat the
     # best_t they were kept against — f32 scratch must match bitwise:
     dict(tin16=False),
-    dict(tin16=False, reflag=3),
-    dict(tin16=False, walk_cull2=True),
+    pytest.param(dict(tin16=False, reflag=3), marks=FULL),
+    pytest.param(dict(tin16=False, walk_cull2=True), marks=FULL),
     # Fused deferred-payload table (pay_fused / tables.payt): one
     # [64, TB] x [TB, br] dot selects bitwise the same bf16 factors the
     # two-dot + in-kernel-split form selected (the baseline render runs
     # pay_fused auto=ON, so forcing it OFF gates fused-vs-unfused, and
     # the combos gate the fused pass under every walk regime):
     dict(pay_fused=False),
-    dict(pay_fused=False, sub=16),
-    dict(pay_fused=False, walk_compact=False),
-    dict(pay_fused=True, walk_compact=False),
+    pytest.param(dict(pay_fused=False, sub=16), marks=FULL),
+    pytest.param(dict(pay_fused=False, walk_compact=False), marks=FULL),
+    pytest.param(dict(pay_fused=True, walk_compact=False), marks=FULL),
     dict(pay_fused=True, walk_cull2=True, sub=8),
     dict(pay_fused=True, walk_fresh=True, sub=16),
 ])
@@ -119,12 +125,9 @@ def test_pix_group_split_bitwise_identical(mega_scene, monkeypatch):
     monkeypatch.setenv("RAY_PIX_GROUPS", "1")
     base, done = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
     assert done == 48 * 32
-    for g in ("2", "3"):
-        monkeypatch.setenv("RAY_PIX_GROUPS", g)
-        img, dg = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
-        assert dg == 48 * 32
-        np.testing.assert_array_equal(img, base, err_msg=f"G={g}")
-    # Auto schedule (unequal tail group, J=6 -> [(0, 5), (5, 1)]):
+    # Auto schedule (unequal tail group, J=6 -> [(0, 5), (5, 1)] —
+    # exercises j0/k_total with both a 5-row and a 1-row dispatch; the
+    # equal-split matrix runs in --full-gates mode below):
     monkeypatch.delenv("RAY_PIX_GROUPS")
     assert S.pix_group_schedule(6) == [(0, 5), (5, 1)]
     img, dg = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
@@ -132,7 +135,27 @@ def test_pix_group_split_bitwise_identical(mega_scene, monkeypatch):
     np.testing.assert_array_equal(img, base, err_msg="auto schedule")
 
 
-@pytest.mark.parametrize("br", [128, 256, 1536])
+@FULL
+@pytest.mark.parametrize("g", ["2", "3"])
+def test_pix_group_equal_splits_bitwise_identical(mega_scene, monkeypatch, g):
+    """Equal-split pixel-group matrix (full-gates mode; the default run
+    keeps the auto unequal schedule above as the family's gate)."""
+    from ipu_ray_lib_tpu.render import streaming as S
+    arrays, params, _ = mega_scene
+    monkeypatch.setenv("RAY_PIX_GROUPS", "1")
+    base, done = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
+    assert done == 48 * 32
+    monkeypatch.setenv("RAY_PIX_GROUPS", g)
+    img, dg = S.render_streaming(arrays, params, spp=1, chunk_slots=256)
+    assert dg == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg=f"G={g}")
+
+
+@pytest.mark.parametrize("br", [
+    pytest.param(128, marks=FULL),
+    pytest.param(256, marks=FULL),
+    1536,
+])
 def test_bundle_width_invariance_bitwise(mega_scene, monkeypatch, br):
     """Bundle width (br) must not leak into radiometry: the in-kernel
     RNG is keyed on (path id, bounce) — never on the bundle/lane a path
@@ -159,6 +182,7 @@ def test_bundle_width_invariance_bitwise(mega_scene, monkeypatch, br):
     (4, dict(sub=2)),
     (4, dict(reflag=0)),
 ])
+@FULL
 def test_subq_lane_quarter_walk_bitwise_identical(mega_scene, monkeypatch,
                                                   subq, kw):
     """Lane-quarter walks (RAY_SUBQ: streaming passes megakernel subq —
@@ -208,6 +232,7 @@ def test_f16_readback_close(mega_scene, monkeypatch):
     np.testing.assert_allclose(img, base, rtol=2e-3, atol=1e-3)
 
 
+@FULL
 def test_two_level_walk_bitwise_identical(mega_scene, monkeypatch):
     """The two-level VMEM walk (super cull + per-super member refinement)
     is a pure work-skipping change: images must match the flat walk
@@ -232,6 +257,7 @@ def test_two_level_walk_bitwise_identical(mega_scene, monkeypatch):
     np.testing.assert_array_equal(img, base)
 
 
+@FULL
 def test_deferred_env_flush_identical(tmp_path):
     """env_every > 1 parks escaped lanes and batch-flushes the fused env
     MLP — pure scheduling, identical estimator: images must match the
@@ -366,6 +392,7 @@ def test_hbm_reflag_cadence_robust(monkeypatch):
         assert hbm_reflag_cadence() == int(good)
 
 
+@FULL
 def test_two_level_subq_bitwise_identical(mega_scene, monkeypatch):
     """Lane-quarter member flags inside the two-level walk (subq > 1 with
     super-granularity culling) must stay bitwise-identical too."""
@@ -402,6 +429,7 @@ def hbm_scene():
     return arrays, params, base
 
 
+@FULL
 def test_hbm_subq_bitwise_identical(hbm_scene, monkeypatch):
     """Quartered dense tests inside the HBM-streamed super walk (inline
     payload dots sliced per quarter) must stay bitwise-identical."""
@@ -419,6 +447,7 @@ def test_hbm_subq_bitwise_identical(hbm_scene, monkeypatch):
     dict(hbm_wu=4, hbm_sub=2),
     dict(hbm_wu=4, hbm_pay_gate=False),
 ])
+@FULL
 def test_hbm_wu_bitwise_identical(hbm_scene, kw):
     """Group-unrolled streamed member walk (finding 57): each group
     computes its member windows' dense chains together, then folds the
@@ -463,6 +492,7 @@ def test_hbm_reflag_cadence_bitwise_identical(hbm_scene, monkeypatch):
     dict(walk_mxu=True, sub=4),
     dict(walk_mxu=True, reflag=0),
 ])
+@FULL
 def test_walk_mxu_matches_vpu_walk(mega_scene, kw):
     """The MXU coefficient-dot walk (walk_mxu) computes the six dense
     per-window dots as one HIGHEST group matmul. On TPU hardware HIGHEST
@@ -478,6 +508,7 @@ def test_walk_mxu_matches_vpu_walk(mega_scene, kw):
 
 
 @pytest.mark.parametrize("bn", [2, 8])
+@FULL
 def test_bundle_lockstep_bitwise_identical(mega_scene, bn):
     """Bundle-lockstep (megakernel `bundles`, finding 66): B independent
     br-lane bundles advance per kernel iteration with per-lane state as

@@ -7,6 +7,7 @@ with the single-device path."""
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +146,7 @@ def test_streaming_sharded_megakernel_path(cornell_built):
     assert abs(img_sh.mean() - img_1.mean()) / max(img_1.mean(), 1e-9) < 0.15
 
 
+@pytest.mark.fullgate
 def test_streaming_sharded_subq_bitwise(cornell_built, monkeypatch):
     """RAY_SUBQ routes through the sharded megakernel path too
     (parallel/mesh.py reads the same knob as render_streaming); lane-
