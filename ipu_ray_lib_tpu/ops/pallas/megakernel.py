@@ -344,6 +344,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                  env_cfg=None,
                  env_every=1, env_count=0,
                  hbm=False, two_level=False, hbm_reflag=64,
+                 hbm_cull3=False,
                  hbm_sub=1, hbm_wu=1, hbm_split=False,
                  hbm_pay_gate=True, hbm_pb_stage=False,
                  _timing_no_dots=False, _timing_no_walk=False,
@@ -561,6 +562,11 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
         cull2 = (walk_cull2 and use_cull and compact and subq == 1
                  and B == 1 and not hbm and not _count_oracle
                  and not _timing_no_walk)
+        # Third cull level for the HBM super walk (round 5): coarse
+        # super-group pass + refinement replaces the flat [nbs, br]
+        # super slab pass below:
+        cull3 = (hbm_cull3 and hbm and use_cull and B == 1
+                 and not _timing_no_walk)
         def tin_store(bhit, tin):
             v = jnp.where(bhit, tin * _SLAB_LO, _INF)
             if tin16:
@@ -585,7 +591,7 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
             # stays ~[512x512] regardless of br. Pure loop structure:
             # every row's arithmetic is unchanged, results bitwise:
             _CH = max(8, (SLAB_CHUNK_ROWS * 512) // max(br, 512))
-            for c0 in range(0, 0 if cull2 else nbs, _CH):
+            for c0 in range(0, 0 if (cull2 or cull3) else nbs, _CH):
                 nrows = min(_CH, nbs - c0)
                 rs = pl.ds(c0, nrows)
                 tin = jnp.full((nrows, br), f32(0.0))
@@ -766,6 +772,75 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                     return k + _CULL2_UNROLL
 
                 jax.lax.while_loop(lambda k: k < cnt_c, c2body, i32(0))
+
+        if cull3:
+            # ---- third cull level (HBM walk, round 5): slab-test the
+            # coarse super-GROUP union AABBs (appended to baabb_ref at
+            # rows [nbs, nbs + ceil(nbs/SB))), compact the flagged group
+            # ids, then recompute only those groups' supers — the
+            # walk_cull2 monotonic-containment argument one level up:
+            # any super the flat [nbs, br] pass would flag lives in a
+            # flagged group, and refinement rewrites the flat pass's
+            # flags/entry bounds bit-for-bit on every row it visits.
+            # Unvisited rows hold flag 0 and an INF entry bound — exactly
+            # what the flat pass writes for missed supers, so the
+            # periodic mid-walk refresh (which recomputes flags from
+            # tin_ref WITHOUT an and-mask) stays bitwise too:
+            nsg = -(-nbs // SB)
+            cull_ref[:] = jnp.zeros((nbs, 1), i32)
+            if reflag > 0 or fresh:
+                tin_ref[:] = jnp.full((nbs, br), _INF, tin_ref.dtype)
+            for c0 in range(0, nsg, _COMPACT_SEG):
+                Lc = min(_COMPACT_SEG, nsg - c0)
+                tin_c = jnp.full((Lc, br), f32(0.0))
+                tout_c = jnp.where(active, _BIG, f32(-1.0))
+                for a in range(3):
+                    lo_a = baabb_ref[nbs + c0:nbs + c0 + Lc, a:a + 1]
+                    hi_a = baabb_ref[nbs + c0:nbs + c0 + Lc, a + 3:a + 4]
+                    t0 = (lo_a - o[a]) * inv[a]
+                    t1 = (hi_a - o[a]) * inv[a]
+                    tin_c = jnp.maximum(tin_c, jnp.minimum(t0, t1))
+                    tout_c = jnp.minimum(
+                        tout_c, jnp.maximum(t0, t1) * _SLAB_SCALE)
+                chit = ((tin_c <= tout_c)
+                        & (baabb_ref[nbs + c0:nbs + c0 + Lc, 0:1] < _BIG))
+                cnt_c = compact_indices(
+                    jnp.max(chit.astype(i32), axis=1, keepdims=True), c0)
+
+                # Refinement window: SB super rows, clamped to nbs for
+                # tiny scenes (ns < SB):
+                NRW = min(SB, nbs)
+
+                def c3body(k, cnt_c=cnt_c):
+                    # Tail slots clamp to the last flagged group; a
+                    # group whose rows spill past nbs shifts its window
+                    # up (over rows already written with the identical
+                    # flat-pass values — idempotent rewrites):
+                    gs = [cidx_ref[k, 0]] + [
+                        cidx_ref[jnp.minimum(k + u, cnt_c - 1), 0]
+                        for u in range(1, _CULL2_UNROLL)]
+                    for g in gs:
+                        rows = pl.ds(jnp.minimum(g * SB, i32(nbs - NRW)),
+                                     NRW)
+                        tin = jnp.full((NRW, br), f32(0.0))
+                        tout = jnp.where(active, _BIG, f32(-1.0))
+                        for a in range(3):
+                            lo_a = baabb_ref[rows, a:a + 1]
+                            hi_a = baabb_ref[rows, a + 3:a + 4]
+                            t0 = (lo_a - o[a]) * inv[a]
+                            t1 = (hi_a - o[a]) * inv[a]
+                            tin = jnp.maximum(tin, jnp.minimum(t0, t1))
+                            tout = jnp.minimum(
+                                tout, jnp.maximum(t0, t1) * _SLAB_SCALE)
+                        bhit = ((tin <= tout)
+                                & (baabb_ref[rows, 0:1] < _BIG))
+                        cull_ref[rows, :] = jnp.max(
+                            bhit.astype(i32), axis=1, keepdims=True)
+                        if reflag > 0 or fresh:
+                            tin_ref[rows, :] = tin_store(bhit, tin)
+                    return k + _CULL2_UNROLL
+
+                jax.lax.while_loop(lambda k: k < cnt_c, c3body, i32(0))
 
         # Loop-invariant across every walked window (Mosaic does not
         # hoist out of while_loop bodies; building it per window costs
@@ -2549,6 +2624,7 @@ def _analytic_tables(scene):
                      "walk_compact", "walk_unroll", "pay_unroll",
                      "walk_mxu", "walk_cull2", "tin16",
                      "env_cfg", "env_every", "env_count", "hbm", "hbm_reflag",
+                     "hbm_cull3",
                      "hbm_sub", "hbm_wu", "hbm_pay_gate", "hbm_pb_stage",
                      "bundles",
                      "return_stats", "_timing_no_dots", "_timing_no_walk",
@@ -2610,6 +2686,19 @@ def megakernel_path_trace(
                           # meaningful with env_every > 1.
     hbm: bool = False,
     hbm_reflag: int = 64,
+    hbm_cull3: bool | None = None,  # third cull level for the HBM walk
+                                 # (round 5): coarse super-GROUP union
+                                 # slab pass (tables.sgaabb, appended to
+                                 # the kernel's AABB table) + refinement
+                                 # of flagged groups' supers — the
+                                 # walk_cull2 monotonic-containment
+                                 # argument one level up, bitwise-
+                                 # identical flags. Replaces the flat
+                                 # [ns, br] super slab pass (~8,200 rows
+                                 # per bounce iteration at 8.4M tris).
+                                 # None = auto (off pending the hardware
+                                 # A/B); RAY_HBM_CULL3 overrides via
+                                 # streaming.
     hbm_sub: int | None = None,  # dense granularity of the HBM member
                                  # walk: each member block's dense test
                                  # runs as hbm_sub gated [TB/hbm_sub, br]
@@ -2833,7 +2922,12 @@ def megakernel_path_trace(
         reflag = (1 if tables.num_supers * br * (2 if tin16 else 4)
                   <= (4 << 20) else 0)
         nb_kern = tables.num_supers
-        baabb = tables.saabb
+        # Third cull level (hbm_cull3): the coarse super-group union
+        # AABBs ride APPENDED to the kernel's VMEM AABB table at rows
+        # [ns, ns + ceil(ns/SB)) — no new kernel input needed:
+        cull3_on = bool(hbm_cull3) and tables.sgaabb is not None
+        baabb = (jnp.concatenate([tables.saabb, tables.sgaabb])
+                 if cull3_on else tables.saabb)
         # VMEM-sized scenes: the fused pn8 slab carries both the p
         # coefficients and the nrm payload chunks (one DMA per super).
         # Bigger scenes split the payload into the bf16 pay8 table
@@ -2846,6 +2940,7 @@ def megakernel_path_trace(
         pay_in = (tables.pay8 if hbm_split
                   else jnp.zeros((8, 128), jnp.bfloat16))
     else:
+        cull3_on = False
         cull_on = use_cull and tables.num_blocks > 1
         if tin16 is None:
             # Auto: always on — bitwise-identical radiometry, half the
@@ -3064,9 +3159,11 @@ def megakernel_path_trace(
                             1), 1)
                        if not hbm else (1, 1), jnp.int32),
             # Compacted-walk index list (flat VMEM walk, finding 48;
-            # sublane-major: dynamic scalar reads only work on sublanes):
+            # sublane-major: dynamic scalar reads only work on sublanes;
+            # the HBM third cull level compacts flagged super-group ids
+            # through the same scratch):
             pltpu.VMEM((-(-nbs_c // 128) * 128, 1)
-                       if compact_on else (1, 1), jnp.int32),
+                       if (compact_on or cull3_on) else (1, 1), jnp.int32),
             # HBM member-block p staging: one relayout copy per walked
             # block so the 16 coefficient-column broadcasts read from
             # lane offset 0 (mid-tile lane slices at offsets 16..112
@@ -3102,6 +3199,7 @@ def megakernel_path_trace(
         env_every=env_every if env_cfg is not None else 1,
         env_count=env_count if env_cfg is not None else 0, hbm=hbm,
         two_level=(not hbm and two_level), hbm_reflag=hbm_reflag,
+        hbm_cull3=cull3_on,
         hbm_sub=hbm_sub, hbm_wu=hbm_wu, hbm_split=hbm_split,
         hbm_pay_gate=hbm_pay_gate, hbm_pb_stage=hbm_pb_stage,
         _timing_no_dots=_timing_no_dots,

@@ -159,6 +159,15 @@ class BlockedSceneTables(NamedTuple):
     # platforms (gated in tests/test_megakernel_variants.py):
     payt: jnp.ndarray | None  # [64, nb*TB] f32
 
+    # Super-group union AABBs (groups of SB supers; round 5, the HBM
+    # walk's optional THIRD cull level — the same coarse-then-refine
+    # monotonic-flag argument as the VMEM walk_cull2): at 8.4M tris the
+    # flat super slab pass is [8191, br] per bounce iteration; the
+    # coarse pass is [1024, br] + refinement of flagged groups only.
+    # Padding supers carry inverted boxes, so partial tail groups union
+    # correctly and all-pad groups never flag:
+    sgaabb: jnp.ndarray | None = None  # [ceil(ns/SB), 8] f32
+
     @property
     def num_blocks(self) -> int:
         return self.baabb.shape[0]
@@ -528,6 +537,16 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
     baabb16 = group_aabb(tlo_p, thi_p, 16) if with_vmem_p else None
     baabb8 = group_aabb(tlo_p, thi_p, 8) if with_vmem_p else None
     saabb = group_aabb(tlo_p, thi_p, SB * TB)
+    # Super-group union AABBs (the HBM walk's optional third cull
+    # level; see the sgaabb field docstring). Tail groups pad with
+    # inverted boxes so the union ignores them:
+    ns_ = saabb.shape[0]
+    sg_pad = (-ns_) % SB
+    sg_lo = np.concatenate(
+        [saabb[:, 0:3], np.full((sg_pad, 3), np.inf, np.float32)])
+    sg_hi = np.concatenate(
+        [saabb[:, 3:6], np.full((sg_pad, 3), -np.inf, np.float32)])
+    sgaabb = group_aabb(sg_lo, sg_hi, SB)
 
     if p8 is None:
         p8 = (p.reshape(ns, SB, TB, 16).transpose(0, 2, 1, 3)
@@ -601,6 +620,7 @@ def build_blocked_tables(tri_v: np.ndarray, verts: np.ndarray,
         baabb16=None if baabb16 is None else jnp.asarray(baabb16),
         baabb8=None if baabb8 is None else jnp.asarray(baabb8),
         saabb=jnp.asarray(saabb),
+        sgaabb=jnp.asarray(sgaabb),
         tri_geom=jnp.asarray(tg),
         tri_prim=jnp.asarray(tp),
     )

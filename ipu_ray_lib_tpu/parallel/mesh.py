@@ -168,6 +168,7 @@ def render_streaming_sharded(
     cols_sh = cols_np.reshape(n_dev, R_local * J)
 
     from ..render.streaming import (_pick_br, _use_megakernel,
+                                    hbm_cull3_override,
                                     hbm_reflag_cadence, reflag_override,
                                     sub_granularity,
                                     subq_granularity,
@@ -229,7 +230,8 @@ def render_streaming_sharded(
                     # Static cache-key arg read only by the HBM walk —
                     # conditional so RAY_HBM_REFLAG sweeps can't force
                     # VMEM-mode recompiles (same as render_streaming):
-                    **({"hbm_reflag": hbm_reflag_cadence()}
+                    **({"hbm_reflag": hbm_reflag_cadence(),
+                        "hbm_cull3": hbm_cull3_override()}
                        if params.intersector == "pallas-hbm" else {}),
                     interpret=jax.default_backend() != "tpu",
                 )

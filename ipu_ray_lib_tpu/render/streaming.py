@@ -393,6 +393,22 @@ def hbm_reflag_cadence() -> int:
     return v if (v >= 1 and v & (v - 1) == 0) else default
 
 
+def hbm_cull3_override() -> bool | None:
+    """Third cull level for the HBM-streamed walk (megakernel
+    ``hbm_cull3``, round 5): coarse super-group union slab pass +
+    refinement of flagged groups replaces the flat [ns, br] super slab
+    pass — bitwise-identical flags (the walk_cull2 monotonic-containment
+    argument one level up). ``RAY_HBM_CULL3=1`` forces on, ``=0`` forces
+    off; unset/garbage = auto (off pending the hardware A/B at the top
+    of the scene-size ladder)."""
+    v = os.environ.get("RAY_HBM_CULL3", "")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return None
+
+
 def walk_compact_enabled() -> bool:
     """Compacted flat walk + winner-payload dispatch (megakernel
     ``walk_compact``, finding 48): branch-free index-list walks instead
@@ -659,7 +675,9 @@ def render_streaming(
                 walk_cull2=cull2_override(),
                 walk_fresh=fresh_override(),
                 pay_fused=payt_override(),
-                    **({"hbm_reflag": hbm_reflag_cadence()} if hbm else {}),
+                    **({"hbm_reflag": hbm_reflag_cadence(),
+                        "hbm_cull3": hbm_cull3_override()}
+                       if hbm else {}),
                     return_stats=stats_out is not None,
                     interpret=jax.default_backend() != "tpu",
                 ).compile()
@@ -715,7 +733,8 @@ def render_streaming(
                 # hbm_reflag is a static cache-key arg read only by the
                 # HBM walk — pass it conditionally so sweeping
                 # RAY_HBM_REFLAG can't force VMEM-mode recompiles:
-                **({"hbm_reflag": hbm_reflag_cadence()}
+                **({"hbm_reflag": hbm_reflag_cadence(),
+                    "hbm_cull3": hbm_cull3_override()}
                    if params.intersector == "pallas-hbm" else {}),
                 # Timing-probe plumbing for experiments/ (the megakernel's
                 # _timing_double_* marginal-cost knobs); never set in
@@ -800,12 +819,19 @@ def render_streaming(
             fetch_into(*prev)
         prev = (flat_acc, j0, jg)
     fetch_into(*prev)
-    done = sum(int(x) for x in done_d)
+    # One stacked transfer for the scalar futures: each separate int()
+    # costs a ~7 ms tunnel round trip (done counts + 3 stats per batch
+    # add up to ~0.1 s of pure latency at 4 groups):
+    done = int(np.asarray(jnp.stack([jnp.asarray(x) for x in done_d]))
+               .astype(np.int64).sum())
     if stats_out is not None and stat_futures:
+        flatf = [jnp.asarray(v) for f in stat_futures for v in f]
+        sums = (np.asarray(jnp.stack(flatf)).astype(np.int64)
+                .reshape(len(stat_futures), 3))
         stats_out["iters"] = (stats_out.get("iters", 0)
-                              + sum(int(f[0]) for f in stat_futures))
+                              + int(sums[:, 0].sum()))
         stats_out["blocks_walked"] = (stats_out.get("blocks_walked", 0)
-                                      + sum(int(f[1]) for f in stat_futures))
+                                      + int(sums[:, 1].sum()))
         stats_out["winner_blocks"] = (stats_out.get("winner_blocks", 0)
-                                      + sum(int(f[2]) for f in stat_futures))
+                                      + int(sums[:, 2].sum()))
     return img.reshape(h, w, 3), done

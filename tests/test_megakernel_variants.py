@@ -476,6 +476,18 @@ def test_hbm_payload_knobs_bitwise_identical(hbm_scene, kw):
     np.testing.assert_array_equal(img, base, err_msg=f"variant {kw}")
 
 
+def test_hbm_cull3_bitwise_identical(hbm_scene, monkeypatch):
+    """Third cull level for the HBM walk (round 5, hbm_cull3): the
+    coarse super-group pass + refinement must produce the flat super
+    slab pass's flags exactly (monotonic containment — the walk_cull2
+    argument one level up), so the image is bitwise-identical."""
+    arrays, params, base = hbm_scene
+    monkeypatch.setenv("RAY_HBM_CULL3", "1")
+    img, done = _render(arrays, params)
+    assert done == 48 * 32
+    np.testing.assert_array_equal(img, base, err_msg="hbm_cull3")
+
+
 def test_hbm_reflag_cadence_bitwise_identical(hbm_scene, monkeypatch):
     """Flag-refresh cadence is pure work-skipping: any RAY_HBM_REFLAG
     value must render the identical image on the HBM walk."""
