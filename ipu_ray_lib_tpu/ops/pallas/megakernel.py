@@ -807,22 +807,17 @@ def _mega_kernel(sc_ref, rows_ref, cols_ref, p_ref, pay_ref, nrm_ref,
                 cnt_c = compact_indices(
                     jnp.max(chit.astype(i32), axis=1, keepdims=True), c0)
 
-                # Refinement window: SB super rows, clamped to nbs for
-                # tiny scenes (ns < SB):
-                NRW = min(SB, nbs)
-
                 def c3body(k, cnt_c=cnt_c):
-                    # Tail slots clamp to the last flagged group; a
-                    # group whose rows spill past nbs shifts its window
-                    # up (over rows already written with the identical
-                    # flat-pass values — idempotent rewrites):
+                    # Tail slots clamp to the last flagged group
+                    # (idempotent rewrites). nbs is padded to %SB by the
+                    # wrapper, so windows are whole SB-aligned slices —
+                    # Mosaic proves g*SB sublane alignment statically:
                     gs = [cidx_ref[k, 0]] + [
                         cidx_ref[jnp.minimum(k + u, cnt_c - 1), 0]
                         for u in range(1, _CULL2_UNROLL)]
                     for g in gs:
-                        rows = pl.ds(jnp.minimum(g * SB, i32(nbs - NRW)),
-                                     NRW)
-                        tin = jnp.full((NRW, br), f32(0.0))
+                        rows = pl.ds(g * SB, SB)
+                        tin = jnp.full((SB, br), f32(0.0))
                         tout = jnp.where(active, _BIG, f32(-1.0))
                         for a in range(3):
                             lo_a = baabb_ref[rows, a:a + 1]
@@ -2924,10 +2919,24 @@ def megakernel_path_trace(
         nb_kern = tables.num_supers
         # Third cull level (hbm_cull3): the coarse super-group union
         # AABBs ride APPENDED to the kernel's VMEM AABB table at rows
-        # [ns, ns + ceil(ns/SB)) — no new kernel input needed:
+        # [ns_pad, ns_pad + ns_pad/SB) — no new kernel input needed.
+        # The super rows pad to a multiple of SB with inverted boxes
+        # (flags stay 0, the walk never visits them) so the refinement
+        # windows are whole SB-row slices at SB-aligned dynamic offsets
+        # — Mosaic requires static proof of sublane alignment, and
+        # ``g * SB`` provides it where a clamped form does not:
         cull3_on = bool(hbm_cull3) and tables.sgaabb is not None
-        baabb = (jnp.concatenate([tables.saabb, tables.sgaabb])
-                 if cull3_on else tables.saabb)
+        baabb = tables.saabb
+        if cull3_on:
+            ns_pad = (-tables.num_supers) % SB
+            if ns_pad:
+                inv = jnp.concatenate([
+                    jnp.full((ns_pad, 3), jnp.inf, jnp.float32),
+                    jnp.full((ns_pad, 3), -jnp.inf, jnp.float32),
+                    jnp.zeros((ns_pad, 2), jnp.float32)], axis=1)
+                baabb = jnp.concatenate([baabb, inv])
+                nb_kern = nb_kern + ns_pad
+            baabb = jnp.concatenate([baabb, tables.sgaabb])
         # VMEM-sized scenes: the fused pn8 slab carries both the p
         # coefficients and the nrm payload chunks (one DMA per super).
         # Bigger scenes split the payload into the bf16 pay8 table
