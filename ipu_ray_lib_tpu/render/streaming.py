@@ -334,13 +334,17 @@ def _pick_br(R: int, J: int) -> int:
 
 def env_flush_cadence(scene) -> int:
     """Deferred env-flush cadence for the fused NIF MLP (megakernel
-    ``env_every``). Interior (triangle-heavy) scenes trickle escapes, so
-    deferring the fixed-cost [P, br] MLP flush amortises it; sky-dominated
-    primitive scenes escape every iteration and prefer immediate flushes.
-    ``RAY_ENV_EVERY`` overrides; garbage or non-positive values fall back
-    to the heuristic (the kernel's deferred branch divides by the cadence,
-    so values < 1 must never reach it)."""
-    default = 4 if scene.blocked.tri_geom.shape[0] > 1024 else 1
+    ``env_every``). Deferring the fixed-cost [P, br] MLP flush amortises
+    it; cadence 4 is the default everywhere since round 5 — the r2-era
+    "sky scenes prefer immediate flushes" heuristic no longer holds
+    under the compacted walk (same-window A/B on the spheres flagship,
+    2026-08-21, probe 0.125: every=4 22.27 vs every=1 21.25 Mpaths/s,
+    +4.8%; scheduling is bitwise-neutral, gated by
+    test_deferred_env_flush_identical). ``RAY_ENV_EVERY`` overrides;
+    garbage or non-positive values fall back to the default (the
+    kernel's deferred branch divides by the cadence, so values < 1 must
+    never reach it)."""
+    default = 4
     if env_flush_count() > 0:
         # Flush-on-count active: the cadence is only the max-wait bound,
         # so give the count trigger room to assemble batches (an explicit
