@@ -188,7 +188,8 @@ def render_streaming_sharded(
             env_cfg, env_weights = pack_env_mlp(
                 env_fn.nif_config, env_params)
             env_every = env_flush_cadence(scene)
-            env_count = env_flush_count() if env_every > 1 else 0
+            env_count = (env_flush_count(_pick_br(R_local, J))
+                         if env_every > 1 else 0)
         else:
             env_every = 1
             env_count = 0

@@ -345,11 +345,6 @@ def env_flush_cadence(scene) -> int:
     kernel's deferred branch divides by the cadence, so values < 1 must
     never reach it)."""
     default = 4
-    if env_flush_count() > 0:
-        # Flush-on-count active: the cadence is only the max-wait bound,
-        # so give the count trigger room to assemble batches (an explicit
-        # RAY_ENV_EVERY still wins below):
-        default = max(default, 16)
     try:
         v = int(os.environ.get("RAY_ENV_EVERY", default))
     except (TypeError, ValueError):
@@ -357,17 +352,21 @@ def env_flush_cadence(scene) -> int:
     return max(1, v) if v > 0 else default
 
 
-def env_flush_count() -> int:
+def env_flush_count(br: int = 512) -> int:
     """Flush-on-count threshold for the deferred env flush (megakernel
-    ``env_count``): fire the fused MLP as soon as this many lanes are
-    parked instead of waiting out the cadence clock. 0 (default)
-    disables; ``RAY_ENV_COUNT`` overrides. Pure scheduling — the
-    estimator is identical across triggers
-    (tests/test_megakernel_variants.py)."""
+    ``env_count``): fire the fused MLP as soon as this many of the
+    bundle's ``br`` lanes are parked instead of waiting out the cadence
+    clock (which remains the max-wait bound). Default br/2 since round
+    5 — same-window flagship sweep (probe 0.136, reps 3): every=4 +
+    count=256 at br=512 gives 26.37 Mpaths/s vs 25.54 count-off and
+    19-23 at wider cadences, so the count trigger + short max-wait is
+    the measured optimum. ``RAY_ENV_COUNT`` overrides (0 disables —
+    cadence-only flushing). Pure scheduling — the estimator is
+    identical across triggers (tests/test_megakernel_variants.py)."""
     try:
-        v = int(os.environ.get("RAY_ENV_COUNT", 0))
+        v = int(os.environ.get("RAY_ENV_COUNT", br // 2))
     except (TypeError, ValueError):
-        return 0
+        return br // 2
     return max(0, v)
 
 
@@ -641,7 +640,8 @@ def render_streaming(
 
         env_cfg, env_weights = pack_env_mlp(env_fn.nif_config, env_params)
         env_every = env_flush_cadence(scene)
-        env_count = env_flush_count() if env_every > 1 else 0
+        env_count = (env_flush_count(_pick_br(R, J))
+                     if env_every > 1 else 0)
 
     # Pixel-group split (readback/compute overlap, see pix_group_schedule):
     schedule = pix_group_schedule(J) if use_mega else [(0, J)]

@@ -323,19 +323,29 @@ def test_env_flush_cadence_robust(mega_scene, monkeypatch):
 
 
 def test_env_flush_count_robust(mega_scene, monkeypatch):
-    """RAY_ENV_COUNT clamps to >= 0 and survives garbage; when active it
-    widens the default cadence (max-wait) but never an explicit one."""
+    """RAY_ENV_COUNT clamps to >= 0 and survives garbage. Default is
+    br/2 since round 5 (the measured flagship optimum: every=4 +
+    count=br/2 = 26.37 Mpaths/s vs 25.54 count-off); 0 disables."""
     from ipu_ray_lib_tpu.render.streaming import (env_flush_cadence,
                                                   env_flush_count)
 
     arrays, _, _ = mega_scene
-    assert env_flush_count() == 0
-    for bad in ("", "lots", "-5"):
+    assert env_flush_count() == 256          # default br=512 -> br/2
+    assert env_flush_count(128) == 64
+    for bad in ("", "lots"):
         monkeypatch.setenv("RAY_ENV_COUNT", bad)
-        assert env_flush_count() == 0, bad
+        assert env_flush_count() == 256, bad
+    monkeypatch.setenv("RAY_ENV_COUNT", "-5")
+    assert env_flush_count() == 0            # negative clamps to 0
     monkeypatch.setenv("RAY_ENV_COUNT", "96")
     assert env_flush_count() == 96
-    assert env_flush_cadence(arrays) >= 16   # count active -> max-wait
+    monkeypatch.setenv("RAY_ENV_COUNT", "0")
+    assert env_flush_count() == 0            # explicit disable
+    # The cadence is the max-wait clock and no longer bumps when the
+    # count trigger is active (the every=16 bump measured 19-22 M vs
+    # 26.4 at every=4):
+    monkeypatch.delenv("RAY_ENV_COUNT")
+    assert env_flush_cadence(arrays) == 4
     monkeypatch.setenv("RAY_ENV_EVERY", "3")
     assert env_flush_cadence(arrays) == 3    # explicit cadence still wins
 
